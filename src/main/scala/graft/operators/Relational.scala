@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+
+/** Core relational operator set.
+  *
+  * Certifies the reference's framework dataflow (SURVEY.md §2a): source
+  * scan (F1), project (F2), shuffle-by-key co-location (F4), sort (F6),
+  * group-by-key (F7), user reduce (F8) — plus the operator categories the
+  * reference lacks (filter, join, semi/anti join, window, set ops, date
+  * functions), expressed with Spark built-ins so Catalyst handles
+  * pushdown, pruning, partial aggregation and join strategy selection.
+  *
+  * Determinism notes (the driver hash-compares against DuckDB):
+  *  - Double SUMs are order-dependent across engines, so every declared
+  *    sum goes through DECIMAL(18,2) (exact, associative) and is cast back
+  *    to DOUBLE for a stable schema. Test-data money columns carry two
+  *    decimals, so the double→decimal cast is exact in both engines.
+  *  - AVG is expressed as exact integer SUM / COUNT, never built-in avg.
+  *  - Timestamps are never output raw (`events.ts` is ns in parquet;
+  *    Spark truncates to µs while DuckDB keeps ns) — date outputs go
+  *    through a yyyy-MM string format instead.
+  */
+object Relational {
+
+  /** Group-by-key + count — the reference's sort/group/reduce path
+    * (`WorkerServlet.java:450-495` + `ReduceThread.java:60-80`) as a
+    * hash aggregate with map-side partials. */
+  def groupCountByKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+
+  /** Generalized user reduce body (F8): per-group sum. */
+  def groupAggSum(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"),
+        count(lit(1)).as("n_items"))
+
+  /** F6 sort phase: global order by key. (The driver's compare is
+    * order-insensitive; the query still certifies the operator.) */
+  def sortByKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select("doc_id", "lang", "source")
+      .orderBy("lang", "doc_id")
+
+  /** Shuffle co-location contract (F4): equal keys meet exactly once. */
+  def distinctKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events").select("event_type").distinct()
+
+  /** Filter + projection — pushed down to the parquet scan by Catalyst
+    * (the reference could only drop records inside user `map`). */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000.0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** Multi-source input merge (F1/F5: all files + all workers' spools
+    * concatenate) as an explicit UNION ALL. */
+  def unionAllSources(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("key"))
+    val lineitem = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("key"))
+    orders.unionAll(lineitem).groupBy("key").agg(count(lit(1)).as("n"))
+  }
+
+  /** Inner join + aggregate. `customer` is tiny relative to `orders`
+    * (1:10 at every SF, ~1.5 M rows at SF 100) — broadcast it so the
+    * big side never shuffles. */
+  def joinOrdersCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    orders.join(broadcast(customer),
+        orders("o_custkey") === customer("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+  }
+
+  /** Anti join (NOT EXISTS): customers with no high-value order, per
+    * segment. The filter on the right side is pushed to its scan before
+    * the anti join; with AQE Spark broadcasts the (small) filtered build
+    * side automatically. */
+  def customersWithoutBigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val bigOrders = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000.0)
+    customer.join(bigOrders,
+        customer("c_custkey") === bigOrders("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_no_big_orders"))
+  }
+
+  /** Semi join (EXISTS): parts that appear in some lineitem. */
+  def partsWithLineitems(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+    val li = Tables.load(spark, dir, "lineitem")
+    part.join(li, part("p_partkey") === li("l_partkey"), "left_semi")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"))
+  }
+
+  /** Window top-k per group: row_number with a deterministic tie-break.
+    * At scale this shuffles once on the partition key and sorts within
+    * partitions — no global sort. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id").asc)
+    Tables.load(spark, dir, "events")
+      .select("event_type", "event_id", "value")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .drop("rn")
+  }
+
+  /** Running (cumulative) aggregate per user — exact via DECIMAL. */
+  def runningSumPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType).as("running_value"))
+  }
+
+  /** Scalar date function coverage: orders per month as a string key. */
+  def ordersByMonth(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Grouping-sets coverage (ROLLUP) — the reference has nothing like it;
+    * NULL group keys are mapped to a sentinel so the oracle hash matches
+    * (Spark and DuckDB agree on ROLLUP null semantics, the sentinel just
+    * makes that explicit and sort-stable). */
+  def rollupOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("<all>")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("<all>")).as("o_orderpriority"),
+        col("n"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "group_count_by_key" -> (groupCountByKey _),
+    "group_agg_sum" -> (groupAggSum _),
+    "sort_by_key" -> (sortByKey _),
+    "distinct_keys" -> (distinctKeys _),
+    "filter_project" -> (filterProject _),
+    "union_all_sources" -> (unionAllSources _),
+    "join_orders_customers" -> (joinOrdersCustomers _),
+    "anti_join_no_big_orders" -> (customersWithoutBigOrders _),
+    "semi_join_parts" -> (partsWithLineitems _),
+    "topk_per_group" -> (topkPerGroup _),
+    "running_sum_per_user" -> (runningSumPerUser _),
+    "orders_by_month" -> (ordersByMonth _),
+    "rollup_orders" -> (rollupOrders _))
+
+  val oracles: Map[String, String] = Map(
+    "group_count_by_key" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    "group_agg_sum" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       count(*) AS n_items
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "sort_by_key" ->
+      "SELECT doc_id, lang, source FROM documents ORDER BY lang, doc_id",
+    "distinct_keys" ->
+      "SELECT DISTINCT event_type FROM events",
+    "filter_project" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_totalprice > 400000.0""".stripMargin,
+    "union_all_sources" ->
+      """SELECT key, count(*) AS n FROM (
+        |  SELECT o_orderkey AS key FROM orders
+        |  UNION ALL
+        |  SELECT l_orderkey AS key FROM lineitem
+        |) t GROUP BY key""".stripMargin,
+    "join_orders_customers" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "anti_join_no_big_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_no_big_orders
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 400000.0)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "semi_join_parts" ->
+      """SELECT p_brand, count(*) AS n_parts
+        |FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |GROUP BY p_brand""".stripMargin,
+    "topk_per_group" ->
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3""".stripMargin,
+    "running_sum_per_user" ->
+      """SELECT event_id, user_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY user_id ORDER BY event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) AS running_value
+        |FROM events""".stripMargin,
+    "orders_by_month" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "rollup_orders" ->
+      """SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
+        |       coalesce(o_orderpriority, '<all>') AS o_orderpriority,
+        |       count(*) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)
+}
