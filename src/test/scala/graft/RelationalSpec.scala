@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+class RelationalSpec extends AnyFunSuite with SharedSpark {
+
+  test("topk_per_group yields at most 3 rows per group, the max first") {
+    import spark.implicits._
+    val rows = Relational.topkPerGroup(spark, sfDir)
+      .as[(String, Long, Double)].collect().groupBy(_._1)
+    val maxima = Tables.load(spark, sfDir, "events")
+      .groupBy("event_type").agg(max("value").as("m"))
+      .as[(String, Double)].collect().toMap
+    rows.foreach { case (et, grp) =>
+      assert(grp.length <= 3)
+      assert(grp.map(_._3).max == maxima(et))
+    }
+  }
+
+  test("union_all_sources row multiplicity = orders + lineitem per key") {
+    import spark.implicits._
+    val n = Relational.unionAllSources(spark, sfDir)
+      .agg(sum("n")).as[Long].head()
+    val expected = Tables.load(spark, sfDir, "orders").count() +
+      Tables.load(spark, sfDir, "lineitem").count()
+    assert(n == expected)
+  }
+
+  test("semi + anti partition the left side") {
+    val part = Tables.load(spark, sfDir, "part")
+    val withL = Relational.partsWithLineitems(spark, sfDir)
+      .agg(sum("n_parts")).head().getLong(0)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val anti = part.join(li, part("p_partkey") === li("l_partkey"), "left_anti").count()
+    assert(withL + anti == part.count())
+  }
+
+  test("running_sum_per_user final value equals the user's total") {
+    import spark.implicits._
+    val last = Relational.runningSumPerUser(spark, sfDir)
+      .groupBy("user_id").agg(max("running_value").as("final"))
+      .as[(Long, Double)].collect().toMap
+    val totals = Tables.load(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("t"))
+      .as[(Long, Double)].collect().toMap
+    // running max == total because values are positive in the fixture
+    assert(last.keySet == totals.keySet)
+    last.foreach { case (u, v) => assert(math.abs(v - totals(u)) < 1e-6) }
+  }
+}
