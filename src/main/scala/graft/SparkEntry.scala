@@ -16,7 +16,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] = Seq(
     (operators.WordCount.queries, operators.WordCount.oracles),
     (operators.Relational.queries, operators.Relational.oracles),
-    (operators.Partitioning.queries, operators.Partitioning.oracles))
+    (operators.Partitioning.queries, operators.Partitioning.oracles),
+    (text.TextAnalysis.queries, text.TextAnalysis.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

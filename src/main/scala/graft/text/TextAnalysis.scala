@@ -1,0 +1,184 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.Tables
+import graft.operators.WordCount
+
+/** Text-analysis operators for a training-data pipeline: corpus stats,
+  * quality scoring, language-ID heuristic, tokenizer counting, and
+  * document fingerprinting — all narrow per-row transforms (codegen'd
+  * builtin expressions, no UDFs) followed by one hash aggregate, so the
+  * only shuffle is the final per-group exchange. The reference's own
+  * text capability is tokenize+count (WordCount.java:26) — everything
+  * here generalizes that surface.
+  *
+  * Cross-engine determinism: ratios are exact-int divisions cast to
+  * double; scores use pure +*- arithmetic (no ln/exp whose libm rounding
+  * could differ) and are rounded to 6 dp on both sides; fingerprints are
+  * md5-based (identical hex in JVM and DuckDB) or 31-ary rolling hashes
+  * mod 2^31-1 folded left-to-right in both engines.
+  */
+object TextAnalysis {
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  /** Per-language rollup: docs, exact avg chars, distinct sources. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum("n_chars").cast(DoubleType) / count(lit(1))).as("avg_chars"),
+        countDistinct("source").as("n_sources"))
+
+  /** Per-document quality metrics + a deterministic composite score. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = WordCount.tokens(col("text"))
+    val nTok = size(toks).cast(LongType)
+    val nPunct = regexp_count(col("text"), lit("[.,!?;:]")).cast(LongType)
+    val nDigit = regexp_count(col("text"), lit("[0-9]")).cast(LongType)
+    val nStop = size(filter(toks, w => w.isin(stopwords: _*))).cast(LongType)
+    val stopRatio = when(nTok === 0, 0.0)
+      .otherwise(nStop.cast(DoubleType) / nTok.cast(DoubleType))
+    val punctRatio = when(length(col("text")) === 0, 0.0)
+      .otherwise(nPunct.cast(DoubleType) / length(col("text")).cast(DoubleType))
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      nPunct.as("n_punct"),
+      nDigit.as("n_digits"),
+      nStop.as("n_stopwords"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(
+        lit(0.5) * stopRatio
+          + lit(0.3) * (least(nTok, lit(100L)).cast(DoubleType) / 100.0)
+          - lit(0.2) * punctRatio, 6).as("quality_score"))
+  }
+
+  /** Marker-word language-ID heuristic. Scores each language by marker
+    * hits in the token stream; argmax with alphabetical tie-break
+    * (expressed as a fixed CASE priority, identical in the oracle). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("und", "der", "nicht"),
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "que"),
+    "fr" -> Seq("le", "les", "et"),
+    "zh" -> Seq("的", "是"))
+
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scores: Seq[(String, Column)] = langMarkers.map { case (lang, ms) =>
+      lang -> size(filter(toks, w => w.isin(ms: _*))).cast(LongType)
+    }
+    // argmax, ties to alphabetically-first: lang L wins if its score
+    // >= every later language's and > every earlier one's (vacuous here
+    // since we scan in order and take the first >=-all).
+    val best = scores.foldRight(lit("und")) { case ((lang, s), elseCol) =>
+      val geAll = scores.map(_._2).map(o => s >= o).reduce(_ && _)
+      when(geAll, lit(lang)).otherwise(elseCol)
+    }
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang").as("tagged_lang"), best.as("predicted_lang"))
+  }
+
+  /** Token counting, two tokenizers: whitespace words and a BPE-ish
+    * lexer regex (letter runs | digit runs | single other non-space). */
+  val bpeRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("lang"),
+        size(WordCount.tokens(col("text"))).cast(LongType).as("ws"),
+        regexp_count(col("text"), lit(bpeRegex)).cast(LongType).as("bpe"))
+      .groupBy("lang")
+      .agg(
+        sum("ws").as("n_ws_tokens"),
+        sum("bpe").as("n_bpe_tokens"),
+        count(lit(1)).as("n_docs"))
+
+  /** 60-bit md5 content fingerprint + 31-ary rolling hash mod 2^31-1.
+    * The rolling hash folds character codes left-to-right — the same
+    * order the oracle's list_reduce uses. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val md5fp = conv(substring(md5(col("text")), 1, 15), 16, 10).cast(LongType)
+    val rollfp = aggregate(
+      split(col("text"), ""),
+      lit(0L),
+      (acc, c) => (acc * 31L + ascii(c).cast(LongType)) % 2147483647L)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), md5fp.as("md5_fp"), rollfp.as("roll_fp"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "token_count" -> (tokenCount _),
+    "doc_fingerprint" -> (docFingerprint _))
+
+  private val markersSql = langMarkers.map { case (lang, ms) =>
+    lang -> ms.map(m => s"'$m'").mkString("(", ",", ")")
+  }.toMap
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS DOUBLE)/count(*) AS avg_chars,
+        |       count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang""".stripMargin,
+    "text_quality" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split(text,' '), w -> w <> '')) AS n_tokens,
+         |    len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+         |    len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+         |    len(list_filter(string_split(text,' '),
+         |        w -> w IN ('the','a','and','of','to','in','is','on','for','with'))) AS n_stopwords,
+         |    length(text) AS n_chars
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, n_punct, n_digits, n_stopwords,
+         |  round(CASE WHEN n_tokens = 0 THEN 0.0
+         |             ELSE CAST(n_stopwords AS DOUBLE)/n_tokens END, 6) AS stop_ratio,
+         |  round(0.5 * (CASE WHEN n_tokens = 0 THEN 0.0
+         |               ELSE CAST(n_stopwords AS DOUBLE)/n_tokens END)
+         |      + 0.3 * (CAST(least(n_tokens, 100) AS DOUBLE)/100.0)
+         |      - 0.2 * (CASE WHEN n_chars = 0 THEN 0.0
+         |               ELSE CAST(n_punct AS DOUBLE)/n_chars END), 6) AS quality_score
+         |FROM m""".stripMargin,
+    "text_langid" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang AS tagged_lang,
+         |    len(list_filter(string_split(text,' '), w -> w IN ${markersSql("de")})) AS s_de,
+         |    len(list_filter(string_split(text,' '), w -> w IN ${markersSql("en")})) AS s_en,
+         |    len(list_filter(string_split(text,' '), w -> w IN ${markersSql("es")})) AS s_es,
+         |    len(list_filter(string_split(text,' '), w -> w IN ${markersSql("fr")})) AS s_fr,
+         |    len(list_filter(string_split(text,' '), w -> w IN ${markersSql("zh")})) AS s_zh
+         |  FROM documents)
+         |SELECT doc_id, tagged_lang,
+         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+         |       WHEN s_zh >= s_de AND s_zh >= s_en AND s_zh >= s_es AND s_zh >= s_fr THEN 'zh'
+         |       ELSE 'und' END AS predicted_lang
+         |FROM s""".stripMargin,
+    "token_count" ->
+      s"""SELECT lang,
+         |  SUM(len(list_filter(string_split(text,' '), w -> w <> ''))) AS n_ws_tokens,
+         |  SUM(len(regexp_extract_all(text, '$bpeRegex'))) AS n_bpe_tokens,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY lang""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS md5_fp,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS roll_fp
+        |FROM documents""".stripMargin)
+}
