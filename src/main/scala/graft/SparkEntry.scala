@@ -17,7 +17,8 @@ object SparkEntry {
     (operators.WordCount.queries, operators.WordCount.oracles),
     (operators.Relational.queries, operators.Relational.oracles),
     (operators.Partitioning.queries, operators.Partitioning.oracles),
-    (text.TextAnalysis.queries, text.TextAnalysis.oracles))
+    (text.TextAnalysis.queries, text.TextAnalysis.oracles),
+    (dedup.Dedup.queries, dedup.Dedup.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,281 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.Tables
+
+/** Deduplication operators for a training-data pipeline, smallest to
+  * largest reach: exact (hash group-by), SimHash (per-doc signature),
+  * MinHash+LSH (banded candidate generation + exact verify), exact
+  * n-gram Jaccard (the quadratic baseline LSH approximates), and
+  * embedding-cosine near-dup.
+  *
+  * Scale design:
+  *  - exact dedup is one shuffle on the content key;
+  *  - SimHash/MinHash signatures are narrow per-doc computations (rows
+  *    shuffled once per doc for the signature aggregate, never per
+  *    token);
+  *  - LSH candidate generation joins on (band, signature) buckets — the
+  *    join explodes only within buckets, which near-dup clusters keep
+  *    tiny; a pathological hot bucket would surface in AQE skew stats;
+  *  - the exact-Jaccard verify runs only on LSH candidates;
+  *  - `ngram_jaccard` (the full-quadratic truth) exists as the oracle
+  *    baseline: its shared-shingle self-join is O(Σ per-shingle count²)
+  *    and is the query you do NOT run at 100 TB — that's minhash's job.
+  *
+  * Cross-engine determinism: all hashing is md5-based (identical hex in
+  * JVM and DuckDB); MinHash permutations are (a_i·h + b_i) mod 2^31-1
+  * over a 60-bit md5 prefix reduced mod p, all in 64-bit signed range in
+  * both engines; Jaccard/cosine outputs round to 6 dp.
+  */
+object Dedup {
+
+  // ---- shared shingling (word 3-grams over single-space tokens) ----
+
+  /** Distinct word-3gram shingles of `text`, empties dropped —
+    * `transform` over the token array, no explode until the caller. */
+  def shingles(c: Column): Column = {
+    val toks = filter(split(c, " ", -1), w => length(w) > lit(0))
+    array_distinct(
+      when(size(toks) < 3, typedlit(Seq.empty[String]))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - 3),
+          i => concat_ws("|",
+            element_at(toks, i + 1),
+            element_at(toks, i + 2),
+            element_at(toks, i + 3)))))
+  }
+
+  private val shinglesSql =
+    """list_distinct(CASE WHEN len(ws) < 3 THEN []
+      |  ELSE list_transform(generate_series(1, len(ws)-2),
+      |                      i -> ws[i] || '|' || ws[i+1] || '|' || ws[i+2]) END)""".stripMargin
+
+  private val docShinglesSql =
+    s"""SELECT doc_id, $shinglesSql AS sh
+       |FROM (SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS ws
+       |      FROM documents)""".stripMargin
+
+  // ---- exact dedup ----
+
+  /** Exact dedup on content: keep the min-doc_id row per distinct text,
+    * report survivors per language. One shuffle on `text`. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("text").orderBy("doc_id")
+    Tables.load(spark, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_survivors"))
+  }
+
+  // ---- exact n-gram Jaccard (quadratic baseline) ----
+
+  /** All pairs with word-3gram Jaccard >= 0.5. Shared-shingle self-join:
+    * explode distinct shingles, join on shingle, count intersections,
+    * Jaccard = |∩| / (|A|+|B|-|∩|). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    val s1 = sizes.select(col("doc_id").as("jd1"), col("n").as("n1"))
+    val s2 = sizes.select(col("doc_id").as("jd2"), col("n").as("n2"))
+    val jac = col("c").cast(DoubleType) /
+      (col("n1") + col("n2") - col("c")).cast(DoubleType)
+    inter
+      .join(broadcast(s1), col("d1") === col("jd1"))
+      .join(broadcast(s2), col("d2") === col("jd2"))
+      .filter(jac >= 0.5)
+      .select(col("d1"), col("d2"), round(jac, 6).as("jaccard"))
+  }
+
+  // ---- MinHash + LSH ----
+
+  val P = 2147483647L // 2^31 - 1
+  val NumHashes = 32
+  val BandRows = 4 // -> 8 bands
+
+  /** 60-bit md5 prefix of the shingle, reduced mod p — the base hash the
+    * permutation family acts on. Same bytes, same hex, same value in
+    * DuckDB. */
+  private def baseHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType) % P
+
+  private def hashA(i: Int): Long = (2654435761L * (i + 1)) % P
+  private def hashB(i: Int): Long = (1013904223L * (i + 1)) % P
+
+  /** MinHash signatures: per doc, for each i, min over shingles of
+    * (a_i·h + b_i) mod p. Expressed as explode + groupBy(doc, i) min —
+    * map-side partial min keeps the shuffle at #docs × k rows. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val perms = (0 until NumHashes).map { i =>
+      struct(lit(i).as("i"),
+        ((lit(hashA(i)) * col("h") + hashB(i)) % P).as("v"))
+    }
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .select(col("doc_id"), baseHash(col("s")).as("h"))
+      .select(col("doc_id"), explode(array(perms: _*)).as("p"))
+      .groupBy(col("doc_id"), col("p.i").as("i"))
+      .agg(min("p.v").as("minh"))
+  }
+
+  /** LSH banding: 8 bands × 4 rows; band signature joins docs sharing
+    * any band; candidates verified with exact Jaccard >= 0.5. Output
+    * matches `ngram_jaccard` whenever LSH recall is total (it is for
+    * the ~0.98-Jaccard injected dups: miss prob (1-j⁴)⁸ ≈ 1e-9). */
+  def minhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(spark, dir)
+    val bands = sig
+      .groupBy(col("doc_id"), (col("i") / BandRows).cast("int").as("band"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("i"), col("minh")))),
+        s => s.getField("minh").cast("string")), ",").as("sig"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val jac = col("c").cast(DoubleType) /
+      (col("n1") + col("n2") - col("c")).cast(DoubleType)
+    cand
+      .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1"), size(col("sh")).as("n1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2"), size(col("sh")).as("n2")), "d2")
+      .withColumn("c", size(array_intersect(col("sh1"), col("sh2"))).cast(LongType))
+      .filter(jac >= 0.5)
+      .select(col("d1"), col("d2"), round(jac, 6).as("jaccard"))
+  }
+
+  // ---- SimHash ----
+
+  val SimBits = 60
+
+  /** 60-bit SimHash per doc over its tokens (with multiplicity): bit j
+    * set iff Σ_tokens (2·bit_j(h(token))−1) > 0. One explode per
+    * (token), one per bit index, partial-aggregated sums. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " ", -1), w => length(w) > lit(0))
+    // bit positions are compile-time constants, so shift amounts are
+    // literal Ints and the bit's power-of-two rides along as the group
+    // key (unique per j) — no column-shift needed anywhere
+    val bits = (0 until SimBits).map { j =>
+      struct(lit(1L << j).as("p"),
+        (shiftright(col("h"), j).bitwiseAND(1L) * 2 - 1).cast(LongType).as("sgn"))
+    }
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("w"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType).as("h"))
+      .select(col("doc_id"), explode(array(bits: _*)).as("b"))
+      .groupBy(col("doc_id"), col("b.p").as("p"))
+      .agg(sum("b.sgn").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, col("p")).otherwise(0L)).as("simhash"))
+  }
+
+  // ---- embedding cosine near-dup ----
+
+  /** All pairs with cosine >= 0.35 over the 64-dim embeddings.
+    * Brute-force O(n²) — correct-baseline semantics; the LSH-bucketed
+    * scale path is graft.similarity.Similarity.annLsh. Cosine is
+    * dot/(√Σa²·√Σb²) folded left-to-right in doubles, the same
+    * arithmetic the oracle's list_dot_product spells out. */
+  def embeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+    val dot = aggregate(
+      zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val sim = dot / (col("a.norm") * col("b.norm"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), sim.as("sim"))
+      .filter(col("sim") >= 0.35)
+      .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "ngram_jaccard" -> (ngramJaccard _),
+    "minhash_neardup" -> (minhashNeardup _),
+    "simhash" -> (simhash _),
+    "embedding_neardup" -> (embeddingNeardup _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT lang, count(*) AS n_survivors
+        |FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        |GROUP BY lang""".stripMargin,
+    "ngram_jaccard" ->
+      s"""WITH sh AS ($docShinglesSql),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |n AS (SELECT doc_id, len(sh) AS n FROM sh),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+         |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT d1, d2,
+         |       round(CAST(c AS DOUBLE)/(n1.n + n2.n - c), 6) AS jaccard
+         |FROM inter
+         |JOIN n n1 ON n1.doc_id = d1
+         |JOIN n n2 ON n2.doc_id = d2
+         |WHERE CAST(c AS DOUBLE)/(n1.n + n2.n - c) >= 0.5""".stripMargin,
+    "minhash_neardup" ->
+      s"""WITH sh AS ($docShinglesSql),
+         |ex AS (SELECT doc_id,
+         |              CAST(('0x' || substring(md5(unnest(sh)), 1, 15)) AS BIGINT) % $P AS h
+         |       FROM sh),
+         |sig AS (SELECT doc_id, i,
+         |               min(((2654435761 * (i+1)) % $P * h + (1013904223 * (i+1)) % $P) % $P) AS minh
+         |        FROM ex, range(0, $NumHashes) r(i) GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, CAST(i // $BandRows AS INT) AS band,
+         |                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bsig
+         |          FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |n AS (SELECT doc_id, len(sh) AS n FROM sh),
+         |inter AS (SELECT d1, d2, count(*) AS c
+         |          FROM cand JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e1 ON e1.doc_id = d1
+         |                    JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e2 ON e2.doc_id = d2
+         |          WHERE e1.s = e2.s GROUP BY 1, 2)
+         |SELECT d1, d2,
+         |       round(CAST(c AS DOUBLE)/(n1.n + n2.n - c), 6) AS jaccard
+         |FROM inter
+         |JOIN n n1 ON n1.doc_id = d1
+         |JOIN n n2 ON n2.doc_id = d2
+         |WHERE CAST(c AS DOUBLE)/(n1.n + n2.n - c) >= 0.5""".stripMargin,
+    "simhash" ->
+      s"""WITH t AS (SELECT doc_id,
+         |                  unnest(list_filter(string_split(text,' '), w -> w <> '')) AS w
+         |           FROM documents),
+         |h AS (SELECT doc_id,
+         |             CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS h
+         |      FROM t),
+         |bits AS (SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS s
+         |         FROM h, range(0, $SimBits) r(j) GROUP BY doc_id, j)
+         |SELECT doc_id,
+         |       SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+         |FROM bits GROUP BY doc_id""".stripMargin,
+    "embedding_neardup" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35""".stripMargin)
+}
