@@ -18,7 +18,9 @@ object SparkEntry {
     (operators.Relational.queries, operators.Relational.oracles),
     (operators.Partitioning.queries, operators.Partitioning.oracles),
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),
-    (dedup.Dedup.queries, dedup.Dedup.oracles))
+    (dedup.Dedup.queries, dedup.Dedup.oracles),
+    (similarity.Similarity.queries, similarity.Similarity.oracles),
+    (multimodal.Multimodal.queries, multimodal.Multimodal.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

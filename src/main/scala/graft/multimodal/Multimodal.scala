@@ -1,0 +1,77 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata.
+  *
+  * The Spark-side shape is real and tested — a `BinaryType` payload
+  * column processed in executor batches via `mapPartitions` over a typed
+  * Dataset (one decoder instance per partition, bytes never touch the
+  * driver) producing a typed metadata row. The DECODE ITSELF IS A STUB:
+  * this container has no image/audio codecs, so `decodeStub` derives
+  * deterministic fake dimensions from an md5 of the payload bytes. A
+  * real deployment swaps `decodeStub` for a codec call; nothing else
+  * changes — schema, partitioning, batch shape are production-real.
+  *
+  * The test corpus has no binary media, so `documents.text` bytes stand
+  * in as the payload (UTF-8, so DuckDB's md5(text) sees the same bytes
+  * and the oracle can replicate the fake decode arithmetic exactly).
+  *
+  * Frame sampling: a stride-2 sample over the fake frame count, the
+  * usual decimation shape for video feature extraction.
+  */
+object Multimodal {
+
+  case class MediaBlob(doc_id: Long, payload: Array[Byte])
+  case class MediaMeta(doc_id: Long, byte_len: Long, width: Long,
+                       height: Long, n_frames: Long, n_sampled: Long)
+
+  /** STUB decoder: deterministic pseudo-metadata from the payload md5.
+    * Replace with a real codec for production use. */
+  def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
+    val hex = MessageDigest.getInstance("MD5").digest(payload)
+      .map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val width = 64L + h % 1857L
+    val height = 64L + (h >> 12) % 1017L
+    val frames = 1L + (h >> 24) % 16L
+    (width, height, frames)
+  }
+
+  /** Binary payload table: doc_id + the bytes. In production this is
+    * `spark.read.format("binaryFile")` or a parquet BinaryType column. */
+  def blobs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** Decode + frame-sample metadata, one decoder per partition. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    blobs(spark, dir).as[MediaBlob].mapPartitions { it =>
+      it.map { b =>
+        val (w, h, frames) = decodeStub(b.payload)
+        MediaMeta(b.doc_id, b.payload.length.toLong, w, h,
+          frames, (frames + 1) / 2)
+      }
+    }.toDF()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_meta" -> (multimodalMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id, strlen(text) AS byte_len,
+        |       64 + h % 1857 AS width,
+        |       64 + (h >> 12) % 1017 AS height,
+        |       1 + (h >> 24) % 16 AS n_frames,
+        |       (1 + (h >> 24) % 16 + 1) // 2 AS n_sampled
+        |FROM (SELECT doc_id, text,
+        |             CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+        |      FROM documents)""".stripMargin)
+}

@@ -1,0 +1,175 @@
+package graft.similarity
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * Two paths:
+  *  - `similar_topk`: brute-force cosine top-k — the exactness baseline.
+  *    The probe set is tiny and broadcast; candidates stream through one
+  *    narrow pass; per-probe top-k runs through a bounded-heap
+  *    [[TopK]] Aggregator with map-side partial merge, so the shuffle
+  *    carries k rows per (partition, probe), never the full candidate
+  *    score list. That shape survives a 100 TB candidate table.
+  *  - `similar_ann_lsh`: random-hyperplane sign-LSH (16 bits). Bucket
+  *    ids are computed in one narrow pass; probes search only their own
+  *    bucket, turning the quadratic scan into a per-bucket join keyed on
+  *    a 16-bit value.
+  *
+  * Determinism: cosine is dot/(√Σa²·√Σb²) with left-to-right double
+  * folds (same arithmetic as the DuckDB oracle's list_dot_product);
+  * hyperplane entries are ±1 from md5 parity — the Scala side
+  * precomputes them driver-side with MessageDigest, the oracle derives
+  * the identical values from DuckDB's md5. Ranking ties break on vec_id.
+  */
+object Similarity {
+
+  val K = 5
+  val NumProbes = 10
+  /** 6 bits → 64 buckets: sized so buckets hold ~8 vectors at sf0.01
+    * and ~30 at sf0.1. At production scale you'd raise bits with corpus
+    * size (buckets ≈ n / desired-bucket-occupancy) and multi-probe
+    * neighboring buckets; the plumbing is identical. */
+  val LshBits = 6
+  val Dim = 64
+
+  /** dot(a, b) as a left-to-right double fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Hyperplane entry r(j, d) ∈ {−1, +1}: parity of the 60-bit md5
+    * prefix of "j_d" — reproduced verbatim by the SQL oracle. */
+  def planeEntry(j: Int, d: Int): Double = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"${j}_$d".getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  lazy val planes: Seq[Seq[Double]] =
+    (0 until LshBits).map(j => (0 until Dim).map(d => planeEntry(j, d)))
+
+  /** 16-bit sign-LSH bucket of a (64-dim double) vector column. */
+  def lshBucket(v: Column): Column =
+    (0 until LshBits).map { j =>
+      when(dot(v, typedlit(planes(j))) > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Exact top-k: broadcast the probes, one pass over candidates, heap
+    * aggregate per probe. */
+  def similarTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = vectors(spark, dir)
+    val probes = vecs.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    val sim = dot(col("pv"), col("v")) / (col("pnrm") * col("nrm"))
+    val scored = vecs.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
+    val topk = new TopK(K).toColumn
+    scored.as[Scored]
+      .groupByKey(_.probe_id)
+      .agg(topk.name("top"))
+      .toDF("probe_id", "top")
+      .select(col("probe_id"), explode(col("top")).as("n"))
+      .select(col("probe_id"), col("n.id").as("neighbor_id"),
+        round(col("n.sim"), 6).as("sim"))
+  }
+
+  /** ANN: candidates restricted to the probe's LSH bucket, then the
+    * same top-k heap. The bucket join replaces the all-pairs scan. */
+  def similarAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = vectors(spark, dir).withColumn("bucket", lshBucket(col("v")))
+    val probes = vecs.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("bucket").as("pbucket"))
+    val sim = dot(col("pv"), col("v")) / (col("pnrm") * col("nrm"))
+    val scored = vecs.join(broadcast(probes),
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
+    val topk = new TopK(K).toColumn
+    scored.as[Scored]
+      .groupByKey(_.probe_id)
+      .agg(topk.name("top"))
+      .toDF("probe_id", "top")
+      .select(col("probe_id"), explode(col("top")).as("n"))
+      .select(col("probe_id"), col("n.id").as("neighbor_id"),
+        round(col("n.sim"), 6).as("sim"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "similar_topk" -> (similarTopk _),
+    "similar_ann_lsh" -> (similarAnnLsh _))
+
+  private val cosineSql =
+    """list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "similar_topk" ->
+      s"""SELECT probe_id, neighbor_id, round(sim, 6) AS sim FROM (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         |         $cosineSql AS sim,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |                            ORDER BY $cosineSql DESC, b.vec_id) AS rn
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < $NumProbes) t
+         |WHERE rn <= $K""".stripMargin,
+    "similar_ann_lsh" ->
+      s"""WITH buckets AS (
+         |  SELECT vec_id, embedding,
+         |         SUM(CASE WHEN dj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+         |  FROM (
+         |    SELECT vec_id, embedding, j,
+         |           SUM(embedding[d]::DOUBLE *
+         |               (CASE WHEN CAST(('0x' || substring(md5(j || '_' || (d-1)), 1, 15)) AS BIGINT) % 2 = 0
+         |                     THEN 1.0 ELSE -1.0 END)) AS dj
+         |    FROM embeddings, range(0, $LshBits) rj(j), range(1, ${Dim + 1}) rd(d)
+         |    GROUP BY vec_id, embedding, j) s
+         |  GROUP BY vec_id, embedding)
+         |SELECT probe_id, neighbor_id, round(sim, 6) AS sim FROM (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         |         $cosineSql AS sim,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |                            ORDER BY $cosineSql DESC, b.vec_id) AS rn
+         |  FROM buckets a JOIN buckets b
+         |    ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < $NumProbes) t
+         |WHERE rn <= $K""".stripMargin)
+}
+
+case class Scored(probe_id: Long, neighbor_id: Long, sim: Double)
+case class Neighbor(sim: Double, id: Long)
+
+/** Bounded top-k by (sim desc, id asc) with partial (map-side) merge —
+  * the buffer never exceeds k entries, so a billion candidates shuffle
+  * as k rows per partition per group. */
+class TopK(k: Int) extends Aggregator[Scored, Seq[Neighbor], Seq[Neighbor]] {
+  private def better(a: Neighbor, b: Neighbor): Boolean =
+    a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
+  def zero: Seq[Neighbor] = Vector.empty
+  def reduce(buf: Seq[Neighbor], s: Scored): Seq[Neighbor] =
+    merge(buf, Vector(Neighbor(s.sim, s.neighbor_id)))
+  def merge(x: Seq[Neighbor], y: Seq[Neighbor]): Seq[Neighbor] =
+    (x ++ y).sortWith(better).take(k)
+  def finish(buf: Seq[Neighbor]): Seq[Neighbor] = buf
+  def bufferEncoder: Encoder[Seq[Neighbor]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Neighbor]]()
+  def outputEncoder: Encoder[Seq[Neighbor]] = bufferEncoder
+}
