@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends AnyFunSuite with SharedSpark {
+
+  test("decodeStub is deterministic and in range") {
+    val payload = "some media bytes".getBytes("UTF-8")
+    val (w1, h1, f1) = Multimodal.decodeStub(payload)
+    val (w2, h2, f2) = Multimodal.decodeStub(payload)
+    assert((w1, h1, f1) == (w2, h2, f2))
+    assert(w1 >= 64 && w1 < 64 + 1857)
+    assert(h1 >= 64 && h1 < 64 + 1017)
+    assert(f1 >= 1 && f1 <= 16)
+  }
+
+  test("multimodal_meta: byte_len matches payload size; sampling is ceil(n/2)") {
+    import spark.implicits._
+    val meta = Multimodal.multimodalMeta(spark, sfDir)
+      .as[Multimodal.MediaMeta].collect()
+    val lens = Tables.load(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(meta.length == lens.size)
+    meta.foreach { m =>
+      assert(m.byte_len == lens(m.doc_id)) // ASCII text: chars == bytes
+      assert(m.n_sampled == (m.n_frames + 1) / 2)
+    }
+  }
+}

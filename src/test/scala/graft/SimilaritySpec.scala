@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.{Neighbor, Scored, Similarity, TopK}
+
+class SimilaritySpec extends AnyFunSuite with SharedSpark {
+
+  test("TopK merge keeps the best k by (sim desc, id asc)") {
+    val agg = new TopK(3)
+    val scores = Seq(0.5, 0.9, 0.1, 0.9, 0.7).zipWithIndex.map {
+      case (s, i) => Scored(0L, i.toLong, s)
+    }
+    val result = scores.foldLeft(agg.zero)(agg.reduce)
+    assert(result == Seq(Neighbor(0.9, 1), Neighbor(0.9, 3), Neighbor(0.7, 4)))
+    // merge in two halves gives the same answer (partial-agg correctness)
+    val (l, r) = scores.splitAt(2)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged == result)
+  }
+
+  test("similar_topk returns exactly k neighbors per probe, self excluded") {
+    import spark.implicits._
+    val rows = Similarity.similarTopk(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    val byProbe = rows.groupBy(_._1)
+    assert(byProbe.keySet == (0L until Similarity.NumProbes.toLong).toSet)
+    byProbe.foreach { case (p, ns) =>
+      assert(ns.length == Similarity.K)
+      assert(!ns.exists(_._2 == p), "self must be excluded")
+      // descending similarity
+      val sims = ns.sortBy(-_._3).map(_._3).toSeq
+      assert(sims == ns.map(_._3).sorted(Ordering[Double].reverse).toSeq)
+    }
+  }
+
+  test("ANN results are a subset of each probe's bucket and truthful sims") {
+    import spark.implicits._
+    val ann = Similarity.similarAnnLsh(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    val exact = Similarity.similarTopk(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+      .map { case (p, n, s) => (p, n) -> s }.toMap
+    // any ANN pair that is also in the exact top-k must carry the same sim
+    ann.foreach { case (p, n, s) =>
+      exact.get((p, n)).foreach(es => assert(math.abs(es - s) < 1e-9))
+    }
+    assert(ann.groupBy(_._1).values.forall(_.length <= Similarity.K))
+  }
+
+  test("hyperplanes are ±1 and deterministic") {
+    val p = Similarity.planes
+    assert(p.length == Similarity.LshBits)
+    assert(p.forall(_.length == Similarity.Dim))
+    assert(p.flatten.forall(x => x == 1.0 || x == -1.0))
+    assert(Similarity.planeEntry(0, 0) == Similarity.planeEntry(0, 0))
+  }
+}
