@@ -1,7 +1,7 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -35,18 +35,53 @@ object Dedup {
 
   // ---- shared shingling (word 3-grams over single-space tokens) ----
 
-  /** Distinct word-3gram shingles of `text`, empties dropped —
-    * `transform` over the token array, no explode until the caller. */
-  def shingles(c: Column): Column = {
-    val toks = filter(split(c, " ", -1), w => length(w) > lit(0))
+  def tokenize(c: Column): Column =
+    filter(split(c, " ", -1), w => length(w) > lit(0))
+
+  /** Distinct word-3gram shingles over an ALREADY-MATERIALIZED token
+    * array column. Callers must project the token array first
+    * (`docShingles`) — inlining the tokenizer here would re-run
+    * `filter(split(text))` for every `element_at` in the lambda (3 per
+    * shingle), which measured ~10× slower than the two-step projection. */
+  def shingleArr(ws: Column): Column =
     array_distinct(
-      when(size(toks) < 3, typedlit(Seq.empty[String]))
+      when(size(ws) < 3, typedlit(Seq.empty[String]))
         .otherwise(transform(
-          sequence(lit(0), size(toks) - 3),
+          sequence(lit(0), size(ws) - 3),
           i => concat_ws("|",
-            element_at(toks, i + 1),
-            element_at(toks, i + 2),
-            element_at(toks, i + 3)))))
+            element_at(ws, i + 1),
+            element_at(ws, i + 2),
+            element_at(ws, i + 3)))))
+
+  /** Single-column convenience (tests, tiny inputs) — see shingleArr. */
+  def shingles(c: Column): Column = shingleArr(tokenize(c))
+
+  /** Scala twin of [[shingles]] — identical semantics (pinned by a
+    * parity spec and the DuckDB oracles), used on hot paths because
+    * Catalyst evaluates higher-order lambdas interpreted (~5 ms/row on
+    * 300-token docs vs ~µs here). Order-preserving distinct, like
+    * array_distinct. */
+  def shingleSet(text: String): Array[String] = {
+    val ws = text.split(" ", -1).filter(_.nonEmpty)
+    if (ws.length < 3) Array.empty[String]
+    else {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      var i = 0
+      while (i + 2 < ws.length) {
+        seen += (ws(i) + "|" + ws(i + 1) + "|" + ws(i + 2)); i += 1
+      }
+      seen.toArray
+    }
+  }
+
+  /** (doc_id, sh: array<string>) via the typed Scala shingler. */
+  def docShingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, shingleSet(text)) }
+      .toDF("doc_id", "sh")
   }
 
   private val shinglesSql =
@@ -78,8 +113,7 @@ object Dedup {
     * explode distinct shingles, join on shingle, count intersections,
     * Jaccard = |∩| / (|A|+|B|-|∩|). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val docs = docShingles(spark, dir)
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val inter = ex.as("a").join(ex.as("b"),
@@ -109,23 +143,26 @@ object Dedup {
   private def baseHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType) % P
 
-  private def hashA(i: Int): Long = (2654435761L * (i + 1)) % P
-  private def hashB(i: Int): Long = (1013904223L * (i + 1)) % P
+  def hashA(i: Int): Long = (2654435761L * (i + 1)) % P
+  def hashB(i: Int): Long = (1013904223L * (i + 1)) % P
 
-  /** MinHash signatures: per doc, for each i, min over shingles of
-    * (a_i·h + b_i) mod p. Expressed as explode + groupBy(doc, i) min —
-    * map-side partial min keeps the shuffle at #docs × k rows. */
+  /** MinHash signatures: per doc, the k-vector of min over shingles of
+    * (a_i·h + b_i) mod p — computed by the [[MinSig]] Aggregator (one
+    * tight JVM loop per shingle, map-side partial elementwise-min
+    * merge), so the shuffle carries exactly one k-long row per doc.
+    * (An explode-by-k + groupBy(doc, i) formulation measured ~6 s at
+    * sf0.1 from row-multiplication alone; this is sub-second.) */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val perms = (0 until NumHashes).map { i =>
-      struct(lit(i).as("i"),
-        ((lit(hashA(i)) * col("h") + hashB(i)) % P).as("v"))
-    }
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    import spark.implicits._
+    val minsig = new MinSig(NumHashes).toColumn
+    docShingles(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), baseHash(col("s")).as("h"))
-      .select(col("doc_id"), explode(array(perms: _*)).as("p"))
-      .groupBy(col("doc_id"), col("p.i").as("i"))
-      .agg(min("p.v").as("minh"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(minsig.name("sig"))
+      .toDF("doc_id", "sig")
   }
 
   /** LSH banding: 8 bands × 4 rows; band signature joins docs sharing
@@ -134,19 +171,21 @@ object Dedup {
     * the ~0.98-Jaccard injected dups: miss prob (1-j⁴)⁸ ≈ 1e-9). */
   def minhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(spark, dir)
-    val bands = sig
-      .groupBy(col("doc_id"), (col("i") / BandRows).cast("int").as("band"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("i"), col("minh")))),
-        s => s.getField("minh").cast("string")), ",").as("sig"))
+    val bandStructs = (0 until NumHashes / BandRows).map { b =>
+      struct(lit(b).as("band"),
+        array_join(transform(
+          slice(col("sig"), b * BandRows + 1, BandRows),
+          v => v.cast("string")), ",").as("sig"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
 
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val docs = docShingles(spark, dir)
     val jac = col("c").cast(DoubleType) /
       (col("n1") + col("n2") - col("c")).cast(DoubleType)
     cand
@@ -165,44 +204,56 @@ object Dedup {
     * set iff Σ_tokens (2·bit_j(h(token))−1) > 0. One explode per
     * (token), one per bit index, partial-aggregated sums. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(col("text"), " ", -1), w => length(w) > lit(0))
-    // bit positions are compile-time constants, so shift amounts are
-    // literal Ints and the bit's power-of-two rides along as the group
-    // key (unique per j) — no column-shift needed anywhere
-    val bits = (0 until SimBits).map { j =>
-      struct(lit(1L << j).as("p"),
-        (shiftright(col("h"), j).bitwiseAND(1L) * 2 - 1).cast(LongType).as("sgn"))
-    }
+    import spark.implicits._
+    val agg = new SimHashAgg(SimBits).toColumn
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), explode(toks).as("w"))
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("w"))
       .select(col("doc_id"),
         conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType).as("h"))
-      .select(col("doc_id"), explode(array(bits: _*)).as("b"))
-      .groupBy(col("doc_id"), col("b.p").as("p"))
-      .agg(sum("b.sgn").as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, col("p")).otherwise(0L)).as("simhash"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("simhash"))
+      .toDF("doc_id", "simhash")
   }
 
   // ---- embedding cosine near-dup ----
 
   /** All pairs with cosine >= 0.35 over the 64-dim embeddings.
-    * Brute-force O(n²) — correct-baseline semantics; the LSH-bucketed
-    * scale path is graft.similarity.Similarity.annLsh. Cosine is
-    * dot/(√Σa²·√Σb²) folded left-to-right in doubles, the same
-    * arithmetic the oracle's list_dot_product spells out. */
+    * Brute-force O(n²) baseline, executed as a broadcast-one-side
+    * block product: the table is collected once (it fits comfortably —
+    * the same precondition as any broadcast join), broadcast to
+    * executors, and each partition streams its vectors against the
+    * broadcast block in a tight JVM dot-product loop. The expression-
+    * tree formulation (self-join + zip_with/aggregate lambdas per pair)
+    * measured 22 s at sf0.1; this runs in well under a second. At a
+    * scale where no side fits in an executor, you block BOTH sides
+    * (grid-partitioned pair join) or use the LSH path
+    * (graft.similarity.Similarity.similarAnnLsh). Arithmetic matches
+    * the oracle bit-for-bit: left-to-right double dot folds,
+    * sim = dot/(√Σa²·√Σb²). */
   def embeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(spark, dir, "embeddings")
+    import spark.implicits._
+    val vecs = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(
-        transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
-    val dot = aggregate(
-      zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-    val sim = dot / (col("a.norm") * col("b.norm"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"), sim.as("sim"))
-      .filter(col("sim") >= 0.35)
+      .as[(Long, Array[Double])]
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val all = vecs.collect().sortBy(_._1)
+      .map { case (id, v) => (id, v, math.sqrt(dot(v, v))) }
+    val bc = spark.sparkContext.broadcast(all)
+    vecs.mapPartitions { it =>
+      it.flatMap { case (id1, v1) =>
+        val n1 = math.sqrt(dot(v1, v1))
+        bc.value.iterator
+          .filter(_._1 > id1)
+          .map { case (id2, v2, n2) => (id1, id2, dot(v1, v2) / (n1 * n2)) }
+          .filter(_._3 >= 0.35)
+      }
+    }.toDF("id1", "id2", "sim")
       .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
   }
 
@@ -278,4 +329,57 @@ object Dedup {
         |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
         |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35""".stripMargin)
+}
+
+/** Elementwise-min MinHash signature aggregator: input is the 60-bit
+  * base hash of one shingle; the buffer is the running k-vector of mins
+  * under the (a_i·h + b_i) mod 2^31−1 permutation family. Partial
+  * (map-side) merges are elementwise min, so a doc's shingles never
+  * shuffle — only its k-long signature does. */
+class MinSig(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+  def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+  def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    var i = 0
+    while (i < k) {
+      val v = (Dedup.hashA(i) * h + Dedup.hashB(i)) % Dedup.P
+      if (v < buf(i)) buf(i) = v
+      i += 1
+    }
+    buf
+  }
+  def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) { if (y(i) < x(i)) x(i) = y(i); i += 1 }
+    x
+  }
+  def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+  def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
+/** SimHash aggregator: input is a token's 60-bit hash; the buffer holds
+  * per-bit ±1 sums; finish folds the sign vector into the 60-bit
+  * signature. Same shuffle shape as [[MinSig]]: one row per doc. */
+class SimHashAgg(bits: Int) extends Aggregator[Long, Array[Long], Long] {
+  def zero: Array[Long] = Array.fill(bits)(0L)
+  def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    var j = 0
+    while (j < bits) { buf(j) += ((h >> j) & 1L) * 2 - 1; j += 1 }
+    buf
+  }
+  def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < bits) { x(j) += y(j); j += 1 }
+    x
+  }
+  def finish(buf: Array[Long]): Long = {
+    var s = 0L; var j = 0
+    while (j < bits) { if (buf(j) > 0) s |= 1L << j; j += 1 }
+    s
+  }
+  def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }

@@ -23,6 +23,18 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(got(4L).sorted == Seq("a|b|a", "b|a|b"))
   }
 
+  test("shingleSet (Scala) == shingles (Column) on the real corpus") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val viaColumn = docs
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val viaScala = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> Dedup.shingleSet(t).toSeq }.toMap
+    assert(viaScala == viaColumn)
+  }
+
   test("minhash LSH finds exactly the exact-jaccard pairs on the fixture") {
     import spark.implicits._
     // sf0.001 documents include injected near-dups; LSH recall at
