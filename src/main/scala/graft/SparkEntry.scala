@@ -17,6 +17,7 @@ object SparkEntry {
     (operators.WordCount.queries, operators.WordCount.oracles),
     (operators.Relational.queries, operators.Relational.oracles),
     (operators.Partitioning.queries, operators.Partitioning.oracles),
+    (operators.Scalars.queries, operators.Scalars.oracles),
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),
     (dedup.Dedup.queries, dedup.Dedup.oracles),
     (similarity.Similarity.queries, similarity.Similarity.oracles),

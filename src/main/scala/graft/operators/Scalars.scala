@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Scalar-function coverage: JSON extraction, math builtins, and
+  * timestamp bucketing over the nanosecond `events.ts` column.
+  *
+  * The reference's scalar surface is string split + SHA-1 only
+  * (SURVEY.md §2c) — these queries certify the full builtin library a
+  * user would expect when migrating. All are narrow transforms feeding
+  * one aggregate.
+  *
+  * `events.ts` note: the parquet type is TIMESTAMP(NANOS), which this
+  * engine reads as a raw nanosecond long (Spark's µs TimestampType
+  * cannot hold it). `ts div 1000` is integer division to µs — a double
+  * division would lose precision above 2^53 ns. DuckDB reads the same
+  * column as its native timestamp and truncates to µs identically, so
+  * day buckets agree. */
+object Scalars {
+
+  /** JSON field extraction + aggregate over the extracted value. */
+  def jsonExtractEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+
+  /** Math builtins with integer-exact outputs. */
+  def scalarMath(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_linenumber")
+      .agg(
+        sum(ceil(col("l_quantity")).cast(LongType)).as("sum_ceil_qty"),
+        sum(floor(col("l_discount") * 100).cast(LongType)).as("sum_disc_pct"),
+        sum(pmod(col("l_orderkey"), lit(97L))).as("sum_mod"),
+        max(abs(col("l_tax") - 0.04)).as("max_tax_dev"))
+
+  /** Daily tumbling buckets over nanosecond timestamps. */
+  def eventsPerDay(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(
+        date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "json_extract_events" -> (jsonExtractEvents _),
+    "scalar_math" -> (scalarMath _),
+    "events_per_day" -> (eventsPerDay _))
+
+  val oracles: Map[String, String] = Map(
+    "json_extract_events" ->
+      """SELECT event_type,
+        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "scalar_math" ->
+      """SELECT l_linenumber,
+        |       SUM(CAST(ceil(l_quantity) AS BIGINT)) AS sum_ceil_qty,
+        |       SUM(CAST(floor(l_discount * 100) AS BIGINT)) AS sum_disc_pct,
+        |       SUM(l_orderkey % 97) AS sum_mod,
+        |       MAX(abs(l_tax - 0.04)) AS max_tax_dev
+        |FROM lineitem GROUP BY l_linenumber""".stripMargin,
+    "events_per_day" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin)
+}

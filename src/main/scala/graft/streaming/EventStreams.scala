@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured-Streaming operators over an event stream.
+  *
+  * The reference is strictly batch (SURVEY.md §2c: hard map→reduce
+  * barrier, no streaming constructs) — this module is north-star
+  * surface. Every transform takes a DataFrame/Dataset so the SAME code
+  * runs over `spark.readStream` (incremental, watermarked, stateful)
+  * and over a batch table (for oracle-style testing): Spark's unified
+  * API is the design point, there is no separate streaming engine to
+  * build.
+  *
+  * Scale: event-time windowed aggregation shuffles once on
+  * (window, key); state for `runningTotals` is per-key constant-size
+  * and lives in the state store (RocksDB-backed on a real cluster).
+  * Watermarks bound state growth — without one, an unbounded-state
+  * streaming agg is refused in append mode, which is exactly the
+  * behavior you want at 100 TB/day. */
+object EventStreams {
+
+  case class EventRow(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class UserTotal(user_id: Long, n: Long, total: Double)
+
+  /** Tumbling event-time window counts; `watermark` bounds lateness
+    * (and state). Works identically on batch input. */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Gap-based session windows per user. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n"))
+
+  /** Arbitrary per-key state: running (count, total) per user via
+    * mapGroupsWithState — the Spark-native form of the reference's
+    * "user reduce with state" generalized to unbounded input. */
+  def runningTotals(events: Dataset[EventRow]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
+          val next = rows.foldLeft(prev) { (acc, r) =>
+            UserTotal(userId, acc.n + 1, acc.total + r.value)
+          }
+          state.update(next)
+          next
+      }
+  }
+}

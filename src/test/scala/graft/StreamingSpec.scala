@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{EventRow, UserTotal}
+
+class StreamingSpec extends AnyFunSuite with SharedSpark {
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("tumbling window counts over a MemoryStream, late data dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = EventStreams.tumblingCounts(mem.toDF(), "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        EventRow(ts(10), 1, "click", 1.0),
+        EventRow(ts(20), 2, "click", 1.0),
+        EventRow(ts(70), 1, "view", 1.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first two windows
+      mem.addData(EventRow(ts(300), 3, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(rows.contains((ts(0), "click", 2L)))
+      assert(rows.contains((ts(60), "view", 1L)))
+      // a record older than the watermark must be dropped silently
+      mem.addData(EventRow(ts(5), 9, "late", 1.0))
+      mem.addData(EventRow(ts(360), 3, "click", 1.0))
+      q.processAllAvailable()
+      val after = spark.table("tumbling").as[(Timestamp, String, Long)].collect()
+      assert(!after.exists(_._2 == "late"))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-user state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = EventStreams.runningTotals(mem.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(EventRow(ts(1), 7, "click", 2.0), EventRow(ts(2), 7, "click", 3.0))
+      q.processAllAvailable()
+      mem.addData(EventRow(ts(3), 7, "click", 5.0))
+      q.processAllAvailable()
+      val latest = spark.table("running").as[UserTotal].collect()
+        .filter(_.user_id == 7).maxBy(_.n)
+      assert(latest == UserTotal(7, 3, 10.0))
+    } finally q.stop()
+  }
+
+  test("the same tumbling transform runs on a batch DataFrame") {
+    import spark.implicits._
+    val batch = Seq(
+      EventRow(ts(10), 1, "click", 1.0),
+      EventRow(ts(20), 2, "click", 1.0),
+      EventRow(ts(70), 1, "view", 1.0)).toDF()
+    val got = EventStreams.tumblingCounts(batch)
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(got == Set((ts(0), "click", 2L), (ts(60), "view", 1L)))
+  }
+}
