@@ -44,14 +44,18 @@ object Partitioning {
     udf((key: String) => legacyPartition(key, numWorkers))
 
   /** Rows per legacy partition id for `event_type` keys, N=4 — the
-    * SURVEY.md §2d `partition_histogram` query. The udf runs after the
-    * per-key aggregate (5 distinct keys), not per row, so its cost is
-    * nil at any scale. */
+    * SURVEY.md §2d `partition_histogram` query, via the codegen'd
+    * [[graft.functions.LegacyPartitionExpr]]. The expression runs after
+    * the per-key aggregate (5 distinct keys), not per row, so its cost
+    * is nil at any scale regardless. */
   def partitionHistogram(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"))
-      .select(legacyPartitionUdf(4)(col("event_type")).as("partition_id"), col("n"))
+      .select(
+        graft.functions.LegacyPartitionExpr
+          .legacy_partition(col("event_type"), 4).as("partition_id"),
+        col("n"))
       .groupBy("partition_id")
       .agg(sum("n").as("n_rows"))
 

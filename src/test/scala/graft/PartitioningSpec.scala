@@ -44,6 +44,21 @@ class PartitioningSpec extends AnyFunSuite with SharedSpark {
       s"suspiciously skewed: $counts")
   }
 
+  test("LegacyPartitionExpr (codegen) agrees with the udf and driver math") {
+    import spark.implicits._
+    val keys = randomKeys(300)
+    val df = keys.toDF("key")
+    val viaExpr = df.select(
+      graft.functions.LegacyPartitionExpr.legacy_partition(
+        org.apache.spark.sql.functions.col("key"), 7)).as[Int].collect()
+    val viaUdf = df.select(
+      Partitioning.legacyPartitionUdf(7)(
+        org.apache.spark.sql.functions.col("key"))).as[Int].collect()
+    val viaDriver = keys.map(Partitioning.legacyPartition(_, 7))
+    assert(viaExpr.toSeq == viaDriver)
+    assert(viaUdf.toSeq == viaDriver)
+  }
+
   test("partition_histogram covers all event rows") {
     import spark.implicits._
     val hist = Partitioning.partitionHistogram(spark, sfDir)
