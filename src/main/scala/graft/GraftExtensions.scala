@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.LegacyPartitionExpr
+
+/** SparkSessionExtensions entry point: makes the engine's native
+  * functions available to plain SQL on any session built with
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`):
+  *
+  * {{{ SELECT legacy_partition(event_type, 4) FROM events }}}
+  *
+  * This is the deployment-grade registration path (cluster-wide via
+  * config, survives new sessions); no custom Rule or Strategy is
+  * injected because the capability surface needs none (SURVEY.md §4).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("legacy_partition"),
+      new ExpressionInfo(classOf[LegacyPartitionExpr].getName, "legacy_partition"),
+      (args: Seq[Expression]) => args match {
+        case Seq(key, Literal(n: Int, _)) => LegacyPartitionExpr(key, n)
+        case _ => throw new IllegalArgumentException(
+          "usage: legacy_partition(key, numWorkers literal int)")
+      }))
+  }
+}

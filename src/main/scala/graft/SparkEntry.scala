@@ -18,6 +18,7 @@ object SparkEntry {
     (operators.Relational.queries, operators.Relational.oracles),
     (operators.Partitioning.queries, operators.Partitioning.oracles),
     (operators.Scalars.queries, operators.Scalars.oracles),
+    (operators.SqlSurface.queries, operators.SqlSurface.oracles),
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),
     (dedup.Dedup.queries, dedup.Dedup.oracles),
     (similarity.Similarity.queries, similarity.Similarity.oracles),

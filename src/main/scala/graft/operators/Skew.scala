@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation: two-stage (salted) aggregation.
+  *
+  * A `groupBy(key).agg(sum/count)` with a pathologically hot key puts
+  * that key's entire row volume on one reducer. Salting splits each key
+  * into `buckets` deterministic sub-keys, pre-aggregates per
+  * (key, salt) — at most `buckets` rows per key survive stage one —
+  * then finishes per key. Spark's map-side partial aggregation already
+  * mitigates most of this; the explicit form matters when upstream
+  * partitioning concentrates a key before the aggregate (e.g., after a
+  * skewed join) or for aggregates without partial impl. AQE's
+  * skew-join handling covers the join side; this covers the aggregate
+  * side.
+  *
+  * The salt is a deterministic hash of the value column, not rand():
+  * reruns and retries must agg identically. */
+object Skew {
+
+  def saltedSumCount(df: DataFrame, key: Column, value: Column,
+                     buckets: Int = 16): DataFrame =
+    df.select(key.as("key"), value.as("v"))
+      .withColumn("salt", pmod(hash(col("v")), lit(buckets)))
+      .groupBy(col("key"), col("salt"))
+      .agg(sum(col("v").cast("decimal(18,2)")).as("ps"), count(lit(1)).as("pc"))
+      .groupBy(col("key"))
+      .agg(sum("ps").cast("double").as("sum_value"), sum("pc").as("n"))
+}

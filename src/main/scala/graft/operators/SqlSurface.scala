@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The `spark.sql(...)` entry path: tables registered as temp views,
+  * queries written in ANSI SQL. `sql_pricing_summary` (a TPC-H Q1
+  * shape) is written in the dialect intersection of Spark SQL and
+  * DuckDB, so the ORACLE IS THE IDENTICAL SQL STRING — the strongest
+  * possible cross-engine pin: same text, two engines, equal hashes.
+  *
+  * Decimal discipline as everywhere else: money × (1 ± 2-dp factor)
+  * products are exact in DECIMAL, summed exactly, cast to DOUBLE last. */
+object SqlSurface {
+
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    Tables.names.foreach { n =>
+      Tables.load(spark, dir, n).createOrReplaceTempView(n)
+    }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                CAST(1 - l_discount AS DECIMAL(18,2)) *
+      |                CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(pricingSummarySql)
+  }
+
+  /** Sketch aggregates: HyperLogLog++ distinct-count per event type,
+    * beside the exact count. No oracle (DuckDB's approx sketch differs
+    * by construction); ScalaTest pins the relative error instead. */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_pricing_summary" -> (pricingSummary _),
+    "approx_distinct_users" -> (approxDistinctUsers _))
+
+  val oracles: Map[String, String] = Map(
+    "sql_pricing_summary" -> pricingSummarySql)
+}
