@@ -49,12 +49,26 @@ object Scalars {
       .groupBy("day", "event_type")
       .agg(count(lit(1)).as("n"))
 
+  /** Exact interpolated percentiles (both engines use the
+    * rank = p·(n−1) linear-interpolation definition). */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.9)).as("p90"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "value_percentiles" -> (valuePercentiles _),
     "json_extract_events" -> (jsonExtractEvents _),
     "scalar_math" -> (scalarMath _),
     "events_per_day" -> (eventsPerDay _))
 
   val oracles: Map[String, String] = Map(
+    "value_percentiles" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.9) AS p90
+        |FROM events GROUP BY event_type""".stripMargin,
     "json_extract_events" ->
       """SELECT event_type,
         |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
