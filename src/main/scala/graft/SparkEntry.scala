@@ -19,6 +19,7 @@ object SparkEntry {
     (operators.Partitioning.queries, operators.Partitioning.oracles),
     (operators.Scalars.queries, operators.Scalars.oracles),
     (operators.SqlSurface.queries, operators.SqlSurface.oracles),
+    (operators.TemporalJoins.queries, operators.TemporalJoins.oracles),
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),
     (dedup.Dedup.queries, dedup.Dedup.oracles),
     (similarity.Similarity.queries, similarity.Similarity.oracles),

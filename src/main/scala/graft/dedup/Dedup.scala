@@ -97,15 +97,18 @@ object Dedup {
   // ---- exact dedup ----
 
   /** Exact dedup on content: keep the min-doc_id row per distinct text,
-    * report survivors per language. One shuffle on `text`. */
-  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("text").orderBy("doc_id")
+    * report survivors per language. `min(struct(doc_id, lang))` orders
+    * by doc_id first (unique → deterministic) and carries the
+    * survivor's lang in one partial-aggregating pass — no window sort,
+    * map-side combine collapses duplicate texts before the shuffle.
+    * (At 100 TB you'd group on sha2(text) to shrink the shuffle key and
+    * only break digest collisions with a full compare.) */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .groupBy("lang")
+      .groupBy("text")
+      .agg(min(struct(col("doc_id"), col("lang"))).as("survivor"))
+      .groupBy(col("survivor.lang").as("lang"))
       .agg(count(lit(1)).as("n_survivors"))
-  }
 
   // ---- exact n-gram Jaccard (quadratic baseline) ----
 
