@@ -62,11 +62,18 @@ object TemporalJoins {
   def rangeJoinPairs(spark: SparkSession, dir: String): DataFrame = {
     val ev = eventsUs(spark, dir)
       .withColumn("bucket", expr(s"ts_us div $RangeUs"))
+    // each left row probes its own bucket and the successor, so the join
+    // is a PURE equi-join on (user, bucket) — a composite key the
+    // planner hashes directly; an OR-of-buckets condition would demote
+    // bucket to a post-join filter and leave user_id (skewable at
+    // scale) as the only shuffle key. Each qualifying (a, b) pair
+    // matches in exactly one probe bucket, so no dedup is needed.
+    val probes = ev.select(col("user_id"), col("event_id"), col("ts_us"),
+      explode(array(col("bucket"), col("bucket") + 1)).as("probe_bucket"))
     val succ = ev.select(col("user_id").as("u2"), col("event_id").as("id2"),
       col("ts_us").as("t2"), col("bucket").as("b2"))
-    val pairs = ev.join(succ,
-      col("user_id") === col("u2") &&
-        (col("bucket") === col("b2") || col("bucket") + 1 === col("b2")) &&
+    val pairs = probes.join(succ,
+      col("user_id") === col("u2") && col("probe_bucket") === col("b2") &&
         col("event_id") =!= col("id2") &&
         col("t2") >= col("ts_us") && col("t2") - col("ts_us") <= RangeUs)
     pairs.groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
