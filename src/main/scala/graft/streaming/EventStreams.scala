@@ -47,6 +47,12 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n"))
 
+  /** Stream–static enrichment: join the (unbounded) event stream with a
+    * bounded dimension table. Spark broadcasts the static side per
+    * micro-batch; no state, no watermark needed. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Arbitrary per-key state: running (count, total) per user via
     * mapGroupsWithState — the Spark-native form of the reference's
     * "user reduce with state" generalized to unbounded input. */

@@ -60,6 +60,24 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment joins each micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[EventRow]
+    val q = EventStreams.enrich(mem.toDF(), dim)
+      .select("user_id", "event_type", "tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(EventRow(ts(1), 1, "click", 1.0), EventRow(ts(2), 3, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .as[(Long, String, Option[String])].collect().toSet
+      assert(rows == Set((1L, "click", Some("gold")), (3L, "view", None)))
+    } finally q.stop()
+  }
+
   test("the same tumbling transform runs on a batch DataFrame") {
     import spark.implicits._
     val batch = Seq(
