@@ -153,7 +153,30 @@ object Relational {
         coalesce(col("o_orderpriority"), lit("<all>")).as("o_orderpriority"),
         col("n"))
 
+  /** Pivot: one column per event type (fixed column list so the plan
+    * is static — at scale you never want a dynamic-pivot scan to infer
+    * columns). Equivalent to per-type conditional counts. */
+  def pivotEventsByDay(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  /** Deterministic array aggregation: sorted distinct active days. */
+  def collectDaysPerType(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd").as("day"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_set(col("day"))).as("days"),
+        countDistinct(col("day")).as("n_days"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pivot_events_by_day" -> (pivotEventsByDay _),
+    "collect_days_per_type" -> (collectDaysPerType _),
     "group_count_by_key" -> (groupCountByKey _),
     "group_agg_sum" -> (groupAggSum _),
     "sort_by_key" -> (sortByKey _),
@@ -169,6 +192,19 @@ object Relational {
     "rollup_orders" -> (rollupOrders _))
 
   val oracles: Map[String, String] = Map(
+    "pivot_events_by_day" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |       count(*) FILTER (event_type = 'click') AS click,
+        |       count(*) FILTER (event_type = 'error') AS error,
+        |       count(*) FILTER (event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (event_type = 'signup') AS signup,
+        |       count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    "collect_days_per_type" ->
+      """SELECT event_type,
+        |       list_sort(list_distinct(list(strftime(ts, '%Y-%m-%d')))) AS days,
+        |       count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days
+        |FROM events GROUP BY event_type""".stripMargin,
     "group_count_by_key" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
     "group_agg_sum" ->

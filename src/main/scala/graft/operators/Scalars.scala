@@ -58,13 +58,33 @@ object Scalars {
         percentile(col("value"), lit(0.5)).as("p50"),
         percentile(col("value"), lit(0.9)).as("p90"))
 
+  /** String builtin coverage: upper/substr/replace/concat/length. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+        concat_ws("/", col("c_mktsegment"), col("c_name")).as("seg_name"),
+        length(col("c_name")).cast(LongType).as("name_len"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "string_funcs" -> (stringFuncs _),
     "value_percentiles" -> (valuePercentiles _),
     "json_extract_events" -> (jsonExtractEvents _),
     "scalar_math" -> (scalarMath _),
     "events_per_day" -> (eventsPerDay _))
 
   val oracles: Map[String, String] = Map(
+    "string_funcs" ->
+      """SELECT c_custkey,
+        |       upper(c_mktsegment) AS seg_upper,
+        |       substring(c_name, 1, 8) AS name_prefix,
+        |       regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+        |       concat_ws('/', c_mktsegment, c_name) AS seg_name,
+        |       length(c_name) AS name_len
+        |FROM customer""".stripMargin,
     "value_percentiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |       quantile_cont(value, 0.9) AS p90
