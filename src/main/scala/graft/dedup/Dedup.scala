@@ -182,10 +182,21 @@ object Dedup {
     }
     val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    // candidates via group-by-bucket + local pair expansion rather than
+    // a bands self-join: the self-join would recompute the whole
+    // signature pipeline for each side, and a hot bucket (a large
+    // near-identical cluster) explodes in the join just the same —
+    // here the quadratic expansion is explicit, local to its bucket,
+    // and bounded by the true candidate count.
+    val pairsUdf = udf { ids: Seq[Long] =>
+      val s = ids.sorted
+      for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j))
+    }
+    val cand = bands.groupBy("band", "sig")
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("d1"), col("p._2").as("d2"))
       .distinct()
 
     val docs = docShingles(spark, dir)

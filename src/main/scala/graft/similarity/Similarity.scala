@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -40,12 +40,21 @@ object Similarity {
   val LshBits = 6
   val Dim = 64
 
-  /** dot(a, b) as a left-to-right double fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** dot(a, b) as a left-to-right double fold — a tight-loop UDF, not
+    * zip_with/aggregate lambdas: Catalyst evaluates higher-order
+    * functions interpreted, ~10× slower on 64-dim vectors, and the UDF
+    * performs the IDENTICAL IEEE operation sequence (sequential
+    * multiply-add), so oracle hashes are unchanged. */
+  private def dotArr(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
 
-  def norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+  val dot: UserDefinedFunction = udf(dotArr _)
+
+  val norm: UserDefinedFunction =
+    udf((v: Seq[Double]) => math.sqrt(dotArr(v, v)))
 
   /** Hyperplane entry r(j, d) ∈ {−1, +1}: parity of the 60-bit md5
     * prefix of "j_d" — reproduced verbatim by the SQL oracle. */
@@ -59,11 +68,16 @@ object Similarity {
   lazy val planes: Seq[Seq[Double]] =
     (0 until LshBits).map(j => (0 until Dim).map(d => planeEntry(j, d)))
 
-  /** 16-bit sign-LSH bucket of a (64-dim double) vector column. */
-  def lshBucket(v: Column): Column =
-    (0 until LshBits).map { j =>
-      when(dot(v, typedlit(planes(j))) > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
+  /** Sign-LSH bucket of a (64-dim double) vector column: bit j set iff
+    * dot(v, plane_j) > 0. One loop over bits × dims per vector. */
+  val lshBucket: UserDefinedFunction = udf { (v: Seq[Double]) =>
+    var b = 0L; var j = 0
+    while (j < LshBits) {
+      if (dotArr(v, planes(j)) > 0) b |= 1L << j
+      j += 1
+    }
+    b
+  }
 
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
