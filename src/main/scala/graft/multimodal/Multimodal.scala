@@ -61,8 +61,35 @@ object Multimodal {
     }.toDF()
   }
 
+  case class FrameRow(doc_id: Long, frame_idx: Long, frame_hash: Long)
+
+  /** Frame sampling + per-frame feature extraction: every STRIDE-th
+    * frame of the fake decode, with a deterministic per-frame content
+    * hash (stand-in for a per-frame embedding/feature call). The
+    * explode happens in the executor batch loop — frames of one
+    * payload never leave their partition before the feature step. */
+  val FrameStride = 2
+
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    blobs(spark, dir).as[MediaBlob].mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.flatMap { b =>
+        val (_, _, frames) = decodeStub(b.payload)
+        (0L until frames by FrameStride).map { idx =>
+          md.reset()
+          md.update(b.payload)
+          md.update(s"#$idx".getBytes("UTF-8"))
+          val hex = md.digest().map("%02x".format(_)).mkString
+          FrameRow(b.doc_id, idx, java.lang.Long.parseLong(hex.substring(0, 15), 16))
+        }
+      }
+    }.toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_meta" -> (multimodalMeta _))
+    "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_frames" -> (multimodalFrames _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" ->
@@ -73,5 +100,13 @@ object Multimodal {
         |       (1 + (h >> 24) % 16 + 1) // 2 AS n_sampled
         |FROM (SELECT doc_id, text,
         |             CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
-        |      FROM documents)""".stripMargin)
+        |      FROM documents)""".stripMargin,
+    "multimodal_frames" ->
+      """WITH meta AS (
+        |  SELECT doc_id, text,
+        |         1 + (CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) >> 24) % 16 AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, idx AS frame_idx,
+        |       CAST(('0x' || substring(md5(text || '#' || idx), 1, 15)) AS BIGINT) AS frame_hash
+        |FROM meta, LATERAL unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 2)) t(idx)""".stripMargin)
 }

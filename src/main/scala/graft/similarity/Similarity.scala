@@ -126,9 +126,32 @@ object Similarity {
         round(col("n.sim"), 6).as("sim"))
   }
 
+  /** Int8 quantization (training-prep staple): symmetric per-vector
+    * scale q_i = floor(v_i·127/max|v|). Output is the quantized sum +
+    * the scale so the result is one checksum row per vector. Narrow
+    * kernel, no shuffle at all. */
+  val quantize: UserDefinedFunction = udf { (v: Seq[Double]) =>
+    var m = 0.0
+    v.foreach(x => if (math.abs(x) > m) m = math.abs(x))
+    if (m == 0.0) (0L, 0.0)
+    else {
+      var s = 0L
+      v.foreach(x => s += math.floor(x * 127.0 / m).toLong)
+      (s, m)
+    }
+  }
+
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        quantize(col("embedding").cast("array<double>")).as("q"))
+      .select(col("vec_id"), col("q._1").as("q_sum"),
+        round(col("q._2"), 6).as("scale"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similar_topk" -> (similarTopk _),
-    "similar_ann_lsh" -> (similarAnnLsh _))
+    "similar_ann_lsh" -> (similarAnnLsh _),
+    "embedding_quantize" -> (embeddingQuantize _))
 
   private val cosineSql =
     """list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -136,6 +159,15 @@ object Similarity {
       |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "embedding_quantize" ->
+      """SELECT vec_id,
+        |       CASE WHEN m = 0 THEN 0 ELSE CAST(list_sum(
+        |         list_transform(v, x -> CAST(floor(x * 127.0 / m) AS BIGINT))) AS BIGINT)
+        |       END AS q_sum,
+        |       round(m, 6) AS scale
+        |FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+        |      FROM embeddings)""".stripMargin,
     "similar_topk" ->
       s"""SELECT probe_id, neighbor_id, round(sim, 6) AS sim FROM (
          |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
