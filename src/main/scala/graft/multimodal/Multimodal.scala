@@ -29,7 +29,17 @@ object Multimodal {
 
   case class MediaBlob(doc_id: Long, payload: Array[Byte])
   case class MediaMeta(doc_id: Long, byte_len: Long, width: Long,
-                       height: Long, n_frames: Long, n_sampled: Long)
+                       height: Long, n_frames: Long, n_sampled: Long,
+                       resized_w: Long, resized_h: Long)
+
+  /** Aspect-preserving fit into TargetDim×TargetDim (the resize step of
+    * an image pipeline) — pure integer math so the oracle reproduces it
+    * exactly; the actual pixel resampling belongs to the stubbed codec. */
+  val TargetDim = 224L
+
+  def resizeFit(w: Long, h: Long): (Long, Long) =
+    if (w >= h) (TargetDim, math.max(1L, h * TargetDim / w))
+    else (math.max(1L, w * TargetDim / h), TargetDim)
 
   /** STUB decoder: deterministic pseudo-metadata from the payload md5.
     * Replace with a real codec for production use. */
@@ -55,8 +65,9 @@ object Multimodal {
     blobs(spark, dir).as[MediaBlob].mapPartitions { it =>
       it.map { b =>
         val (w, h, frames) = decodeStub(b.payload)
+        val (rw, rh) = resizeFit(w, h)
         MediaMeta(b.doc_id, b.payload.length.toLong, w, h,
-          frames, (frames + 1) / 2)
+          frames, (frames + 1) / 2, rw, rh)
       }
     }.toDF()
   }
@@ -93,14 +104,19 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" ->
-      """SELECT doc_id, strlen(text) AS byte_len,
-        |       64 + h % 1857 AS width,
-        |       64 + (h >> 12) % 1017 AS height,
-        |       1 + (h >> 24) % 16 AS n_frames,
-        |       (1 + (h >> 24) % 16 + 1) // 2 AS n_sampled
-        |FROM (SELECT doc_id, text,
-        |             CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
-        |      FROM documents)""".stripMargin,
+      """SELECT doc_id, byte_len, width, height, n_frames,
+        |       (n_frames + 1) // 2 AS n_sampled,
+        |       CASE WHEN width >= height THEN 224
+        |            ELSE greatest(1, width * 224 // height) END AS resized_w,
+        |       CASE WHEN width >= height THEN greatest(1, height * 224 // width)
+        |            ELSE 224 END AS resized_h
+        |FROM (SELECT doc_id, strlen(text) AS byte_len,
+        |             64 + h % 1857 AS width,
+        |             64 + (h >> 12) % 1017 AS height,
+        |             1 + (h >> 24) % 16 AS n_frames
+        |      FROM (SELECT doc_id, text,
+        |                   CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+        |            FROM documents))""".stripMargin,
     "multimodal_frames" ->
       """WITH meta AS (
         |  SELECT doc_id, text,
