@@ -174,7 +174,19 @@ object Relational {
       .agg(sort_array(collect_set(col("day"))).as("days"),
         countDistinct(col("day")).as("n_days"))
 
+  /** Cross join with a theta (non-equi) condition — the planner's
+    * BroadcastNestedLoopJoin. Only ever sane when one side is tiny;
+    * both sides here are bounded catalogs. */
+  def thetaJoinRegions(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(spark, dir, "region")
+    val nation = Tables.load(spark, dir, "nation")
+    region.crossJoin(broadcast(nation))
+      .filter(col("r_regionkey") =!= col("n_regionkey"))
+      .select(col("r_name"), col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "theta_join_regions" -> (thetaJoinRegions _),
     "pivot_events_by_day" -> (pivotEventsByDay _),
     "collect_days_per_type" -> (collectDaysPerType _),
     "group_count_by_key" -> (groupCountByKey _),
@@ -192,6 +204,10 @@ object Relational {
     "rollup_orders" -> (rollupOrders _))
 
   val oracles: Map[String, String] = Map(
+    "theta_join_regions" ->
+      """SELECT r_name, n_name
+        |FROM region CROSS JOIN nation
+        |WHERE r_regionkey <> n_regionkey""".stripMargin,
     "pivot_events_by_day" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
         |       count(*) FILTER (event_type = 'click') AS click,

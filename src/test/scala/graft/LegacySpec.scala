@@ -33,6 +33,29 @@ class LegacySpec extends AnyFunSuite with SharedSpark {
     assert(got.toSeq == Seq(("a", "b"), ("k", "v")))
   }
 
+  test("end-to-end legacy pipeline on the reference's own fixture: " +
+      "one.txt -> JobRunner(WordCountJob) -> reference reduce semantics") {
+    import spark.implicits._
+    val ref = "/root/reference/one.txt"
+    assume(Files.exists(Paths.get(ref)))
+    // one.txt is map-phase OUTPUT (word \t 1 per line); running the
+    // reduce semantics over it means: per word, the COUNT of lines
+    // (values.length — WordCount.java:51), not the sum
+    val expected = scala.io.Source.fromFile(ref).getLines()
+      .filter(_.contains("\t")).map(_.split("\t")(0)).toSeq
+      .groupBy(identity).map { case (w, ls) => (w, ls.size.toString) }
+    val input = graft.legacy.TsvDataset.read(spark, ref)
+    val job = new graft.legacy.GraftJob {
+      def map(k: String, v: String, emit: (String, String) => Unit): Unit =
+        emit(k, v) // identity map: one.txt pairs are already partials
+      def reduce(k: String, vs: Seq[String], emit: (String, String) => Unit): Unit =
+        emit(k, vs.length.toString) // WordCount.java:51
+    }
+    val got = graft.legacy.JobRunner.run(spark, input, job)
+      .as[(String, String)].collect().toMap
+    assert(got == expected)
+  }
+
   test("reads the reference's LF-terminated one.txt fixture format") {
     val ref = "/root/reference/one.txt"
     assume(Files.exists(Paths.get(ref)))
