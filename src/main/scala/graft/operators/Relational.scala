@@ -185,7 +185,47 @@ object Relational {
       .select(col("r_name"), col("n_name"))
   }
 
+  /** CUBE — all grouping-set combinations (rollup's superset). */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("<all>")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("<all>")).as("o_orderpriority"),
+        col("n"))
+
+  /** lag/lead window functions: per-user consecutive-event value deltas
+    * (DECIMAL-exact so the per-user sum is order-independent). */
+  def lagDeltaPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) -
+          lag(col("value").cast(DecimalType(18, 2)), 1).over(w)).as("delta"))
+      .groupBy("user_id")
+      .agg(
+        count(col("delta")).as("n_deltas"),
+        sum(abs(col("delta"))).cast(DoubleType).as("sum_abs_delta"))
+  }
+
+  /** INTERSECT / EXCEPT set operations, one row of counts. */
+  def intersectExceptKeys(spark: SparkSession, dir: String): DataFrame = {
+    val orderKeys = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("k")).distinct()
+    val custKeys = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("k")).distinct()
+    val nIntersect = orderKeys.intersect(custKeys)
+      .agg(count(lit(1)).as("n_intersect"))
+    val nExcept = custKeys.except(orderKeys)
+      .agg(count(lit(1)).as("n_except"))
+    nIntersect.crossJoin(nExcept)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cube_orders" -> (cubeOrders _),
+    "lag_delta_per_user" -> (lagDeltaPerUser _),
+    "intersect_except_keys" -> (intersectExceptKeys _),
     "theta_join_regions" -> (thetaJoinRegions _),
     "pivot_events_by_day" -> (pivotEventsByDay _),
     "collect_days_per_type" -> (collectDaysPerType _),
@@ -204,6 +244,28 @@ object Relational {
     "rollup_orders" -> (rollupOrders _))
 
   val oracles: Map[String, String] = Map(
+    "cube_orders" ->
+      """SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
+        |       coalesce(o_orderpriority, '<all>') AS o_orderpriority,
+        |       count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "lag_delta_per_user" ->
+      """SELECT user_id, count(delta) AS n_deltas,
+        |       CAST(SUM(abs(delta)) AS DOUBLE) AS sum_abs_delta
+        |FROM (SELECT user_id,
+        |             CAST(value AS DECIMAL(18,2)) -
+        |             lag(CAST(value AS DECIMAL(18,2)), 1)
+        |               OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+        |      FROM events) t
+        |GROUP BY user_id""".stripMargin,
+    "intersect_except_keys" ->
+      """SELECT
+        |  (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders
+        |                         INTERSECT
+        |                         SELECT DISTINCT c_custkey FROM customer)) AS n_intersect,
+        |  (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer
+        |                         EXCEPT
+        |                         SELECT DISTINCT o_custkey FROM orders)) AS n_except""".stripMargin,
     "theta_join_regions" ->
       """SELECT r_name, n_name
         |FROM region CROSS JOIN nation
