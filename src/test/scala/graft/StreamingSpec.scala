@@ -78,6 +78,41 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("foreachBatch sink + checkpoint: restart resumes without reprocessing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("out").toString
+    def start(mem: MemoryStream[EventRow]) =
+      mem.toDS().writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventRow], _: Long) =>
+          batch.select("user_id").write.mode("append").parquet(out)
+        }
+        .start()
+
+    val mem1 = MemoryStream[EventRow]
+    val q1 = start(mem1)
+    try {
+      mem1.addData(EventRow(ts(1), 1, "click", 1.0), EventRow(ts(2), 2, "view", 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // a new query instance on the SAME checkpoint continues the stream;
+    // batch 0 must not run again even though mem2 re-serves its data
+    val mem2 = MemoryStream[EventRow]
+    mem2.addData(EventRow(ts(1), 1, "click", 1.0), EventRow(ts(2), 2, "view", 1.0))
+    val q2 = start(mem2)
+    try {
+      mem2.addData(EventRow(ts(3), 3, "click", 1.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val ids = spark.read.parquet(out).select("user_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"unexpected user ids (duplicates mean batch 0 re-ran): $ids")
+  }
+
   test("the same tumbling transform runs on a batch DataFrame") {
     import spark.implicits._
     val batch = Seq(
