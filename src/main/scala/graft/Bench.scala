@@ -12,9 +12,16 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").collect()
       Tables.load(spark, sfDir, "region").groupBy("r_name").count().collect()
     } catch { case _: Throwable => () }
+    // Force FULL materialization of every declared column: a bare
+    // .count() lets Catalyst prune all unreferenced columns, so
+    // projection-only queries (string_funcs, doc_fingerprint, ...) would
+    // time a pruned row count instead of the declared work.
+    // queryExecution.toRdd produces the final UnsafeRows with every
+    // output column evaluated; count() just drains that iterator.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

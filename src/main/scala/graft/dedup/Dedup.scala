@@ -332,7 +332,7 @@ object Dedup {
          |bits AS (SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS s
          |         FROM h, range(0, $SimBits) r(j) GROUP BY doc_id, j)
          |SELECT doc_id,
-         |       SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+         |       CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id""".stripMargin,
     "embedding_neardup" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,

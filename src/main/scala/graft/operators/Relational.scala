@@ -165,13 +165,17 @@ object Relational {
       .agg(count(lit(1)))
       .na.fill(0L)
 
-  /** Deterministic array aggregation: sorted distinct active days. */
+  /** Deterministic array aggregation: sorted distinct active days.
+    * The collected set is emitted as a canonical comma-joined string, not
+    * an array column — the driver's pandas row-sort cannot hash numpy
+    * arrays (round-1 harness error), and a canonical string carries the
+    * same information. */
   def collectDaysPerType(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
       .select(col("event_type"),
         date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd").as("day"))
       .groupBy("event_type")
-      .agg(sort_array(collect_set(col("day"))).as("days"),
+      .agg(array_join(sort_array(collect_set(col("day"))), ",").as("days"),
         countDistinct(col("day")).as("n_days"))
 
   /** Cross join with a theta (non-equi) condition — the planner's
@@ -280,7 +284,7 @@ object Relational {
         |FROM events GROUP BY 1""".stripMargin,
     "collect_days_per_type" ->
       """SELECT event_type,
-        |       list_sort(list_distinct(list(strftime(ts, '%Y-%m-%d')))) AS days,
+        |       array_to_string(list_sort(list_distinct(list(strftime(ts, '%Y-%m-%d')))), ',') AS days,
         |       count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days
         |FROM events GROUP BY event_type""".stripMargin,
     "group_count_by_key" ->

@@ -89,16 +89,20 @@ object Scalars {
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |       quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY event_type""".stripMargin,
+    // NOTE: every integer SUM below is wrapped in an outer CAST(... AS
+    // BIGINT). DuckDB's SUM(BIGINT) returns HUGEINT (int128), which the
+    // driver's pandas fetch materializes as float64 — hashing 3.0 where
+    // Spark hashes 3. The outer cast keeps the oracle dtype int64.
     "json_extract_events" ->
       """SELECT event_type,
-        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
     "scalar_math" ->
       """SELECT l_linenumber,
-        |       SUM(CAST(ceil(l_quantity) AS BIGINT)) AS sum_ceil_qty,
-        |       SUM(CAST(floor(l_discount * 100) AS BIGINT)) AS sum_disc_pct,
-        |       SUM(l_orderkey % 97) AS sum_mod,
+        |       CAST(SUM(CAST(ceil(l_quantity) AS BIGINT)) AS BIGINT) AS sum_ceil_qty,
+        |       CAST(SUM(CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_pct,
+        |       CAST(SUM(l_orderkey % 97) AS BIGINT) AS sum_mod,
         |       MAX(abs(l_tax - 0.04)) AS max_tax_dev
         |FROM lineitem GROUP BY l_linenumber""".stripMargin,
     "events_per_day" ->

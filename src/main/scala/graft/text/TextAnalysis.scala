@@ -167,10 +167,13 @@ object TextAnalysis {
          |       WHEN s_zh >= s_de AND s_zh >= s_en AND s_zh >= s_es AND s_zh >= s_fr THEN 'zh'
          |       ELSE 'und' END AS predicted_lang
          |FROM s""".stripMargin,
+    // Outer CAST(... AS BIGINT): DuckDB SUM(BIGINT) -> HUGEINT, which
+    // the driver's pandas fetch turns into float64 and the hash compare
+    // then fails against Spark's int64 (round-1 mismatch).
     "token_count" ->
       s"""SELECT lang,
-         |  SUM(len(list_filter(string_split(text,' '), w -> w <> ''))) AS n_ws_tokens,
-         |  SUM(len(regexp_extract_all(text, '$bpeRegex'))) AS n_bpe_tokens,
+         |  CAST(SUM(len(list_filter(string_split(text,' '), w -> w <> ''))) AS BIGINT) AS n_ws_tokens,
+         |  CAST(SUM(len(regexp_extract_all(text, '$bpeRegex'))) AS BIGINT) AS n_bpe_tokens,
          |  count(*) AS n_docs
          |FROM documents GROUP BY lang""".stripMargin,
     "doc_fingerprint" ->

@@ -6,29 +6,40 @@ oracle_sql.json), registers the sf parquet tables in DuckDB, runs each
 oracle, and compares: row count, column names, and a hash of the
 row-set with columns sorted by name (order-insensitive).
 
+IMPORTANT: both sides are fetched THROUGH PANDAS (`rel.df()`), exactly
+like the driver's gate. fetchall() would deliver DuckDB HUGEINT as a
+Python int that compares equal to Spark's int64 — hiding the
+HUGEINT→float64 typing failures the driver's pandas compare catches
+(this produced round 1's false local 44/44). Through pandas, a bare
+SUM(BIGINT) oracle lands as float64 (`3.0`) and correctly mismatches
+Spark's int64 (`3`). Array columns raise, as they do in the driver.
+
 Usage: python3 tools/check_oracles.py <sfDir> <verifyOutDir>
 """
 import sys, os, json, glob, math
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
 def norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    # dtype-sensitive on purpose: float64 3.0 must NOT equal int64 3
+    if isinstance(v, (np.ndarray, list, tuple)):
+        raise TypeError(f"array cell (driver's pandas sort cannot hash these): {type(v)}")
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "NaN" if math.isnan(f) else repr(f)
+    if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
+        return repr(int(v))
     return repr(v)
 
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
-    return out
+def canon(df):
+    cols = sorted(df.columns)
+    rows = df[cols].itertuples(index=False, name=None)
+    return sorted("|".join(norm_cell(c) for c in r) for r in rows)
 
 
 def main(sf_dir, out_dir):
@@ -46,33 +57,34 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark result at {qdir}")
             n_fail += 1
             continue
-        spark_rel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
-        s_cols = [c for c in spark_rel.columns]
-        s_rows = spark_rel.fetchall()
         try:
-            duck_rel = con.sql(sql)
-            d_cols = [c for c in duck_rel.columns]
-            d_rows = duck_rel.fetchall()
+            s_df = con.sql(f"SELECT * FROM '{qdir}/*.parquet'").df()
+            duck_df = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
         ok = True
         msgs = []
-        if sorted(s_cols) != sorted(d_cols):
+        if sorted(s_df.columns) != sorted(duck_df.columns):
             ok = False
-            msgs.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
-        if len(s_rows) != len(d_rows):
+            msgs.append(f"cols spark={sorted(s_df.columns)} duck={sorted(duck_df.columns)}")
+        if len(s_df) != len(duck_df):
             ok = False
-            msgs.append(f"rows spark={len(s_rows)} duck={len(d_rows)}")
+            msgs.append(f"rows spark={len(s_df)} duck={len(duck_df)}")
         if ok:
-            cs, cd = canon(s_rows, s_cols), canon(d_rows, d_cols)
+            try:
+                cs, cd = canon(s_df), canon(duck_df)
+            except TypeError as e:
+                print(f"FAIL {name}: harness-equivalent error: {e}")
+                n_fail += 1
+                continue
             if cs != cd:
                 ok = False
                 diff = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
                 msgs.append(f"values differ, first diffs: {diff}")
         if ok:
-            print(f"PASS {name} ({len(s_rows)} rows)")
+            print(f"PASS {name} ({len(s_df)} rows)")
             n_pass += 1
         else:
             print(f"FAIL {name}: " + "; ".join(msgs))
