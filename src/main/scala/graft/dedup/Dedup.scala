@@ -155,10 +155,16 @@ object Dedup {
     * merge), so the shuffle carries exactly one k-long row per doc.
     * (An explode-by-k + groupBy(doc, i) formulation measured ~6 s at
     * sf0.1 from row-multiplication alone; this is sub-second.) */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSignaturesOf(spark, docShingles(spark, dir))
+
+  /** Signature pipeline over an already-built (doc_id, sh) frame, so a
+    * caller holding a persisted shingle frame shares one
+    * materialization between signatures and verification. */
+  def minhashSignaturesOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val minsig = new MinSig(NumHashes).toColumn
-    docShingles(spark, dir)
+    docs
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), baseHash(col("s")).as("h"))
       .as[(Long, Long)]
@@ -168,12 +174,29 @@ object Dedup {
       .toDF("doc_id", "sig")
   }
 
+  /** LSH bucket cap: buckets holding more than this many doc ids are
+    * dropped from candidate generation (a bucket of m ids expands to
+    * m·(m−1)/2 pairs — a degenerate near-identical cluster would go
+    * quadratic without a bound). 1000 ids = ≤ ~500 k local pairs, far
+    * above any honest near-dup cluster in the test corpora, so the cap
+    * never fires at test SFs and the oracle (which has no cap) still
+    * matches; at 100 TB it is the knob that keeps a worst-case cluster
+    * from stalling a task. */
+  val MaxBucket = 1000
+
   /** LSH banding: 8 bands × 4 rows; band signature joins docs sharing
     * any band; candidates verified with exact Jaccard >= 0.5. Output
     * matches `ngram_jaccard` whenever LSH recall is total (it is for
-    * the ~0.98-Jaccard injected dups: miss prob (1-j⁴)⁸ ≈ 1e-9). */
+    * the ~0.98-Jaccard injected dups: miss prob (1-j⁴)⁸ ≈ 1e-9).
+    *
+    * The (doc_id, sh) frame is persisted for the duration of the query:
+    * it feeds the signature pipeline once and the verify join twice, and
+    * without the persist the parquet scan + shingling re-ran for each —
+    * the round-1 driver bench measured that re-materialization at 3×. */
   def minhashNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(spark, dir)
+    val docs = docShingles(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignaturesOf(spark, docs)
     val bandStructs = (0 until NumHashes / BandRows).map { b =>
       struct(lit(b).as("band"),
         array_join(transform(
@@ -194,12 +217,11 @@ object Dedup {
     }
     val cand = bands.groupBy("band", "sig")
       .agg(collect_list("doc_id").as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
       .select(explode(pairsUdf(col("ids"))).as("p"))
       .select(col("p._1").as("d1"), col("p._2").as("d2"))
       .distinct()
 
-    val docs = docShingles(spark, dir)
     val jac = col("c").cast(DoubleType) /
       (col("n1") + col("n2") - col("c")).cast(DoubleType)
     cand
@@ -233,21 +255,30 @@ object Dedup {
 
   // ---- embedding cosine near-dup ----
 
-  /** All pairs with cosine >= 0.35 over the 64-dim embeddings.
-    * Brute-force O(n²) baseline, executed as a broadcast-one-side
-    * block product: the table is collected once (it fits comfortably —
-    * the same precondition as any broadcast join), broadcast to
-    * executors, and each partition streams its vectors against the
-    * broadcast block in a tight JVM dot-product loop. The expression-
-    * tree formulation (self-join + zip_with/aggregate lambdas per pair)
-    * measured 22 s at sf0.1; this runs in well under a second. At a
-    * scale where no side fits in an executor, you block BOTH sides
-    * (grid-partitioned pair join) or use the LSH path
-    * (graft.similarity.Similarity.similarAnnLsh). Arithmetic matches
-    * the oracle bit-for-bit: left-to-right double dot folds,
-    * sim = dot/(√Σa²·√Σb²). */
+  /** Grid cell count for the blocked all-pairs product: vectors are
+    * hashed into B blocks by id; cell (i, j), i ≤ j, receives blocks i
+    * and j and emits only pairs whose blocks are exactly (i, j). Each
+    * vector is replicated to exactly B cells, each cell holds ≤ 2n/B
+    * vectors, and every unordered pair lands in exactly one cell — so
+    * executor memory per task is tuned by B alone, with NO driver
+    * collect and NO broadcast. At 100 TB you raise B so 2n/B vectors
+    * fit a task (work stays Σ n²/2, just spread over B(B+1)/2 cells) —
+    * or switch to the LSH path (similarity.Similarity.similarAnnLsh)
+    * when exact all-pairs is off the table entirely. */
+  val GridBlocks = 8
+
+  /** All pairs with cosine >= 0.35 over the 64-dim embeddings —
+    * the exact O(n²) baseline the ANN path approximates, executed as a
+    * grid-blocked pair product (see [[GridBlocks]]): one shuffle of
+    * B-replicated vectors into cells, then a tight JVM dot-product loop
+    * per cell. The expression-tree formulation (self-join +
+    * zip_with/aggregate lambdas per pair) measured 22 s at sf0.1; this
+    * shape is sub-second and cluster-safe. Arithmetic matches the
+    * oracle bit-for-bit: left-to-right double dot folds (index-order
+    * adds, so dot(a,b) = dot(b,a) exactly), sim = dot/(√Σa²·√Σb²). */
   def embeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val B = GridBlocks
     val vecs = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
@@ -256,17 +287,31 @@ object Dedup {
       while (i < a.length) { s += a(i) * b(i); i += 1 }
       s
     }
-    val all = vecs.collect().sortBy(_._1)
-      .map { case (id, v) => (id, v, math.sqrt(dot(v, v))) }
-    val bc = spark.sparkContext.broadcast(all)
-    vecs.mapPartitions { it =>
-      it.flatMap { case (id1, v1) =>
-        val n1 = math.sqrt(dot(v1, v1))
-        bc.value.iterator
-          .filter(_._1 > id1)
-          .map { case (id2, v2, n2) => (id1, id2, dot(v1, v2) / (n1 * n2)) }
-          .filter(_._3 >= 0.35)
+    val cells = for (i <- 0 until B; j <- i until B) yield (i, j)
+    vecs.flatMap { case (id, v) =>
+      val b = (id % B).toInt
+      cells.iterator
+        .filter { case (i, j) => i == b || j == b }
+        .map { case (i, j) => (i * B + j, id, v) }
+    }.groupByKey(_._1).flatMapGroups { (cell, it) =>
+      val i = cell / B; val j = cell % B
+      val items = it.map { case (_, id, v) => (id, v, math.sqrt(dot(v, v))) }
+        .toArray.sortBy(_._1)
+      def emit(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)) = {
+        val (lo, hi) = if (a._1 < b._1) (a, b) else (b, a)
+        (lo._1, hi._1, dot(lo._2, hi._2) / (lo._3 * hi._3))
       }
+      val pairs =
+        if (i == j)
+          for (x <- items.indices.iterator; y <- x + 1 until items.length)
+            yield emit(items(x), items(y))
+        else {
+          val bi = items.filter(t => (t._1 % B).toInt == i)
+          val bj = items.filter(t => (t._1 % B).toInt == j)
+          for (a <- bi.iterator; b <- bj)
+            yield emit(a, b)
+        }
+      pairs.filter(_._3 >= 0.35)
     }.toDF("id1", "id2", "sim")
       .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
   }

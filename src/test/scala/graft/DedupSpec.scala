@@ -78,4 +78,48 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
       .as[(Long, Long, Double)].collect()
     assert(rows.forall { case (a, b, s) => a < b && s >= 0.35 - 1e-9 })
   }
+
+  test("embedding_neardup grid join covers every qualifying pair exactly once") {
+    import spark.implicits._
+    val got = Dedup.embeddingNeardup(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    // brute-force truth computed in the test (sf0.001: 500 vectors)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val norms = vecs.map { case (_, v) => math.sqrt(dot(v, v)) }
+    val want = (for {
+      x <- vecs.indices.iterator
+      y <- x + 1 until vecs.length
+      s = dot(vecs(x)._2, vecs(y)._2) / (norms(x) * norms(y))
+      if s >= 0.35
+    } yield (vecs(x)._1, vecs(y)._1,
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(got.toSet == want)
+    assert(got.length == got.toSet.size, "grid cells must not duplicate pairs")
+  }
+
+  test("minhash hot-bucket cap drops degenerate clusters, keeps honest pairs") {
+    import spark.implicits._
+    // synthetic corpus: one degenerate cluster of MaxBucket+1 identical
+    // docs (every LSH bucket explodes quadratically without the cap)
+    // plus one honest near-dup pair
+    val cluster = (0L until (Dedup.MaxBucket + 1).toLong)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val pairA = (9000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val pairB = (9001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa x")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotbucket").toString
+    (cluster :+ pairA :+ pairB).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.minhashNeardup(spark, dir)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // the 1001-doc cluster would contribute 500500 pairs; the cap drops
+    // its buckets entirely, leaving only the honest pair
+    assert(pairs == Set((9000L, 9001L)))
+  }
 }

@@ -20,6 +20,26 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("topk_per_group matches the window formulation, without a window plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val got = Relational.topkPerGroup(spark, sfDir)
+      .as[(String, Long, Double)].collect().toSet
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id").asc)
+    val want = Tables.load(spark, sfDir, "events")
+      .select("event_type", "event_id", "value")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == want)
+    // the point of the rework: no full-table window over a 5-value
+    // partition key anywhere in the physical plan
+    val plan = Relational.topkPerGroup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"plan still windows:\n$plan")
+  }
+
   test("union_all_sources row multiplicity = orders + lineitem per key") {
     import spark.implicits._
     val n = Relational.unionAllSources(spark, sfDir)
