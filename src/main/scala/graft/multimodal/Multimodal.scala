@@ -98,12 +98,83 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Materialize each document's payload as a real on-disk file, once
+    * per (tmpdir, sf dir) — written from EXECUTORS via foreachPartition
+    * so bytes never pass through the driver (local[k] shares one
+    * filesystem; on a cluster this path would be shared/object
+    * storage). Idempotent: a marker file skips the write on reruns;
+    * concurrent writers produce identical bytes. */
+  def binaryFileDir(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_binary_$key")
+    val marker = new java.io.File(out, "_WRITTEN")
+    if (!marker.exists()) {
+      out.mkdirs()
+      val outPath = out.getAbsolutePath
+      blobs(spark, dir).as[MediaBlob].foreachPartition {
+        (it: Iterator[MediaBlob]) =>
+          it.foreach { b =>
+            java.nio.file.Files.write(
+              new java.io.File(outPath, f"doc_${b.doc_id}%08d.bin").toPath,
+              b.payload)
+          }
+      }
+      marker.createNewFile()
+    }
+    out.getAbsolutePath
+  }
+
+  /** The REAL binary-media source: `spark.read.format("binaryFile")`
+    * over actual files (the round-1 gap), feeding the identical decode
+    * pipeline as [[multimodalMeta]] — so the oracle is unchanged. The
+    * source carries (path, modificationTime, length, content) with
+    * pushdown on path/length; doc_id is recovered from the file name.
+    * At scale, `spark.sql.sources.binaryFile.maxLength` guards against
+    * oversized payloads and `pathGlobFilter` prunes at listing time. */
+  def multimodalBinaryFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(binaryFileDir(spark, dir))
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+        col("content").as("payload"))
+      .as[MediaBlob].mapPartitions { it =>
+        it.map { b =>
+          val (w, h, frames) = decodeStub(b.payload)
+          val (rw, rh) = resizeFit(w, h)
+          MediaMeta(b.doc_id, b.payload.length.toLong, w, h,
+            frames, (frames + 1) / 2, rw, rh)
+        }
+      }.toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
-    "multimodal_frames" -> (multimodalFrames _))
+    "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_binary_source" -> (multimodalBinaryFiles _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_meta" ->
+      """SELECT doc_id, byte_len, width, height, n_frames,
+        |       (n_frames + 1) // 2 AS n_sampled,
+        |       CASE WHEN width >= height THEN 224
+        |            ELSE greatest(1, width * 224 // height) END AS resized_w,
+        |       CASE WHEN width >= height THEN greatest(1, height * 224 // width)
+        |            ELSE 224 END AS resized_h
+        |FROM (SELECT doc_id, strlen(text) AS byte_len,
+        |             64 + h % 1857 AS width,
+        |             64 + (h >> 12) % 1017 AS height,
+        |             1 + (h >> 24) % 16 AS n_frames
+        |      FROM (SELECT doc_id, text,
+        |                   CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+        |            FROM documents))""".stripMargin,
+    // same arithmetic as multimodal_meta: the binary-source query reads
+    // the identical bytes back from real files
+    "multimodal_binary_source" ->
       """SELECT doc_id, byte_len, width, height, n_frames,
         |       (n_frames + 1) // 2 AS n_sampled,
         |       CASE WHEN width >= height THEN 224

@@ -16,6 +16,16 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(f1 >= 1 && f1 <= 16)
   }
 
+  test("binaryFile source round-trips: file-backed meta == in-table meta") {
+    import spark.implicits._
+    val viaFiles = Multimodal.multimodalBinaryFiles(spark, sfDir)
+      .as[Multimodal.MediaMeta].collect().sortBy(_.doc_id)
+    val viaTable = Multimodal.multimodalMeta(spark, sfDir)
+      .as[Multimodal.MediaMeta].collect().sortBy(_.doc_id)
+    assert(viaFiles.length == viaTable.length)
+    assert(viaFiles.toSeq == viaTable.toSeq)
+  }
+
   test("multimodal_meta: byte_len matches payload size; sampling is ceil(n/2)") {
     import spark.implicits._
     val meta = Multimodal.multimodalMeta(spark, sfDir)
