@@ -7,10 +7,10 @@ import org.apache.spark.sql.functions._
   * `key \t value` text files in a directory (FIXTURES.md §A).
   *
   * Reference behavior reproduced:
-  *  - every regular file in the directory is read
-  *    (`worker/WorkerServlet.java:510-530`; we defer the "skip `~`
-  *    backups" rule to the caller's glob since Spark's reader takes
-  *    paths, not a dir-listing filter);
+  *  - every regular file in the directory is read EXCEPT names
+  *    containing `~` (editor-backup skip,
+  *    `worker/WorkerServlet.java:512-529`) — enforced with an
+  *    `input_file_name()` filter, Catalyst-evaluable and glob-free;
   *  - a line is split on tabs and only fields 0 and 1 survive —
   *    `line.split("\t")[0]` / `[1]` at `worker/MapThread.java:50-51`
   *    silently drops any third-and-later fields;
@@ -28,6 +28,8 @@ object TsvDataset {
   def read(spark: SparkSession, path: String): DataFrame = {
     val parts = split(col("value"), "\t", -1)
     spark.read.text(path)
+      // the reference skips editor-backup files (names containing ~)
+      .filter(!input_file_name().contains("~"))
       // tolerate CRLF: the text reader splits on \n, leaving a trailing \r
       .select(regexp_replace(col("value"), "\r$", "").as("value"))
       .filter(col("value").contains("\t"))

@@ -16,14 +16,19 @@ import org.apache.spark.sql.functions._
   * skew-join handling covers the join side; this covers the aggregate
   * side.
   *
-  * The salt is a deterministic hash of the value column, not rand():
-  * reruns and retries must agg identically. */
+  * The salt mixes the value hash with a per-row id: hashing the value
+  * ALONE sends a hot key whose rows all carry the same value into one
+  * salt bucket — exactly the skew being mitigated. The per-row id is
+  * not stable across retries, but the FINAL result is salt-invariant
+  * (sum/count commute across buckets), so any assignment is correct;
+  * only the intermediate bucket split varies. */
 object Skew {
 
   def saltedSumCount(df: DataFrame, key: Column, value: Column,
                      buckets: Int = 16): DataFrame =
     df.select(key.as("key"), value.as("v"))
-      .withColumn("salt", pmod(hash(col("v")), lit(buckets)))
+      .withColumn("salt",
+        pmod(hash(col("v"), monotonically_increasing_id()), lit(buckets)))
       .groupBy(col("key"), col("salt"))
       .agg(sum(col("v").cast("decimal(18,2)")).as("ps"), count(lit(1)).as("pc"))
       .groupBy(col("key"))

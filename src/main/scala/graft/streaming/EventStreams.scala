@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
 
 /** Structured-Streaming operators over an event stream.
   *
@@ -52,6 +52,27 @@ object EventStreams {
     * micro-batch; no state, no watermark needed. */
   def enrich(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
+
+  /** The one end-to-end runnable sink path: finalized tumbling-window
+    * counts appended to a parquet directory via `foreachBatch`, with
+    * restart-safety from the checkpoint WAL (StreamingSpec pins the
+    * no-reprocessing behavior). Append mode + watermark means a window
+    * is emitted exactly once — when it closes — so a plain parquet
+    * append never duplicates a window across micro-batches. Run it on
+    * a [[graft.Sessions]]-configured session; on a cluster, point both
+    * dirs at shared/object storage and this is the production shape. */
+  def windowedCountsToParquet(events: DataFrame, outDir: String,
+                              checkpointDir: String,
+                              windowLen: String = "1 hour",
+                              watermark: String = "2 hours"): StreamingQuery =
+    tumblingCounts(events, windowLen, watermark)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
 
   /** Arbitrary per-key state: running (count, total) per user via
     * mapGroupsWithState — the Spark-native form of the reference's

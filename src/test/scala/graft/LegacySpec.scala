@@ -33,6 +33,15 @@ class LegacySpec extends AnyFunSuite with SharedSpark {
     assert(got.toSeq == Seq(("a", "b"), ("k", "v")))
   }
 
+  test("directory scan skips ~ backup files (WorkerServlet.java:512-529)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("tsv").toString
+    Files.writeString(Paths.get(dir, "in.txt"), "k\tv\n")
+    Files.writeString(Paths.get(dir, "in.txt~"), "backup\tstale\n")
+    val got = TsvDataset.read(spark, dir).as[(String, String)].collect().toSeq
+    assert(got == Seq(("k", "v")))
+  }
+
   test("end-to-end legacy pipeline on the reference's own fixture: " +
       "one.txt -> JobRunner(WordCountJob) -> reference reduce semantics") {
     import spark.implicits._

@@ -113,6 +113,28 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(ids == Seq(1L, 2L, 3L), s"unexpected user ids (duplicates mean batch 0 re-ran): $ids")
   }
 
+  test("windowedCountsToParquet writes each closed window exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("wcp_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("wcp_out").toString
+    val mem = MemoryStream[EventRow]
+    val q = EventStreams.windowedCountsToParquet(
+      mem.toDF(), out, ckpt, "1 hour", "1 hour")
+    try {
+      mem.addData(
+        EventRow(ts(10), 1, "click", 1.0),
+        EventRow(ts(20), 2, "click", 1.0),
+        EventRow(ts(70), 1, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(EventRow(ts(300), 3, "click", 1.0)) // advance watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(out)
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(rows == Set((ts(0), "click", 2L), (ts(60), "view", 1L)))
+  }
+
   test("the same tumbling transform runs on a batch DataFrame") {
     import spark.implicits._
     val batch = Seq(
