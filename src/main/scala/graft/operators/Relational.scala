@@ -224,6 +224,46 @@ object Relational {
         sum(abs(col("delta"))).cast(DoubleType).as("sum_abs_delta"))
   }
 
+  /** Ranking-function coverage: rank / dense_rank / percent_rank /
+    * ntile over a HIGH-cardinality partition key (per-customer order
+    * ranking) — the shape where a window is the right tool, unlike the
+    * 5-key `topk_per_group` case. percent_rank is a single exact IEEE
+    * division, deterministic across engines; int ranks are cast to
+    * long so the driver's pandas dtypes line up with DuckDB's BIGINT. */
+  def rankFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"),
+      round(percent_rank().over(w), 6).as("prnk"),
+      ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  /** Batch sessionization: gap-based sessions (30 min) per user via the
+    * lag-flag + running-sum idiom — one shuffle on the high-cardinality
+    * user key, sorts within partitions only. The streaming counterpart
+    * is `streaming.EventStreams.sessionCounts` (session_window); this
+    * is the historical-backfill form of the same analysis. Times
+    * compare at µs (`ts div 1000`, integer division — events.ts is raw
+    * nanoseconds; DuckDB's epoch_us truncates identically). */
+  def sessionizeEvents(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us")
+    val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 30L * 60 * 1000 * 1000
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("us"))
+      .withColumn("new_s",
+        when(lag("us", 1).over(w).isNull ||
+          col("us") - lag("us", 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("sess", sum("new_s").over(wcum))
+      .groupBy("user_id", "sess")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), max("cnt").as("max_session_events"))
+  }
+
   /** INTERSECT / EXCEPT set operations, one row of counts. */
   def intersectExceptKeys(spark: SparkSession, dir: String): DataFrame = {
     val orderKeys = Tables.load(spark, dir, "orders")
@@ -238,6 +278,8 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rank_functions" -> (rankFunctions _),
+    "sessionize_events" -> (sessionizeEvents _),
     "cube_orders" -> (cubeOrders _),
     "lag_delta_per_user" -> (lagDeltaPerUser _),
     "intersect_except_keys" -> (intersectExceptKeys _),
@@ -259,6 +301,30 @@ object Relational {
     "rollup_orders" -> (rollupOrders _))
 
   val oracles: Map[String, String] = Map(
+    "rank_functions" ->
+      """SELECT o_orderkey, o_custkey,
+        |       rank() OVER w AS rnk,
+        |       dense_rank() OVER w AS drnk,
+        |       round(percent_rank() OVER w, 6) AS prnk,
+        |       ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "sessionize_events" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |d AS (SELECT user_id, us,
+        |        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |             OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |s AS (SELECT user_id,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |      FROM d)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(max(cnt) AS BIGINT) AS max_session_events
+        |FROM (SELECT user_id, sess, count(*) AS cnt FROM s GROUP BY user_id, sess) g
+        |GROUP BY user_id""".stripMargin,
     "cube_orders" ->
       """SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
         |       coalesce(o_orderpriority, '<all>') AS o_orderpriority,

@@ -126,6 +126,67 @@ object Similarity {
         round(col("n.sim"), 6).as("sim"))
   }
 
+  /** IVF coarse-quantizer size: the cell list a probe searches.
+    * Deterministic "first C vectors are the centroids" quantizer — at
+    * scale you'd train centroids with k-means (C ≈ n / target cell
+    * size) and plug them into the same assignment/probe plumbing; the
+    * centroid SOURCE is the only non-Spark-native piece, deliberately
+    * kept swappable. */
+  val IvfCells = 16
+  val IvfProbeCells = 2
+
+  /** IVF-style ANN: assign every vector to its nearest of [[IvfCells]]
+    * centroids (one narrow n×C scoring pass — centroids broadcast, no
+    * driver collect), then each probe searches only its
+    * [[IvfProbeCells]] best cells. The candidate join is
+    * broadcast(probe cells) ⋈ assignments, so the big side never
+    * shuffles; per-probe top-k runs through the same bounded-heap
+    * [[TopK]] as the exact path. Recall/latency trades via
+    * IvfProbeCells exactly like production IVF indexes. */
+  def similarAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = vectors(spark, dir)
+    val cents = vecs.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val s = dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
+    val sims = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), s.as("s"))
+    // argmax centroid with cid tie-break == min over (-s, cid) structs
+    val assign = sims
+      .groupBy("vec_id")
+      .agg(min(struct(negate(col("s")).as("ns"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("b.cid").as("cid"))
+    val probeTop = new TopK(IvfProbeCells).toColumn
+    val probeCells = sims.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("cid").as("neighbor_id"),
+        col("s").as("sim"))
+      .as[Scored]
+      .groupByKey(_.probe_id)
+      .agg(probeTop.name("top"))
+      .toDF("probe_id", "top")
+      .select(col("probe_id"), explode(col("top")).as("c"))
+      .select(col("probe_id"), col("c.id").as("cid"))
+    val cand = assign.join(broadcast(probeCells),
+        assign("cid") === probeCells("cid") &&
+          assign("vec_id") =!= probeCells("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+    val probes = vecs.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    val psim = dot(col("pv"), col("v")) / (col("pnrm") * col("nrm"))
+    val scored = cand
+      .join(vecs, col("neighbor_id") === col("vec_id"))
+      .join(broadcast(probes), "probe_id")
+      .select(col("probe_id"), col("neighbor_id"), psim.as("sim"))
+    val topk = new TopK(K).toColumn
+    scored.as[Scored]
+      .groupByKey(_.probe_id)
+      .agg(topk.name("top"))
+      .toDF("probe_id", "top")
+      .select(col("probe_id"), explode(col("top")).as("n"))
+      .select(col("probe_id"), col("n.id").as("neighbor_id"),
+        round(col("n.sim"), 6).as("sim"))
+  }
+
   /** Int8 quantization (training-prep staple): symmetric per-vector
     * scale q_i = floor(v_i·127/max|v|). Output is the quantized sum +
     * the scale so the result is one checksum row per vector. Narrow
@@ -151,6 +212,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similar_topk" -> (similarTopk _),
     "similar_ann_lsh" -> (similarAnnLsh _),
+    "similar_ann_ivf" -> (similarAnnIvf _),
     "embedding_quantize" -> (embeddingQuantize _))
 
   private val cosineSql =
@@ -176,6 +238,37 @@ object Similarity {
          |                            ORDER BY $cosineSql DESC, b.vec_id) AS rn
          |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
          |  WHERE a.vec_id < $NumProbes) t
+         |WHERE rn <= $K""".stripMargin,
+    "similar_ann_ivf" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+         |      WHERE vec_id < $IvfCells),
+         |sims AS (SELECT vec_id, cid,
+         |           list_dot_product(v, cv) /
+         |           (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS s
+         |         FROM v, c),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |    FROM sims) t
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id AS probe_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |    FROM sims WHERE vec_id < $NumProbes) t
+         |  WHERE rn <= $IvfProbeCells)
+         |SELECT probe_id, neighbor_id, round(sim, 6) AS sim FROM (
+         |  SELECT p.probe_id, a.vec_id AS neighbor_id,
+         |         list_dot_product(pv.v, av.v) /
+         |         (sqrt(list_dot_product(pv.v, pv.v)) * sqrt(list_dot_product(av.v, av.v))) AS sim,
+         |         row_number() OVER (PARTITION BY p.probe_id
+         |           ORDER BY list_dot_product(pv.v, av.v) /
+         |             (sqrt(list_dot_product(pv.v, pv.v)) * sqrt(list_dot_product(av.v, av.v))) DESC,
+         |             a.vec_id) AS rn
+         |  FROM probes p
+         |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.probe_id
+         |  JOIN v pv ON pv.vec_id = p.probe_id
+         |  JOIN v av ON av.vec_id = a.vec_id) t
          |WHERE rn <= $K""".stripMargin,
     "similar_ann_lsh" ->
       s"""WITH buckets AS (

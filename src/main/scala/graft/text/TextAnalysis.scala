@@ -114,7 +114,36 @@ object TextAnalysis {
       .select(col("doc_id"), md5fp.as("md5_fp"), rollfp.as("roll_fp"))
   }
 
+  /** The composed training-set selection pipeline — what the individual
+    * operators exist FOR: exact-dedup survivors → quality scoring →
+    * threshold filters → the per-doc rows you'd materialize as a
+    * training shard. One content-key shuffle (dedup semi join) + narrow
+    * quality kernels; at 100 TB the dedup key becomes sha2(text) and
+    * the output is a partitioned parquet write instead of a result set. */
+  def trainingSetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val survivorIds = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val toks = WordCount.tokens(col("text"))
+    val nTok = size(toks).cast(LongType)
+    val nPunct = regexp_count(col("text"), lit("[.,!?;:]")).cast(LongType)
+    val nStop = size(filter(toks, w => w.isin(stopwords: _*))).cast(LongType)
+    val stopRatio = when(nTok === 0, 0.0)
+      .otherwise(nStop.cast(DoubleType) / nTok.cast(DoubleType))
+    val punctRatio = when(length(col("text")) === 0, 0.0)
+      .otherwise(nPunct.cast(DoubleType) / length(col("text")).cast(DoubleType))
+    val quality = round(
+      lit(0.5) * stopRatio
+        + lit(0.3) * (least(nTok, lit(100L)).cast(DoubleType) / 100.0)
+        - lit(0.2) * punctRatio, 6)
+    docs.join(survivorIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), nTok.as("n_tokens"),
+        quality.as("quality_score"))
+      .filter(col("n_tokens") >= 20 && col("quality_score") >= 0.1)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "training_set_select" -> (trainingSetSelect _),
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -126,6 +155,26 @@ object TextAnalysis {
   }.toMap
 
   val oracles: Map[String, String] = Map(
+    "training_set_select" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text,' '), w -> w <> '')) AS n_tokens,
+        |    len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+        |    len(list_filter(string_split(text,' '),
+        |        w -> w IN ('the','a','and','of','to','in','is','on','for','with'))) AS n_stopwords,
+        |    length(text) AS n_chars
+        |  FROM documents
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)),
+        |q AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    round(0.5 * (CASE WHEN n_tokens = 0 THEN 0.0
+        |                 ELSE CAST(n_stopwords AS DOUBLE)/n_tokens END)
+        |        + 0.3 * (CAST(least(n_tokens, 100) AS DOUBLE)/100.0)
+        |        - 0.2 * (CASE WHEN n_chars = 0 THEN 0.0
+        |                 ELSE CAST(n_punct AS DOUBLE)/n_chars END), 6) AS quality_score
+        |  FROM m)
+        |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score
+        |FROM q WHERE n_tokens >= 20 AND quality_score >= 0.1""".stripMargin,
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(SUM(n_chars) AS DOUBLE)/count(*) AS avg_chars,
