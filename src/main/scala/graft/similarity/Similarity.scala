@@ -149,8 +149,12 @@ object Similarity {
     val cents = vecs.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val s = dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
+    // persisted: the n×C scoring pass feeds both the assignment branch
+    // and the probe-cell branch — without it Spark recomputes the pass
+    // (and its parquet scan) once per consumer
     val sims = vecs.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"), s.as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // argmax centroid with cid tie-break == min over (-s, cid) structs
     val assign = sims
       .groupBy("vec_id")

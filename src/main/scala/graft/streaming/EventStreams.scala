@@ -53,6 +53,28 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream–stream interval join: each purchase matched to the same
+    * user's clicks within the preceding [[attributionWindow]] — the
+    * streaming twin of the batch as-of/range joins
+    * (operators.TemporalJoins). Watermarks on BOTH sides + the time
+    * interval in the join condition are what let Spark expire buffered
+    * rows; without them stream-stream join state grows forever. Both
+    * input frames must have columns (ts, user_id, ...). */
+  def attributionWindow: String = "5 minutes"
+
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+                       watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("value"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $attributionWindow"))
+      .select(col("user_id"), col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** The one end-to-end runnable sink path: finalized tumbling-window
     * counts appended to a parquet directory via `foreachBatch`, with
     * restart-safety from the checkpoint WAL (StreamingSpec pins the

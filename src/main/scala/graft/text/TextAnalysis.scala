@@ -142,7 +142,56 @@ object TextAnalysis {
       .filter(col("n_tokens") >= 20 && col("quality_score") >= 0.1)
   }
 
+  /** Global top-20 bigrams by count (ties broken lexicographically).
+    * Tokenization in a tight typed flatMap (higher-order Column lambdas
+    * evaluate interpreted); `orderBy.limit` plans as
+    * TakeOrderedAndProject — per-partition bounded top-k merged on one
+    * reducer, NOT a global sort, so it survives an open vocabulary. */
+  def ngramCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select("text").as[String]
+      .flatMap { t =>
+        val ws = t.split(" ").filter(_.nonEmpty)
+        if (ws.length < 2) Iterator.empty
+        else ws.iterator.zip(ws.iterator.drop(1)).map(p => p._1 + " " + p._2)
+      }
+      .toDF("bigram")
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(20)
+  }
+
+  /** Top-5 terms per language by tf-idf (idf = nlangs/df — a single
+    * exact IEEE division, no ln, so both engines agree bitwise).
+    * The per-lang ranking runs through the bounded-heap [[TopKTerms]]
+    * Aggregator, not a window: `lang` has 5 values, and the scored
+    * table is vocabulary-sized — the same 5-partition-window trap as
+    * `topk_per_group`. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("lang"), explode(WordCount.tokens(col("text"))).as("w"))
+    val tf = toks.groupBy("lang", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.select("w", "lang").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val nl = tf.agg(countDistinct("lang").cast(DoubleType).as("nlangs"))
+    val scored = tf.join(dfreq, "w").crossJoin(broadcast(nl))
+      .select(col("lang"), col("w").as("term"), col("tf"),
+        round(col("tf") * (col("nlangs") / col("df")), 6).as("tfidf"))
+    val topk = new TopKTerms(5).toColumn
+    scored.as[TermScore]
+      .groupByKey(_.lang)
+      .agg(topk.name("top"))
+      .toDF("lang", "top")
+      .select(col("lang"), explode(col("top")).as("t"))
+      .select(col("lang"), col("t.term").as("term"), col("t.tf").as("tf"),
+        col("t.tfidf").as("tfidf"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ngram_counts" -> (ngramCounts _),
+    "tfidf_top_terms" -> (tfidfTopTerms _),
     "training_set_select" -> (trainingSetSelect _),
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
@@ -155,6 +204,32 @@ object TextAnalysis {
   }.toMap
 
   val oracles: Map[String, String] = Map(
+    "ngram_counts" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |bg AS (
+        |  SELECT ws[i] || ' ' || ws[i+1] AS bigram
+        |  FROM toks, LATERAL unnest(generate_series(1, len(ws)-1)) t(i)
+        |  WHERE len(ws) >= 2)
+        |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(string_split(text,' '), w -> w <> '')) AS w
+        |  FROM documents),
+        |tf AS (SELECT lang, w, count(*) AS tf FROM toks GROUP BY lang, w),
+        |df AS (SELECT w AS dw, count(*) AS df
+        |       FROM (SELECT DISTINCT lang, w FROM tf) GROUP BY w),
+        |nl AS (SELECT count(DISTINCT lang) AS nlangs FROM tf),
+        |scored AS (
+        |  SELECT lang, w, tf, round(tf * (CAST(nlangs AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN df ON w = dw CROSS JOIN nl)
+        |SELECT lang, w AS term, CAST(tf AS BIGINT) AS tf, tfidf FROM (
+        |  SELECT lang, w, tf, tfidf,
+        |         row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, w) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 5""".stripMargin,
     "training_set_select" ->
       """WITH m AS (
         |  SELECT doc_id, lang,
@@ -233,4 +308,27 @@ object TextAnalysis {
         |      list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
         |    (a, b) -> (a * 31 + b) % 2147483647) AS roll_fp
         |FROM documents""".stripMargin)
+}
+
+/** One (lang, term) tf-idf row — input/payload of [[TopKTerms]]. */
+case class TermScore(lang: String, term: String, tf: Long, tfidf: Double)
+
+/** Bounded top-k terms per group by (tfidf desc, term asc) with
+  * map-side partial merge — the string-payload sibling of
+  * operators.TopKRows, used wherever the group key is low-cardinality
+  * and a window would funnel the table into a handful of reducers. */
+class TopKTerms(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      TermScore, Seq[TermScore], Seq[TermScore]] {
+  private def better(a: TermScore, b: TermScore): Boolean =
+    a.tfidf > b.tfidf || (a.tfidf == b.tfidf && a.term < b.term)
+  def zero: Seq[TermScore] = Vector.empty
+  def reduce(buf: Seq[TermScore], r: TermScore): Seq[TermScore] =
+    merge(buf, Vector(r))
+  def merge(x: Seq[TermScore], y: Seq[TermScore]): Seq[TermScore] =
+    (x ++ y).sortWith(better).take(k)
+  def finish(buf: Seq[TermScore]): Seq[TermScore] = buf
+  def bufferEncoder: org.apache.spark.sql.Encoder[Seq[TermScore]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TermScore]]()
+  def outputEncoder: org.apache.spark.sql.Encoder[Seq[TermScore]] = bufferEncoder
 }

@@ -113,6 +113,28 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(ids == Seq(1L, 2L, 3L), s"unexpected user ids (duplicates mean batch 0 re-ran): $ids")
   }
 
+  test("stream-stream interval join attributes clicks within the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventRow]
+    val purchases = MemoryStream[EventRow]
+    val q = EventStreams.clickAttribution(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        EventRow(ts(10), 1, "click", 1.0),  // 4 min before -> attributed
+        EventRow(ts(2), 1, "click", 1.0),   // 12 min before -> outside window
+        EventRow(ts(11), 2, "click", 1.0))  // other user
+      purchases.addData(EventRow(ts(14), 1, "purchase", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("attributed")
+        .select("user_id", "purchase_ts", "click_ts")
+        .as[(Long, Timestamp, Timestamp)].collect().toSet
+      assert(rows == Set((1L, ts(14), ts(10))))
+    } finally q.stop()
+  }
+
   test("windowedCountsToParquet writes each closed window exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
