@@ -19,7 +19,9 @@ object PlanAudit {
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "filter_project", "join_orders_customers", "wordcount_total",
       "group_agg_sum", "anti_join_no_big_orders", "minhash_neardup",
-      "similar_topk")
+      "similar_topk", "topk_per_group", "embedding_neardup",
+      "similar_ann_ivf", "sessionize_events", "tfidf_top_terms",
+      "ngram_counts", "outer_join_order_counts")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

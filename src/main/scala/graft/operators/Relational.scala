@@ -264,6 +264,41 @@ object Relational {
       .agg(count(lit(1)).as("n_sessions"), max("cnt").as("max_session_events"))
   }
 
+  /** Outer-join coverage: per-customer order rollup via LEFT OUTER
+    * (customers with no orders survive with zero counts), aggregated to
+    * per-segment totals so the result is compact. The broadcast is on
+    * the AGGREGATED per-customer counts, not raw orders — aggregate
+    * first, join the reduced sides. */
+  def outerJoinOrderCounts(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val perCust = Tables.load(spark, dir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    customer.join(perCust,
+        customer("c_custkey") === perCust("o_custkey"), "left_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders") === 0, 1L).otherwise(0L)).as("n_orderless"),
+        sum(col("n_orders")).as("n_orders"))
+  }
+
+  /** FULL OUTER join: symmetric difference bookkeeping between the
+    * order-key and lineitem-key domains, reduced to one summary row.
+    * Both sides are pre-aggregated to distinct keys before the join. */
+  def fullOuterKeyAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("ok")).distinct()
+    val l = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("lk")).distinct()
+    o.join(l, col("ok") === col("lk"), "full_outer")
+      .agg(
+        sum(when(col("ok").isNotNull && col("lk").isNotNull, 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("lk").isNull, 1L).otherwise(0L)).as("n_orders_only"),
+        sum(when(col("ok").isNull, 1L).otherwise(0L)).as("n_lineitem_only"))
+  }
+
   /** INTERSECT / EXCEPT set operations, one row of counts. */
   def intersectExceptKeys(spark: SparkSession, dir: String): DataFrame = {
     val orderKeys = Tables.load(spark, dir, "orders")
@@ -280,6 +315,8 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rank_functions" -> (rankFunctions _),
     "sessionize_events" -> (sessionizeEvents _),
+    "outer_join_order_counts" -> (outerJoinOrderCounts _),
+    "full_outer_key_audit" -> (fullOuterKeyAudit _),
     "cube_orders" -> (cubeOrders _),
     "lag_delta_per_user" -> (lagDeltaPerUser _),
     "intersect_except_keys" -> (intersectExceptKeys _),
@@ -301,6 +338,24 @@ object Relational {
     "rollup_orders" -> (rollupOrders _))
 
   val oracles: Map[String, String] = Map(
+    "outer_join_order_counts" ->
+      """SELECT c_mktsegment,
+        |       count(*) AS n_customers,
+        |       CAST(SUM(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless,
+        |       CAST(SUM(n_orders) AS BIGINT) AS n_orders
+        |FROM (SELECT c_mktsegment, coalesce(n, 0) AS n_orders
+        |      FROM customer LEFT OUTER JOIN
+        |           (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
+        |        ON c_custkey = o_custkey) t
+        |GROUP BY c_mktsegment""".stripMargin,
+    "full_outer_key_audit" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN ok IS NOT NULL AND lk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  CAST(SUM(CASE WHEN lk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orders_only,
+        |  CAST(SUM(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lineitem_only
+        |FROM (SELECT DISTINCT o_orderkey AS ok FROM orders) o
+        |FULL OUTER JOIN (SELECT DISTINCT l_orderkey AS lk FROM lineitem) l
+        |  ON ok = lk""".stripMargin,
     "rank_functions" ->
       """SELECT o_orderkey, o_custkey,
         |       rank() OVER w AS rnk,
