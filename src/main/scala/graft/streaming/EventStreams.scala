@@ -96,6 +96,16 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming dedup: drop repeated (user_id, ts) events, keeping state
+    * only within the watermark — the streaming face of the batch dedup
+    * family (dedup.Dedup): exact dedup needs unbounded memory on an
+    * unbounded stream, so the watermark IS the dedup horizon. At 100
+    * TB/day this is the standard at-most-once-per-key ingestion guard. */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "ts")
+
   /** Arbitrary per-key state: running (count, total) per user via
     * mapGroupsWithState — the Spark-native form of the reference's
     * "user reduce with state" generalized to unbounded input. */

@@ -113,6 +113,27 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(ids == Seq(1L, 2L, 3L), s"unexpected user ids (duplicates mean batch 0 re-ran): $ids")
   }
 
+  test("streaming dedup drops repeats within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = EventStreams.dedupEvents(mem.toDF())
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        EventRow(ts(10), 1, "click", 1.0),
+        EventRow(ts(10), 1, "click", 1.0), // same-batch dup
+        EventRow(ts(11), 2, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(EventRow(ts(10), 1, "click", 1.0)) // cross-batch dup
+      q.processAllAvailable()
+      val rows = spark.table("deduped")
+        .select("user_id", "ts").as[(Long, Timestamp)].collect().toSeq
+      assert(rows.sorted == Seq((1L, ts(10)), (2L, ts(11))))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes clicks within the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
