@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.LegacyPartitionExpr
+import graft.functions.{DotProductExpr, LegacyPartitionExpr}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * functions available to plain SQL on any session built with
@@ -27,6 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(key, Literal(n: Int, _)) => LegacyPartitionExpr(key, n)
         case _ => throw new IllegalArgumentException(
           "usage: legacy_partition(key, numWorkers literal int)")
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotProductExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "usage: dot_product(array<double>, array<double>)")
       }))
   }
 }

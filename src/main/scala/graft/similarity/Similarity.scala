@@ -40,21 +40,24 @@ object Similarity {
   val LshBits = 6
   val Dim = 64
 
-  /** dot(a, b) as a left-to-right double fold — a tight-loop UDF, not
-    * zip_with/aggregate lambdas: Catalyst evaluates higher-order
-    * functions interpreted, ~10× slower on 64-dim vectors, and the UDF
-    * performs the IDENTICAL IEEE operation sequence (sequential
-    * multiply-add), so oracle hashes are unchanged. */
+  /** dot(a, b) as a left-to-right double fold — the native codegen'd
+    * [[graft.functions.DotProductExpr]], not zip_with/aggregate lambdas
+    * (Catalyst evaluates higher-order functions interpreted, ~10×
+    * slower on 64-dim vectors) and no longer a Scala UDF (which boxed
+    * every element into a Seq and broke whole-stage codegen at the call
+    * site). Identical IEEE operation sequence throughout, so oracle
+    * hashes are unchanged. */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.DotProductExpr.dot_product(a, b)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Seq-based twin for driver-side plane precomputation and tests. */
   private def dotArr(a: Seq[Double], b: Seq[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }
     s
   }
-
-  val dot: UserDefinedFunction = udf(dotArr _)
-
-  val norm: UserDefinedFunction =
-    udf((v: Seq[Double]) => math.sqrt(dotArr(v, v)))
 
   /** Hyperplane entry r(j, d) ∈ {−1, +1}: parity of the 60-bit md5
     * prefix of "j_d" — reproduced verbatim by the SQL oracle. */

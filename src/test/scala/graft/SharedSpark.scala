@@ -12,13 +12,10 @@ trait SharedSpark { this: Suite =>
 
 object SharedSpark {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    // the canonical engine config (incl. GraftExtensions so SQL-path
+    // tests can call legacy_partition / dot_product)
+    val s = Sessions.builder("local[4]", 4)
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -6,6 +6,23 @@ import graft.similarity.{Neighbor, Scored, Similarity, TopK}
 
 class SimilaritySpec extends AnyFunSuite with SharedSpark {
 
+  test("dot_product native expression: correct, SQL-callable, no UDF in plan") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val viaCol = df.select(
+      graft.functions.DotProductExpr.dot_product(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"))).as[Double].head()
+    assert(viaCol == 32.0)
+    df.createOrReplaceTempView("dp_test")
+    val viaSql = spark.sql("SELECT dot_product(a, b) FROM dp_test").as[Double].head()
+    assert(viaSql == 32.0)
+    val plan = Similarity.similarTopk(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"),
+      s"similarity scoring should be the native expression, not a UDF:\n$plan")
+  }
+
   test("TopK merge keeps the best k by (sim desc, id asc)") {
     val agg = new TopK(3)
     val scores = Seq(0.5, 0.9, 0.1, 0.9, 0.7).zipWithIndex.map {
