@@ -58,6 +58,18 @@ object Scalars {
         percentile(col("value"), lit(0.5)).as("p50"),
         percentile(col("value"), lit(0.9)).as("p90"))
 
+  /** Sketch percentiles: percentile_approx (GK/KLL-style summary) — the
+    * 100 TB path where exact percentile's full sort-per-group is off
+    * the table. No DuckDB oracle (sketch internals are engine-specific
+    * by construction, like the HLL row); ScalarsSketchSpec pins the
+    * approximation against the exact query instead. */
+  def approxValuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
+        percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90_approx"))
+
   /** String builtin coverage: upper/substr/replace/concat/length. */
   def stringFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "customer")
@@ -72,6 +84,7 @@ object Scalars {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "string_funcs" -> (stringFuncs _),
     "value_percentiles" -> (valuePercentiles _),
+    "approx_value_percentiles" -> (approxValuePercentiles _),
     "json_extract_events" -> (jsonExtractEvents _),
     "scalar_math" -> (scalarMath _),
     "events_per_day" -> (eventsPerDay _))

@@ -10,6 +10,21 @@ import graft.operators.{Skew, SqlSurface}
 
 class SurfaceSpec extends AnyFunSuite with SharedSpark {
 
+  test("approx percentiles track the exact percentiles within 5%") {
+    val exactRows = graft.operators.Scalars.valuePercentiles(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val approxRows = graft.operators.Scalars.approxValuePercentiles(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    exactRows.foreach { case (et, p50, p90) =>
+      val (a50, a90) = approxRows(et)
+      assert(math.abs(a50 - p50) <= math.abs(p50) * 0.05 + 1e-9,
+        s"$et p50 approx $a50 vs exact $p50")
+      assert(math.abs(a90 - p90) <= math.abs(p90) * 0.05 + 1e-9,
+        s"$et p90 approx $a90 vs exact $p90")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact per group") {
     import spark.implicits._
     val rows = SqlSurface.approxDistinctUsers(spark, sfDir)
