@@ -146,6 +146,18 @@ object Dedup {
   private def baseHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType) % P
 
+  /** JVM twin of [[baseHash]]: first 15 hex nibbles of md5 = first 7
+    * bytes + the high nibble of the 8th, reduced mod p. Byte-exact with
+    * the Column form (pinned by the minhash oracle at 3 SFs). */
+  def baseHashJvm(md: java.security.MessageDigest, s: String): Long = {
+    val b = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v = (v << 4) | ((b(7) & 0xffL) >>> 4)
+    v % P
+  }
+
   def hashA(i: Int): Long = (2654435761L * (i + 1)) % P
   def hashB(i: Int): Long = (1013904223L * (i + 1)) % P
 
@@ -160,17 +172,39 @@ object Dedup {
 
   /** Signature pipeline over an already-built (doc_id, sh) frame, so a
     * caller holding a persisted shingle frame shares one
-    * materialization between signatures and verification. */
+    * materialization between signatures and verification.
+    *
+    * ZERO-shuffle form: each doc's shingle array is already on one row,
+    * so the whole k-vector is a narrow per-partition computation — no
+    * explode, no exchange (round 1's explode + [[MinSig]] Aggregator
+    * shuffled map-side-combined (doc, h) rows; the Aggregator remains
+    * the right tool when input arrives as ungrouped (doc, shingle)
+    * streams, and JobRunnerSpec still exercises it). Docs with no
+    * shingles are dropped, matching the explode form and the oracle. */
   def minhashSignaturesOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val minsig = new MinSig(NumHashes).toColumn
-    docs
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), baseHash(col("s")).as("h"))
-      .as[(Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(minsig.name("sig"))
+    docs.select(col("doc_id"), col("sh"))
+      .as[(Long, Array[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val as = Array.tabulate(NumHashes)(hashA)
+        val bs = Array.tabulate(NumHashes)(hashB)
+        it.filter(_._2.nonEmpty).map { case (id, sh) =>
+          val sig = Array.fill(NumHashes)(Long.MaxValue)
+          var j = 0
+          while (j < sh.length) {
+            val h = baseHashJvm(md, sh(j))
+            var i = 0
+            while (i < NumHashes) {
+              val v = (as(i) * h + bs(i)) % P
+              if (v < sig(i)) sig(i) = v
+              i += 1
+            }
+            j += 1
+          }
+          (id, sig.toSeq)
+        }
+      }
       .toDF("doc_id", "sig")
   }
 

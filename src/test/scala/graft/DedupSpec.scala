@@ -104,6 +104,23 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(got.length == got.toSet.size, "grid cells must not duplicate pairs")
   }
 
+  test("baseHashJvm == SQL conv(substring(md5)) base hash on real shingles") {
+    import spark.implicits._
+    val sh = Dedup.docShingles(spark, sfDir)
+      .select(org.apache.spark.sql.functions.explode(col("sh")).as("s"))
+      .limit(2000)
+    val viaSql = sh.select(col("s"),
+      (org.apache.spark.sql.functions.conv(
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5(col("s")), 1, 15), 16, 10)
+        .cast("long") % Dedup.P).as("h"))
+      .as[(String, Long)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    viaSql.foreach { case (s, h) =>
+      assert(Dedup.baseHashJvm(md, s) == h, s"mismatch for shingle '$s'")
+    }
+  }
+
   test("minhash hot-bucket cap drops degenerate clusters, keeps honest pairs") {
     import spark.implicits._
     // synthetic corpus: one degenerate cluster of MaxBucket+1 identical
