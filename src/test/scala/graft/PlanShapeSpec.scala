@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression pins for the physical-plan properties the 100 TB story
+  * depends on (SCALING.md). These are the assertions a plan review
+  * would make by eye — encoded so a refactor cannot silently trade a
+  * pushdown or broadcast away. */
+class PlanShapeSpec extends AnyFunSuite with SharedSpark {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("filter_project pushes the predicate and prunes columns at the scan") {
+    val p = plan("filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"),
+      s"predicate not pushed:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("o_orderdate"),
+      s"unused columns not pruned:\n$p")
+  }
+
+  test("join_orders_customers broadcasts the dimension side") {
+    val p = plan("join_orders_customers")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join must not SMJ:\n$p")
+  }
+
+  test("ngram_counts plans global top-20 as TakeOrderedAndProject, not a sort") {
+    val p = plan("ngram_counts")
+    assert(p.contains("TakeOrderedAndProject"), s"expected bounded top-k:\n$p")
+  }
+
+  test("tfidf_top_terms has no window over the 5-value lang key") {
+    val p = plan("tfidf_top_terms")
+    assert(!p.contains("Window"), s"low-cardinality window reintroduced:\n$p")
+  }
+
+  test("sessionize_events' two window frames share one exchange") {
+    val p = plan("sessionize_events")
+    val nWindows = "\\bWindow\\b".r.findAllIn(p).length
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nWindows >= 2, s"expected lag + running-sum windows:\n$p")
+    // windows (both on user_id) reuse one exchange; the final group-by
+    // on user_id reuses the same partitioning, leaving exactly one
+    assert(nExchanges == 1, s"expected exactly 1 hash exchange, got $nExchanges:\n$p")
+  }
+
+  test("similarity scoring paths carry no Scala UDF") {
+    Seq("similar_topk", "similar_ann_ivf").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("ScalaUDF"), s"$q fell back to a UDF:\n$p")
+    }
+  }
+}
