@@ -179,8 +179,8 @@ object Dedup {
     * explode, no exchange (round 1's explode + [[MinSig]] Aggregator
     * shuffled map-side-combined (doc, h) rows; the Aggregator remains
     * the right tool when input arrives as ungrouped (doc, shingle)
-    * streams, and JobRunnerSpec still exercises it). Docs with no
-    * shingles are dropped, matching the explode form and the oracle. */
+    * streams — DedupSpec pins its equivalence to this form). Docs with
+    * no shingles are dropped, matching the explode form and the oracle. */
   def minhashSignaturesOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id"), col("sh"))

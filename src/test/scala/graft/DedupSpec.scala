@@ -121,6 +121,26 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("MinSig aggregator (ungrouped-stream form) == zero-shuffle signatures") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{conv, explode, lit, md5, substring}
+    val docs = Dedup.docShingles(spark, sfDir)
+    val viaMap = Dedup.minhashSignaturesOf(spark, docs)
+      .as[(Long, Seq[Long])].collect().toMap
+    val minsig = new graft.dedup.MinSig(Dedup.NumHashes).toColumn
+    val viaAgg = docs
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % lit(Dedup.P)).as("h"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(minsig.name("sig"))
+      .collect().toMap
+    assert(viaMap == viaAgg)
+    assert(viaMap.nonEmpty)
+  }
+
   test("minhash hot-bucket cap drops degenerate clusters, keeps honest pairs") {
     import spark.implicits._
     // synthetic corpus: one degenerate cluster of MaxBucket+1 identical
