@@ -54,12 +54,24 @@ case class DotProductExpr(left: Expression, right: Expression)
 object DotProductExpr {
 
   /** Primitive-reading kernel shared by interpreted eval and codegen.
-    * Left-to-right index-order fold — bitwise identical to the oracle. */
+    * Left-to-right index-order fold — bitwise identical to the oracle.
+    * Fails loudly on ragged or null-element input: ArrayData.getDouble
+    * would otherwise silently read 0.0 for a null slot (the SQL
+    * function is session-wide, so arbitrary arrays can reach it). */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dot_product: length mismatch ($n vs ${b.numElements()})")
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"dot_product: null element at index $i")
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     s
   }
 

@@ -28,8 +28,10 @@ object TsvDataset {
   def read(spark: SparkSession, path: String): DataFrame = {
     val parts = split(col("value"), "\t", -1)
     spark.read.text(path)
-      // the reference skips editor-backup files (names containing ~)
-      .filter(!input_file_name().contains("~"))
+      // the reference skips editor-backup files — file NAMES containing
+      // ~ (a ~ in a parent directory must not drop everything, so test
+      // only the last path segment)
+      .filter(!element_at(split(input_file_name(), "/"), -1).contains("~"))
       // tolerate CRLF: the text reader splits on \n, leaving a trailing \r
       .select(regexp_replace(col("value"), "\r$", "").as("value"))
       .filter(col("value").contains("\t"))

@@ -116,13 +116,14 @@ object Relational {
     * NOT a row_number window: `event_type` has 5 distinct values, so a
     * window partitioned on it would shuffle the ENTIRE table into 5
     * reducer partitions and sort each — pathological at scale. Instead a
-    * bounded-heap [[TopKRows]] Aggregator with map-side partial merge:
-    * each input partition reduces to ≤ k rows per key before the
-    * shuffle, so the exchange carries k·partitions·keys rows total and
-    * the final merge per key is O(k·partitions). Same green oracle. */
+    * [[BoundedTopK]] Aggregator with map-side partial merge: each input
+    * partition reduces to ≤ k rows per key before the shuffle, so the
+    * exchange carries k·partitions·keys rows total and the final merge
+    * per key is O(k·partitions). Same green oracle. */
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val topk = new TopKRows(3).toColumn
+    val topk = new BoundedTopK[(Long, Double)](3,
+      (a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)).toColumn
     Tables.load(spark, dir, "events")
       .select("event_type", "event_id", "value")
       .as[(String, Long, Double)]
@@ -478,25 +479,4 @@ object Relational {
         |       coalesce(o_orderpriority, '<all>') AS o_orderpriority,
         |       count(*) AS n
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)
-}
-
-/** Bounded top-k (event_id, value) rows per key, ordered by
-  * (value desc, event_id asc), with partial (map-side) merge: the buffer
-  * never exceeds k entries, so a billion-row group shuffles as k rows
-  * per input partition. The generalization of similarity.TopK to
-  * arbitrary (group → top-k rows) the round-1 review asked for. */
-class TopKRows(k: Int)
-    extends org.apache.spark.sql.expressions.Aggregator[
-      (Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
-  private def better(a: (Long, Double), b: (Long, Double)): Boolean =
-    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
-  def zero: Seq[(Long, Double)] = Vector.empty
-  def reduce(buf: Seq[(Long, Double)], r: (Long, Double)): Seq[(Long, Double)] =
-    merge(buf, Vector(r))
-  def merge(x: Seq[(Long, Double)], y: Seq[(Long, Double)]): Seq[(Long, Double)] =
-    (x ++ y).sortWith(better).take(k)
-  def finish(buf: Seq[(Long, Double)]): Seq[(Long, Double)] = buf
-  def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
-  def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] = bufferEncoder
 }

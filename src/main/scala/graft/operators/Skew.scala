@@ -16,19 +16,23 @@ import org.apache.spark.sql.functions._
   * skew-join handling covers the join side; this covers the aggregate
   * side.
   *
-  * The salt mixes the value hash with a per-row id: hashing the value
-  * ALONE sends a hot key whose rows all carry the same value into one
-  * salt bucket — exactly the skew being mitigated. The per-row id is
-  * not stable across retries, but the FINAL result is salt-invariant
-  * (sum/count commute across buckets), so any assignment is correct;
-  * only the intermediate bucket split varies. */
+  * The salt mixes the value hash with `spark_partition_id()`: hashing
+  * the value ALONE sends a hot key whose rows all carry the same value
+  * into one salt bucket — exactly the skew being mitigated — while a
+  * per-row random/monotonic id would make map output NON-deterministic
+  * across task retries (a recomputed map task would route rows to
+  * different (key, salt) buckets than its lost output, double-counting
+  * or dropping rows in the partial aggregate). The partition id is
+  * stable under retry — a re-executed task keeps its partition — so
+  * the shuffle routing is deterministic, and a hot key spreads across
+  * min(buckets, input partitions) reducers. */
 object Skew {
 
   def saltedSumCount(df: DataFrame, key: Column, value: Column,
                      buckets: Int = 16): DataFrame =
     df.select(key.as("key"), value.as("v"))
       .withColumn("salt",
-        pmod(hash(col("v"), monotonically_increasing_id()), lit(buckets)))
+        pmod(hash(col("v"), spark_partition_id()), lit(buckets)))
       .groupBy(col("key"), col("salt"))
       .agg(sum(col("v").cast("decimal(18,2)")).as("ps"), count(lit(1)).as("pc"))
       .groupBy(col("key"))

@@ -3,8 +3,8 @@ package graft.similarity
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
-import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -14,8 +14,9 @@ import graft.Tables
   * Two paths:
   *  - `similar_topk`: brute-force cosine top-k — the exactness baseline.
   *    The probe set is tiny and broadcast; candidates stream through one
-  *    narrow pass; per-probe top-k runs through a bounded-heap
-  *    [[TopK]] Aggregator with map-side partial merge, so the shuffle
+  *    narrow pass; per-probe top-k runs through a bounded
+  *    [[graft.operators.BoundedTopK]] Aggregator with map-side partial
+  *    merge, so the shuffle
   *    carries k rows per (partition, probe), never the full candidate
   *    score list. That shape survives a 100 TB candidate table.
   *  - `similar_ann_lsh`: random-hyperplane sign-LSH (16 bits). Bucket
@@ -82,6 +83,14 @@ object Similarity {
     b
   }
 
+  private val ivfSimsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Neighbor ranking order: sim desc, vec_id asc tie-break — shared by
+    * every top-k aggregation in this module. */
+  val neighborBetter: (Neighbor, Neighbor) => Boolean =
+    (a, b) => a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
+
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -97,9 +106,10 @@ object Similarity {
     val sim = dot(col("pv"), col("v")) / (col("pnrm") * col("nrm"))
     val scored = vecs.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
-    val topk = new TopK(K).toColumn
+    val topk = new graft.operators.BoundedTopK[Neighbor](K, neighborBetter).toColumn
     scored.as[Scored]
       .groupByKey(_.probe_id)
+      .mapValues(s => Neighbor(s.sim, s.neighbor_id))
       .agg(topk.name("top"))
       .toDF("probe_id", "top")
       .select(col("probe_id"), explode(col("top")).as("n"))
@@ -119,9 +129,10 @@ object Similarity {
     val scored = vecs.join(broadcast(probes),
         col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
-    val topk = new TopK(K).toColumn
+    val topk = new graft.operators.BoundedTopK[Neighbor](K, neighborBetter).toColumn
     scored.as[Scored]
       .groupByKey(_.probe_id)
+      .mapValues(s => Neighbor(s.sim, s.neighbor_id))
       .agg(topk.name("top"))
       .toDF("probe_id", "top")
       .select(col("probe_id"), explode(col("top")).as("n"))
@@ -143,32 +154,37 @@ object Similarity {
     * driver collect), then each probe searches only its
     * [[IvfProbeCells]] best cells. The candidate join is
     * broadcast(probe cells) ⋈ assignments, so the big side never
-    * shuffles; per-probe top-k runs through the same bounded-heap
-    * [[TopK]] as the exact path. Recall/latency trades via
-    * IvfProbeCells exactly like production IVF indexes. */
+    * shuffles; per-probe top-k runs through the same
+    * [[graft.operators.BoundedTopK]] as the exact path. Recall/latency
+    * trades via IvfProbeCells exactly like production IVF indexes. */
   def similarAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vecs = vectors(spark, dir)
     val cents = vecs.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val s = dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
-    // persisted: the n×C scoring pass feeds both the assignment branch
-    // and the probe-cell branch — without it Spark recomputes the pass
-    // (and its parquet scan) once per consumer
-    val sims = vecs.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"), s.as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted (memoized per session+dir): the n×C scoring pass feeds
+    // both the assignment branch and the probe-cell branch — without
+    // the persist Spark recomputes the pass (and its parquet scan)
+    // once per consumer; without the memo each CALL leaked a cache
+    val sims = Similarity.ivfSimsCache.computeIfAbsent((spark, dir), { _ =>
+      vecs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"), s.as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
     // argmax centroid with cid tie-break == min over (-s, cid) structs
     val assign = sims
       .groupBy("vec_id")
       .agg(min(struct(negate(col("s")).as("ns"), col("cid"))).as("b"))
       .select(col("vec_id"), col("b.cid").as("cid"))
-    val probeTop = new TopK(IvfProbeCells).toColumn
+    val probeTop = new graft.operators.BoundedTopK[Neighbor](
+      IvfProbeCells, neighborBetter).toColumn
     val probeCells = sims.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("cid").as("neighbor_id"),
         col("s").as("sim"))
       .as[Scored]
       .groupByKey(_.probe_id)
+      .mapValues(s => Neighbor(s.sim, s.neighbor_id))
       .agg(probeTop.name("top"))
       .toDF("probe_id", "top")
       .select(col("probe_id"), explode(col("top")).as("c"))
@@ -184,9 +200,10 @@ object Similarity {
       .join(vecs, col("neighbor_id") === col("vec_id"))
       .join(broadcast(probes), "probe_id")
       .select(col("probe_id"), col("neighbor_id"), psim.as("sim"))
-    val topk = new TopK(K).toColumn
+    val topk = new graft.operators.BoundedTopK[Neighbor](K, neighborBetter).toColumn
     scored.as[Scored]
       .groupByKey(_.probe_id)
+      .mapValues(s => Neighbor(s.sim, s.neighbor_id))
       .agg(topk.name("top"))
       .toDF("probe_id", "top")
       .select(col("probe_id"), explode(col("top")).as("n"))
@@ -302,20 +319,3 @@ object Similarity {
 
 case class Scored(probe_id: Long, neighbor_id: Long, sim: Double)
 case class Neighbor(sim: Double, id: Long)
-
-/** Bounded top-k by (sim desc, id asc) with partial (map-side) merge —
-  * the buffer never exceeds k entries, so a billion candidates shuffle
-  * as k rows per partition per group. */
-class TopK(k: Int) extends Aggregator[Scored, Seq[Neighbor], Seq[Neighbor]] {
-  private def better(a: Neighbor, b: Neighbor): Boolean =
-    a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
-  def zero: Seq[Neighbor] = Vector.empty
-  def reduce(buf: Seq[Neighbor], s: Scored): Seq[Neighbor] =
-    merge(buf, Vector(Neighbor(s.sim, s.neighbor_id)))
-  def merge(x: Seq[Neighbor], y: Seq[Neighbor]): Seq[Neighbor] =
-    (x ++ y).sortWith(better).take(k)
-  def finish(buf: Seq[Neighbor]): Seq[Neighbor] = buf
-  def bufferEncoder: Encoder[Seq[Neighbor]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Neighbor]]()
-  def outputEncoder: Encoder[Seq[Neighbor]] = bufferEncoder
-}

@@ -76,13 +76,17 @@ object EventStreams {
   }
 
   /** The one end-to-end runnable sink path: finalized tumbling-window
-    * counts appended to a parquet directory via `foreachBatch`, with
+    * counts written to a parquet directory via `foreachBatch`, with
     * restart-safety from the checkpoint WAL (StreamingSpec pins the
-    * no-reprocessing behavior). Append mode + watermark means a window
-    * is emitted exactly once — when it closes — so a plain parquet
-    * append never duplicates a window across micro-batches. Run it on
-    * a [[graft.Sessions]]-configured session; on a cluster, point both
-    * dirs at shared/object storage and this is the production shape. */
+    * no-reprocessing behavior). `foreachBatch` is AT-LEAST-once: a
+    * crash between the write and the checkpoint commit replays the
+    * batch, so the write must be IDEMPOTENT — each batch overwrites
+    * its own `batch=<id>` partition directory (a plain append would
+    * duplicate the replayed rows). Append mode + watermark means a
+    * window is emitted in exactly one batch, so partitioning by
+    * batchId never splits a window. Run it on a [[graft.Sessions]]-
+    * configured session; on a cluster, point both dirs at
+    * shared/object storage and this is the production shape. */
   def windowedCountsToParquet(events: DataFrame, outDir: String,
                               checkpointDir: String,
                               windowLen: String = "1 hour",
@@ -91,8 +95,8 @@ object EventStreams {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
 

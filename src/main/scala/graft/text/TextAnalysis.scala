@@ -35,8 +35,15 @@ object TextAnalysis {
         (sum("n_chars").cast(DoubleType) / count(lit(1))).as("avg_chars"),
         countDistinct("source").as("n_sources"))
 
-  /** Per-document quality metrics + a deterministic composite score. */
-  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-doc quality expressions over a `text` column — ONE
+    * definition shared by `text_quality` and `training_set_select`
+    * (both oracle-pinned; a drift between two copies would silently
+    * diverge them). */
+  private case class QualityExprs(nTok: Column, nPunct: Column,
+                                  nDigit: Column, nStop: Column,
+                                  stopRatio: Column, score: Column)
+
+  private def qualityExprs: QualityExprs = {
     val toks = WordCount.tokens(col("text"))
     val nTok = size(toks).cast(LongType)
     val nPunct = regexp_count(col("text"), lit("[.,!?;:]")).cast(LongType)
@@ -46,17 +53,24 @@ object TextAnalysis {
       .otherwise(nStop.cast(DoubleType) / nTok.cast(DoubleType))
     val punctRatio = when(length(col("text")) === 0, 0.0)
       .otherwise(nPunct.cast(DoubleType) / length(col("text")).cast(DoubleType))
+    val score = round(
+      lit(0.5) * stopRatio
+        + lit(0.3) * (least(nTok, lit(100L)).cast(DoubleType) / 100.0)
+        - lit(0.2) * punctRatio, 6)
+    QualityExprs(nTok, nPunct, nDigit, nStop, stopRatio, score)
+  }
+
+  /** Per-document quality metrics + a deterministic composite score. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityExprs
     Tables.load(spark, dir, "documents").select(
       col("doc_id"),
-      nTok.as("n_tokens"),
-      nPunct.as("n_punct"),
-      nDigit.as("n_digits"),
-      nStop.as("n_stopwords"),
-      round(stopRatio, 6).as("stop_ratio"),
-      round(
-        lit(0.5) * stopRatio
-          + lit(0.3) * (least(nTok, lit(100L)).cast(DoubleType) / 100.0)
-          - lit(0.2) * punctRatio, 6).as("quality_score"))
+      q.nTok.as("n_tokens"),
+      q.nPunct.as("n_punct"),
+      q.nDigit.as("n_digits"),
+      q.nStop.as("n_stopwords"),
+      round(q.stopRatio, 6).as("stop_ratio"),
+      q.score.as("quality_score"))
   }
 
   /** Marker-word language-ID heuristic. Scores each language by marker
@@ -124,21 +138,10 @@ object TextAnalysis {
     val docs = Tables.load(spark, dir, "documents")
     val survivorIds = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    val toks = WordCount.tokens(col("text"))
-    val nTok = size(toks).cast(LongType)
-    val nPunct = regexp_count(col("text"), lit("[.,!?;:]")).cast(LongType)
-    val nStop = size(filter(toks, w => w.isin(stopwords: _*))).cast(LongType)
-    val stopRatio = when(nTok === 0, 0.0)
-      .otherwise(nStop.cast(DoubleType) / nTok.cast(DoubleType))
-    val punctRatio = when(length(col("text")) === 0, 0.0)
-      .otherwise(nPunct.cast(DoubleType) / length(col("text")).cast(DoubleType))
-    val quality = round(
-      lit(0.5) * stopRatio
-        + lit(0.3) * (least(nTok, lit(100L)).cast(DoubleType) / 100.0)
-        - lit(0.2) * punctRatio, 6)
+    val q = qualityExprs
     docs.join(survivorIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("lang"), nTok.as("n_tokens"),
-        quality.as("quality_score"))
+      .select(col("doc_id"), col("lang"), q.nTok.as("n_tokens"),
+        q.score.as("quality_score"))
       .filter(col("n_tokens") >= 20 && col("quality_score") >= 0.1)
   }
 
@@ -164,10 +167,10 @@ object TextAnalysis {
 
   /** Top-5 terms per language by tf-idf (idf = nlangs/df — a single
     * exact IEEE division, no ln, so both engines agree bitwise).
-    * The per-lang ranking runs through the bounded-heap [[TopKTerms]]
-    * Aggregator, not a window: `lang` has 5 values, and the scored
-    * table is vocabulary-sized — the same 5-partition-window trap as
-    * `topk_per_group`. */
+    * The per-lang ranking runs through the bounded
+    * [[graft.operators.BoundedTopK]] Aggregator, not a window: `lang`
+    * has 5 values, and the scored table is vocabulary-sized — the same
+    * 5-partition-window trap as `topk_per_group`. */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = Tables.load(spark, dir, "documents")
@@ -179,7 +182,9 @@ object TextAnalysis {
     val scored = tf.join(dfreq, "w").crossJoin(broadcast(nl))
       .select(col("lang"), col("w").as("term"), col("tf"),
         round(col("tf") * (col("nlangs") / col("df")), 6).as("tfidf"))
-    val topk = new TopKTerms(5).toColumn
+    val topk = new graft.operators.BoundedTopK[TermScore](5,
+      (a, b) => a.tfidf > b.tfidf || (a.tfidf == b.tfidf && a.term < b.term))
+      .toColumn
     scored.as[TermScore]
       .groupByKey(_.lang)
       .agg(topk.name("top"))
@@ -310,25 +315,6 @@ object TextAnalysis {
         |FROM documents""".stripMargin)
 }
 
-/** One (lang, term) tf-idf row — input/payload of [[TopKTerms]]. */
+/** One (lang, term) tf-idf row — payload of the tf-idf
+  * [[graft.operators.BoundedTopK]]. */
 case class TermScore(lang: String, term: String, tf: Long, tfidf: Double)
-
-/** Bounded top-k terms per group by (tfidf desc, term asc) with
-  * map-side partial merge — the string-payload sibling of
-  * operators.TopKRows, used wherever the group key is low-cardinality
-  * and a window would funnel the table into a handful of reducers. */
-class TopKTerms(k: Int)
-    extends org.apache.spark.sql.expressions.Aggregator[
-      TermScore, Seq[TermScore], Seq[TermScore]] {
-  private def better(a: TermScore, b: TermScore): Boolean =
-    a.tfidf > b.tfidf || (a.tfidf == b.tfidf && a.term < b.term)
-  def zero: Seq[TermScore] = Vector.empty
-  def reduce(buf: Seq[TermScore], r: TermScore): Seq[TermScore] =
-    merge(buf, Vector(r))
-  def merge(x: Seq[TermScore], y: Seq[TermScore]): Seq[TermScore] =
-    (x ++ y).sortWith(better).take(k)
-  def finish(buf: Seq[TermScore]): Seq[TermScore] = buf
-  def bufferEncoder: org.apache.spark.sql.Encoder[Seq[TermScore]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TermScore]]()
-  def outputEncoder: org.apache.spark.sql.Encoder[Seq[TermScore]] = bufferEncoder
-}

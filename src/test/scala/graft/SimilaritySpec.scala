@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.similarity.{Neighbor, Scored, Similarity, TopK}
+import graft.similarity.{Neighbor, Similarity}
 
 class SimilaritySpec extends AnyFunSuite with SharedSpark {
 
@@ -23,10 +23,12 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       s"similarity scoring should be the native expression, not a UDF:\n$plan")
   }
 
-  test("TopK merge keeps the best k by (sim desc, id asc)") {
-    val agg = new TopK(3)
+  test("BoundedTopK merge keeps the best k by (sim desc, id asc)") {
+    import spark.implicits._
+    val agg = new graft.operators.BoundedTopK[Neighbor](
+      3, Similarity.neighborBetter)
     val scores = Seq(0.5, 0.9, 0.1, 0.9, 0.7).zipWithIndex.map {
-      case (s, i) => Scored(0L, i.toLong, s)
+      case (s, i) => Neighbor(s, i.toLong)
     }
     val result = scores.foldLeft(agg.zero)(agg.reduce)
     assert(result == Seq(Neighbor(0.9, 1), Neighbor(0.9, 3), Neighbor(0.7, 4)))

@@ -174,6 +174,7 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       q.processAllAvailable()
     } finally q.stop()
     val rows = spark.read.parquet(out)
+      .select("window_start", "event_type", "n")
       .as[(Timestamp, String, Long)].collect().toSet
     assert(rows == Set((ts(0), "click", 2L), (ts(60), "view", 1L)))
   }

@@ -10,6 +10,19 @@ import graft.operators.{Skew, SqlSurface}
 
 class SurfaceSpec extends AnyFunSuite with SharedSpark {
 
+  test("registerViews exposes every table to ad-hoc SQL") {
+    graft.operators.SqlSurface.registerViews(spark, sfDir)
+    val n = spark.sql(
+      """SELECT count(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey""".stripMargin)
+      .head().getLong(0)
+    assert(n > 0)
+    Tables.names.foreach { t =>
+      assert(spark.catalog.tableExists(t), s"view $t not registered")
+    }
+  }
+
   test("approx percentiles track the exact percentiles within 5%") {
     val exactRows = graft.operators.Scalars.valuePercentiles(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
