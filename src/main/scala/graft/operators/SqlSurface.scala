@@ -41,6 +41,27 @@ object SqlSurface {
     spark.sql(pricingSummarySql)
   }
 
+  /** Correlated scalar subquery — the one relational surface Catalyst
+    * must DECORRELATE (rewrite into an aggregate + join) to execute at
+    * scale; the plan shows the per-customer average computed once in a
+    * hash aggregate, never one subquery execution per outer row.
+    * Written in the Spark/DuckDB dialect intersection, so the oracle is
+    * the identical SQL text. Determinism: the scalar is an exact
+    * DECIMAL sum cast to DOUBLE then one IEEE division — bit-stable in
+    * both engines. */
+  val correlatedSubquerySql: String =
+    """SELECT o_custkey, count(*) AS n_above
+      |FROM orders o
+      |WHERE o_totalprice > (
+      |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |GROUP BY o_custkey""".stripMargin
+
+  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(correlatedSubquerySql)
+  }
+
   /** Sketch aggregates: HyperLogLog++ distinct-count per event type,
     * beside the exact count. No oracle (DuckDB's approx sketch differs
     * by construction); ScalaTest pins the relative error instead. */
@@ -53,8 +74,10 @@ object SqlSurface {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_pricing_summary" -> (pricingSummary _),
+    "sql_correlated_subquery" -> (correlatedSubquery _),
     "approx_distinct_users" -> (approxDistinctUsers _))
 
   val oracles: Map[String, String] = Map(
-    "sql_pricing_summary" -> pricingSummarySql)
+    "sql_pricing_summary" -> pricingSummarySql,
+    "sql_correlated_subquery" -> correlatedSubquerySql)
 }

@@ -37,6 +37,18 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Sliding event-time windows: each event lands in windowLen/slide
+    * overlapping windows (here 2). State cost scales with the overlap
+    * factor — the reason production defaults keep slide ≥ len/4. */
+  def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
+                    slide: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
   /** Gap-based session windows per user. */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",
                     watermark: String = "2 hours"): DataFrame =

@@ -42,6 +42,23 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("sliding windows place each event in windowLen/slide windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = EventStreams.slidingCounts(mem.toDF(), "1 hour", "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(EventRow(ts(40), 1, "click", 1.0)) // in [23:30,00:30) is invalid pre-epoch-day; windows [00:00,01:00) and [00:30,01:30)
+      mem.addData(EventRow(ts(400), 9, "later", 1.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sliding")
+        .as[(Timestamp, String, Long)].collect().filter(_._2 == "click").toSet
+      assert(rows == Set((ts(0), "click", 1L), (ts(30), "click", 1L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
