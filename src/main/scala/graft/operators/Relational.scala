@@ -146,6 +146,23 @@ object Relational {
           .cast(DoubleType).as("running_value"))
   }
 
+  /** RANGE window frame (vs the ROWS frame of `running_sum_per_user`):
+    * per-user trailing-1-hour sum over event time in µs. RANGE frames
+    * include all ORDER-BY peers, so equal timestamps aggregate
+    * identically regardless of row order — deterministic by
+    * construction even with ties. */
+  def rangeFrameSum(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000 * 1000
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-hourUs, 0)
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"),
+        col("value"))
+      .select(col("event_id"), col("user_id"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType).as("trailing_1h"))
+  }
+
   /** Scalar date function coverage: orders per month as a string key. */
   def ordersByMonth(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "orders")
@@ -318,6 +335,7 @@ object Relational {
     "sessionize_events" -> (sessionizeEvents _),
     "outer_join_order_counts" -> (outerJoinOrderCounts _),
     "full_outer_key_audit" -> (fullOuterKeyAudit _),
+    "range_frame_sum" -> (rangeFrameSum _),
     "cube_orders" -> (cubeOrders _),
     "lag_delta_per_user" -> (lagDeltaPerUser _),
     "intersect_except_keys" -> (intersectExceptKeys _),
@@ -339,6 +357,13 @@ object Relational {
     "rollup_orders" -> (rollupOrders _))
 
   val oracles: Map[String, String] = Map(
+    "range_frame_sum" ->
+      """SELECT event_id, user_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) AS trailing_1h
+        |FROM events""".stripMargin,
     "outer_join_order_counts" ->
       """SELECT c_mktsegment,
         |       count(*) AS n_customers,

@@ -194,7 +194,31 @@ object TextAnalysis {
         col("t.tfidf").as("tfidf"))
   }
 
+  /** Context-window chunking: split each doc's token stream into
+    * 64-token chunks, one output row per chunk with its ordinal — the
+    * prep step for fixed-window model input. Certifies the
+    * `posexplode` generator (explode with ordinal); the chunk list is
+    * built per row and exploded in place, so chunks of one doc never
+    * leave their partition. */
+  val ChunkTokens = 64
+
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val ws = WordCount.tokens(col("text"))
+    // Column `/` is double division; cast truncates = floor for the
+    // non-negative size-1 (the WHERE size>0 guard guarantees that)
+    val chunks = transform(
+      sequence(lit(0), ((size(ws) - 1) / ChunkTokens).cast("int")),
+      i => array_join(slice(ws, i * ChunkTokens + 1, lit(ChunkTokens)), " "))
+    Tables.load(spark, dir, "documents")
+      .filter(size(ws) > 0)
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        col("chunk"),
+        size(WordCount.tokens(col("chunk"))).cast(LongType).as("n_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunks" -> (docChunks _),
     "ngram_counts" -> (ngramCounts _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "training_set_select" -> (trainingSetSelect _),
@@ -209,6 +233,18 @@ object TextAnalysis {
   }.toMap
 
   val oracles: Map[String, String] = Map(
+    "doc_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS ws
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, i,
+         |         array_to_string(ws[(i-1)*$ChunkTokens+1 : least(i*$ChunkTokens, len(ws))], ' ') AS chunk
+         |  FROM t, LATERAL unnest(generate_series(1, (len(ws)-1)//$ChunkTokens + 1)) u(i)
+         |  WHERE len(ws) > 0)
+         |SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx, chunk,
+         |       CAST(len(list_filter(string_split(chunk,' '), w -> w <> '')) AS BIGINT) AS n_tokens
+         |FROM c""".stripMargin,
     "ngram_counts" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS ws
