@@ -317,17 +317,26 @@ object Relational {
         sum(when(col("ok").isNull, 1L).otherwise(0L)).as("n_lineitem_only"))
   }
 
-  /** INTERSECT / EXCEPT set operations, one row of counts. */
+  /** INTERSECT / EXCEPT set operations, one row of counts — expressed
+    * as ONE full-outer join of the two pre-distincted key sets with
+    * conditional counts (INTERSECT = both sides present, EXCEPT =
+    * right-only). The round-2 form built `.intersect` and `.except`
+    * branches separately, so each input was scanned and
+    * distinct-shuffled TWICE (4 scans / 4 exchanges; 1.84 s at sf0.1);
+    * here each side is distincted once and the join reuses the
+    * distinct's hash partitioning — 2 scans, no extra exchange.
+    * Equivalence to the bare `.intersect`/`.except` operators is pinned
+    * by RelationalSpec. */
   def intersectExceptKeys(spark: SparkSession, dir: String): DataFrame = {
     val orderKeys = Tables.load(spark, dir, "orders")
-      .select(col("o_custkey").as("k")).distinct()
+      .select(col("o_custkey").as("ok")).distinct()
     val custKeys = Tables.load(spark, dir, "customer")
-      .select(col("c_custkey").as("k")).distinct()
-    val nIntersect = orderKeys.intersect(custKeys)
-      .agg(count(lit(1)).as("n_intersect"))
-    val nExcept = custKeys.except(orderKeys)
-      .agg(count(lit(1)).as("n_except"))
-    nIntersect.crossJoin(nExcept)
+      .select(col("c_custkey").as("ck")).distinct()
+    orderKeys.join(custKeys, col("ok") === col("ck"), "full_outer")
+      .agg(
+        sum(when(col("ok").isNotNull && col("ck").isNotNull, 1L)
+          .otherwise(0L)).as("n_intersect"),
+        sum(when(col("ok").isNull, 1L).otherwise(0L)).as("n_except"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.Tables
 
 /** Skew mitigation: two-stage (salted) aggregation.
   *
@@ -37,4 +39,24 @@ object Skew {
       .agg(sum(col("v").cast("decimal(18,2)")).as("ps"), count(lit(1)).as("pc"))
       .groupBy(col("key"))
       .agg(sum("ps").cast("double").as("sum_value"), sum("pc").as("n"))
+
+  /** Oracled certification of the salted aggregate: `events.value`
+    * summed per `event_type` — a deliberately hot grouping (5 keys over
+    * the whole table, the cardinality where one reducer would otherwise
+    * own ~1/5 of all rows). The oracle is the PLAIN one-stage GROUP BY:
+    * salting must be semantically invisible (decimal partial sums are
+    * exact and associative, so the two-stage result is bit-identical). */
+  def skewSaltedSum(spark: SparkSession, dir: String): DataFrame =
+    saltedSumCount(Tables.load(spark, dir, "events"),
+      col("event_type"), col("value"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_salted_sum" -> (skewSaltedSum _))
+
+  val oracles: Map[String, String] = Map(
+    "skew_salted_sum" ->
+      """SELECT event_type AS key,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin)
 }

@@ -116,16 +116,35 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"))
 
   /** 60-bit md5 content fingerprint + 31-ary rolling hash mod 2^31-1.
-    * The rolling hash folds character codes left-to-right — the same
-    * order the oracle's list_reduce uses. */
+    * The rolling hash folds codepoints left-to-right — the same order
+    * the oracle's list_reduce uses. Both hashes run in ONE typed
+    * mapPartitions kernel (tight JVM loop, one MessageDigest per
+    * partition): the round-2 `aggregate` higher-order-lambda form
+    * evaluated interpreted over a per-character split array — the
+    * pattern this codebase measured 10–25× slower everywhere else
+    * (0.74 s at sf0.1 vs ~0.1 here). Narrow, zero-shuffle either way. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val md5fp = conv(substring(md5(col("text")), 1, 15), 16, 10).cast(LongType)
-    val rollfp = aggregate(
-      split(col("text"), ""),
-      lit(0L),
-      (acc, c) => (acc * 31L + ascii(c).cast(LongType)) % 2147483647L)
+    import spark.implicits._
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), md5fp.as("md5_fp"), rollfp.as("roll_fp"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          // first 15 hex nibbles of md5 = 60-bit fingerprint (same
+          // bytes-to-long fold as Dedup.baseHashJvm, without the mod p)
+          val b = md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var m = 0L
+          var i = 0
+          while (i < 7) { m = (m << 8) | (b(i) & 0xffL); i += 1 }
+          m = (m << 4) | ((b(7) & 0xffL) >>> 4)
+          var r = 0L
+          val cps = text.codePoints().iterator()
+          while (cps.hasNext) { r = (r * 31L + cps.next()) % 2147483647L }
+          (id, m, r)
+        }
+      }
+      .toDF("doc_id", "md5_fp", "roll_fp")
   }
 
   /** The composed training-set selection pipeline — what the individual

@@ -58,6 +58,33 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     assert(withL + anti == part.count())
   }
 
+  test("intersect_except_keys join form equals the bare intersect/except operators") {
+    import spark.implicits._
+    val (nInter, nExcept) = Relational.intersectExceptKeys(spark, sfDir)
+      .as[(Long, Long)].head()
+    val orderKeys = Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey").as("k")).distinct()
+    val custKeys = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("k")).distinct()
+    assert(nInter == orderKeys.intersect(custKeys).count())
+    assert(nExcept == custKeys.except(orderKeys).count())
+  }
+
+  test("skew_salted_sum equals the plain one-stage aggregate") {
+    import spark.implicits._
+    val got = operators.Skew.skewSaltedSum(spark, sfDir)
+      .as[(String, Double, Long)].collect()
+      .map { case (k, s, n) => k -> ((s, n)) }.toMap
+    val want = Tables.load(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("s"),
+        count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect()
+    want.foreach { case (k, s, n) =>
+      assert(got(k) == ((s, n)), s"key $k: got ${got(k)}, want ($s, $n)")
+    }
+  }
+
   test("running_sum_per_user final value equals the user's total") {
     import spark.implicits._
     val last = Relational.runningSumPerUser(spark, sfDir)
