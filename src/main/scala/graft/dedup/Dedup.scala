@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.Tables
+import graft.operators.ConnectedComponents
 
 /** Deduplication operators for a training-data pipeline, smallest to
   * largest reach: exact (hash group-by), SimHash (per-doc signature),
@@ -282,6 +283,37 @@ object Dedup {
       .select(col("d1"), col("d2"), round(jac, 6).as("jaccard"))
   }
 
+  // ---- near-dup cluster resolution (pairs -> components -> survivors) ----
+
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** (id, label) connected components of the minhash near-dup pair
+    * graph — label = min doc_id of the component, which IS the elected
+    * survivor (min-id election falls out of min-label propagation for
+    * free, see [[graft.operators.ConnectedComponents]]). Memoized per
+    * (session, corpus) like [[cachedDocShingles]]: the component
+    * resolution runs once and its persisted label frame is shared by
+    * `neardup_clusters` and `training_set_select_neardup`. */
+  def neardupComponents(spark: SparkSession, dir: String): DataFrame =
+    clusterCache.computeIfAbsent((spark, dir), { _ =>
+      ConnectedComponents.resolve(
+        minhashNeardup(spark, dir).select("d1", "d2"), "d1", "d2")
+    })
+
+  /** The missing stage between "pairs exist" and "the pipeline works":
+    * minhash pairs grouped into clusters, one row per clustered doc
+    * with its cluster id (= min member id = survivor) and cluster size.
+    * Docs in no near-dup pair are absent (they survive trivially). */
+  def neardupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val comp = neardupComponents(spark, dir)
+    val sizes = comp.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .join(broadcast(sizes), "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
   // ---- SimHash ----
 
   val SimBits = 60
@@ -370,8 +402,57 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "ngram_jaccard" -> (ngramJaccard _),
     "minhash_neardup" -> (minhashNeardup _),
+    "neardup_clusters" -> (neardupClusters _),
     "simhash" -> (simhash _),
     "embedding_neardup" -> (embeddingNeardup _))
+
+  /** CTE list of the minhash pipeline (shingles → signatures → bands →
+    * candidates → verified pairs) — the shared prefix of the
+    * `minhash_neardup` oracle and the component-resolution oracles. */
+  private val minhashCtes =
+    s"""sh AS ($docShinglesSql),
+       |ex AS (SELECT doc_id,
+       |              CAST(('0x' || substring(md5(unnest(sh)), 1, 15)) AS BIGINT) % $P AS h
+       |       FROM sh),
+       |sig AS (SELECT doc_id, i,
+       |               min(((2654435761 * (i+1)) % $P * h + (1013904223 * (i+1)) % $P) % $P) AS minh
+       |        FROM ex, range(0, $NumHashes) r(i) GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, CAST(i // $BandRows AS INT) AS band,
+       |                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bsig
+       |          FROM sig GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |n AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |inter AS (SELECT d1, d2, count(*) AS c
+       |          FROM cand JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e1 ON e1.doc_id = d1
+       |                    JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e2 ON e2.doc_id = d2
+       |          WHERE e1.s = e2.s GROUP BY 1, 2),
+       |pairs AS (SELECT d1, d2,
+       |       round(CAST(c AS DOUBLE)/(n1.n + n2.n - c), 6) AS jaccard
+       |FROM inter
+       |JOIN n n1 ON n1.doc_id = d1
+       |JOIN n n2 ON n2.doc_id = d2
+       |WHERE CAST(c AS DOUBLE)/(n1.n + n2.n - c) >= 0.5)""".stripMargin
+
+  private val minhashNeardupSql =
+    s"WITH $minhashCtes\nSELECT d1, d2, jaccard FROM pairs"
+
+  /** Recursive-CTE connected components over the minhash pair list:
+    * `reach(n, l)` = "label l reaches node n"; min reachable label per
+    * node = min id of its component — the same fixpoint the Spark-side
+    * min-label propagation computes. Ends with comp(doc_id, cluster_id)
+    * open for a caller-appended final CTE/SELECT. */
+  private[graft] val componentCtes =
+    s"""WITH RECURSIVE $minhashCtes,
+       |nodes AS (SELECT d1 AS nd FROM pairs UNION SELECT d2 FROM pairs),
+       |edges AS (SELECT d1 AS s, d2 AS t FROM pairs
+       |          UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(nd, l) AS (
+       |  SELECT nd, nd FROM nodes
+       |  UNION
+       |  SELECT e.t, r.l FROM reach r JOIN edges e ON e.s = r.nd),
+       |comp AS (SELECT nd AS doc_id, min(l) AS cluster_id FROM reach GROUP BY nd)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -392,31 +473,13 @@ object Dedup {
          |JOIN n n1 ON n1.doc_id = d1
          |JOIN n n2 ON n2.doc_id = d2
          |WHERE CAST(c AS DOUBLE)/(n1.n + n2.n - c) >= 0.5""".stripMargin,
-    "minhash_neardup" ->
-      s"""WITH sh AS ($docShinglesSql),
-         |ex AS (SELECT doc_id,
-         |              CAST(('0x' || substring(md5(unnest(sh)), 1, 15)) AS BIGINT) % $P AS h
-         |       FROM sh),
-         |sig AS (SELECT doc_id, i,
-         |               min(((2654435761 * (i+1)) % $P * h + (1013904223 * (i+1)) % $P) % $P) AS minh
-         |        FROM ex, range(0, $NumHashes) r(i) GROUP BY doc_id, i),
-         |bands AS (SELECT doc_id, CAST(i // $BandRows AS INT) AS band,
-         |                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bsig
-         |          FROM sig GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-         |n AS (SELECT doc_id, len(sh) AS n FROM sh),
-         |inter AS (SELECT d1, d2, count(*) AS c
-         |          FROM cand JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e1 ON e1.doc_id = d1
-         |                    JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e2 ON e2.doc_id = d2
-         |          WHERE e1.s = e2.s GROUP BY 1, 2)
-         |SELECT d1, d2,
-         |       round(CAST(c AS DOUBLE)/(n1.n + n2.n - c), 6) AS jaccard
-         |FROM inter
-         |JOIN n n1 ON n1.doc_id = d1
-         |JOIN n n2 ON n2.doc_id = d2
-         |WHERE CAST(c AS DOUBLE)/(n1.n + n2.n - c) >= 0.5""".stripMargin,
+    "minhash_neardup" -> minhashNeardupSql,
+    "neardup_clusters" ->
+      s"""$componentCtes
+         |SELECT c.doc_id, c.cluster_id, s.cluster_size
+         |FROM comp c
+         |JOIN (SELECT cluster_id, count(*) AS cluster_size
+         |      FROM comp GROUP BY cluster_id) s USING (cluster_id)""".stripMargin,
     "simhash" ->
       s"""WITH t AS (SELECT doc_id,
          |                  unnest(list_filter(string_split(text,' '), w -> w <> '')) AS w

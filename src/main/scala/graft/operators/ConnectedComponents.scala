@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge list, in pure DataFrame
+  * algebra (no graph library): iterative min-label propagation.
+  *
+  * Every node starts labeled with its own id; each round replaces a
+  * node's label with the min of its own and its neighbors' labels; at
+  * the fixpoint every node carries the MIN id of its component — which
+  * doubles as the deterministic survivor election for dedup (min-doc_id
+  * per near-dup cluster), so no separate election pass is needed.
+  *
+  * Scale design:
+  *  - each round is one join (edges ⋈ labels on src) + one min-aggregate
+  *    — both shuffle on the same key domain, nothing quadratic;
+  *  - labels decrease monotonically, so convergence is detected by an
+  *    exact DECIMAL(38,0) label-sum (order-independent, overflow-free)
+  *    going flat — one tiny aggregate per round, no driver-side diff;
+  *  - rounds needed = component DIAMETER. Near-dup clusters are
+  *    near-cliques (diameter ~1-2), so this converges in 2-3 rounds; a
+  *    general 100 TB graph with long chains would swap the body for the
+  *    alternating large-star/small-star algorithm (Kiveris et al.,
+  *    "Connected Components in MapReduce and Beyond", SoCC'14) which
+  *    converges in O(log n) rounds on the same join/agg primitives;
+  *  - per-round frames are persisted and the PREVIOUS round is
+  *    unpersisted, so memory holds at most two label sets; on a real
+  *    cluster a long-running loop would also `checkpoint` every ~10
+  *    rounds to truncate lineage (local[k] runs converge long before
+  *    lineage depth matters).
+  *
+  * Fails loudly (IllegalStateException) if `maxIters` rounds pass
+  * without convergence — a silently-unconverged labeling would be
+  * WRONG, not just slow.
+  */
+object ConnectedComponents {
+
+  /** @param edges     two-column frame of undirected edges
+    * @param srcCol    left endpoint column name
+    * @param dstCol    right endpoint column name
+    * @return (id, cluster_id): one row per distinct node in `edges`,
+    *         cluster_id = min node id of its component. The returned
+    *         frame is persisted; callers own the unpersist.
+    */
+  def resolve(edges: DataFrame, srcCol: String, dstCol: String,
+              maxIters: Int = 50): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // symmetrize once; both propagation sides read this frame each round
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prevSum: Option[java.math.BigDecimal] = None
+    var iter = 0
+    while (iter < maxIters) {
+      val prop = sym.join(labels, sym("src") === labels("id"))
+        .select(sym("dst").as("id"), labels("label"))
+      val next = labels.select("id", "label").union(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // null sum <=> empty node set: trivially converged
+      val s = Option(next.agg(sum(col("label").cast(DecimalType(38, 0))))
+        .head().getDecimal(0))
+      val converged = s.isEmpty ||
+        prevSum.exists(_.compareTo(s.get) == 0)
+      if (converged) {
+        next.unpersist() // fixpoint: next == labels elementwise
+        sym.unpersist()
+        return labels
+      }
+      labels.unpersist()
+      labels = next
+      prevSum = s
+      iter += 1
+    }
+    sym.unpersist()
+    labels.unpersist()
+    throw new IllegalStateException(
+      s"connected components did not converge in $maxIters rounds")
+  }
+}

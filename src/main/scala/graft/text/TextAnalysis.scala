@@ -164,6 +164,31 @@ object TextAnalysis {
       .filter(col("n_tokens") >= 20 && col("quality_score") >= 0.1)
   }
 
+  /** Near-dup-aware training-set selection — the COMPLETE dedup
+    * pipeline [[trainingSetSelect]] only approximates: exact-dedup
+    * survivors, MINUS non-survivor members of minhash near-dup clusters
+    * (pairs → connected components → min-doc_id survivor, see
+    * [[graft.dedup.Dedup.neardupComponents]]), then the same quality
+    * threshold. Without the cluster stage two 98%-similar docs both
+    * pass selection; here only the min-id member of each near-dup
+    * cluster survives. One content-key shuffle + one broadcast
+    * anti-join on the (tiny relative to the corpus) cluster-loser set
+    * + narrow quality kernels. */
+  def trainingSetSelectNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val exactSurvivors = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val losers = graft.dedup.Dedup.neardupComponents(spark, dir)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
+    val q = qualityExprs
+    docs.join(exactSurvivors, Seq("doc_id"), "left_semi")
+      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), q.nTok.as("n_tokens"),
+        q.score.as("quality_score"))
+      .filter(col("n_tokens") >= 20 && col("quality_score") >= 0.1)
+  }
+
   /** Global top-20 bigrams by count (ties broken lexicographically).
     * Tokenization in a tight typed flatMap (higher-order Column lambdas
     * evaluate interpreted); `orderBy.limit` plans as
@@ -241,6 +266,7 @@ object TextAnalysis {
     "ngram_counts" -> (ngramCounts _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "training_set_select" -> (trainingSetSelect _),
+    "training_set_select_neardup" -> (trainingSetSelectNeardup _),
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -310,6 +336,31 @@ object TextAnalysis {
         |  FROM m)
         |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score
         |FROM q WHERE n_tokens >= 20 AND quality_score >= 0.1""".stripMargin,
+    // the recursive-CTE component resolution (Dedup.componentCtes)
+    // prepends comp(doc_id, cluster_id); the selection then excludes
+    // cluster members whose id is not the cluster minimum
+    "training_set_select_neardup" ->
+      s"""${graft.dedup.Dedup.componentCtes},
+         |m AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(string_split(text,' '), w -> w <> '')) AS n_tokens,
+         |    len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+         |    len(list_filter(string_split(text,' '),
+         |        w -> w IN ('the','a','and','of','to','in','is','on','for','with'))) AS n_stopwords,
+         |    length(text) AS n_chars
+         |  FROM documents
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+         |    AND doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)),
+         |mq AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    round(0.5 * (CASE WHEN n_tokens = 0 THEN 0.0
+         |                 ELSE CAST(n_stopwords AS DOUBLE)/n_tokens END)
+         |        + 0.3 * (CAST(least(n_tokens, 100) AS DOUBLE)/100.0)
+         |        - 0.2 * (CASE WHEN n_chars = 0 THEN 0.0
+         |                 ELSE CAST(n_punct AS DOUBLE)/n_chars END), 6) AS quality_score
+         |  FROM m)
+         |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score
+         |FROM mq WHERE n_tokens >= 20 AND quality_score >= 0.1""".stripMargin,
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(SUM(n_chars) AS DOUBLE)/count(*) AS avg_chars,

@@ -159,4 +159,51 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     // its buckets entirely, leaving only the honest pair
     assert(pairs == Set((9000L, 9001L)))
   }
+
+  test("connected components: min-label propagation on a hand-built graph") {
+    import spark.implicits._
+    // chain 1-2-3 (diameter 2), isolated pair 10-11, triangle 20-21-22,
+    // chain 30..34 (diameter 4 — forces several propagation rounds)
+    val edges = Seq(
+      (2L, 1L), (2L, 3L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L),
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L)
+    ).toDF("a", "b")
+    val got = graft.operators.ConnectedComponents.resolve(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val want = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L)
+    assert(got == want)
+  }
+
+  test("neardup_clusters: cluster_id is the min member, sizes agree, survivors filter") {
+    import spark.implicits._
+    val clusters = Dedup.neardupClusters(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(clusters.nonEmpty) // fixture injects near-dups
+    val byCluster = clusters.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster $cid min != id")
+      assert(members.forall(_._3 == members.length), s"cluster $cid size")
+    }
+    // every clustered doc appears in some minhash pair and vice versa
+    val pairIds = Dedup.minhashNeardup(spark, sfDir)
+      .select("d1", "d2").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    assert(clusters.map(_._1).toSet == pairIds)
+    // training_set_select_neardup ⊆ training_set_select, and drops
+    // every non-min cluster member
+    val losers = clusters.filter(c => c._1 != c._2).map(_._1).toSet
+    val base = graft.text.TextAnalysis.trainingSetSelect(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    val nd = graft.text.TextAnalysis.trainingSetSelectNeardup(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(nd.subsetOf(base))
+    assert(nd.intersect(losers).isEmpty)
+    assert((base -- nd).subsetOf(losers))
+  }
 }
