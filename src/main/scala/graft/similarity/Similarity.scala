@@ -140,14 +140,103 @@ object Similarity {
         round(col("n.sim"), 6).as("sim"))
   }
 
-  /** IVF coarse-quantizer size: the cell list a probe searches.
-    * Deterministic "first C vectors are the centroids" quantizer — at
-    * scale you'd train centroids with k-means (C ≈ n / target cell
-    * size) and plug them into the same assignment/probe plumbing; the
-    * centroid SOURCE is the only non-Spark-native piece, deliberately
-    * kept swappable. */
+  /** IVF coarse-quantizer size: the cell list a probe searches. At
+    * scale C ≈ n / target cell size. */
   val IvfCells = 16
   val IvfProbeCells = 2
+
+  /** Lloyd iterations for centroid training. Fixed count (not an
+    * epsilon test): the DuckDB oracle replays the identical iterations,
+    * so the loop shape must be static. */
+  val IvfIters = 5
+
+  /** Centroid means are computed over vectors quantized to
+    * floor(x·10⁶) longs: LONG sums are exact and ASSOCIATIVE, so the
+    * per-cell mean is independent of partition order — the one place
+    * naive double sums would make k-means nondeterministic across runs
+    * (and unmatchable by the oracle). Quantization error 1e-6 per
+    * coordinate is far below the cluster structure scale. */
+  val QuantScale = 1000000.0
+
+  private def dotA(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Array[Double]]]()
+
+  /** Deterministic Lloyd's k-means over the embedding column — replaces
+    * round 2's "first C vectors" placeholder quantizer with a trained
+    * index. Seeded with the first [[IvfCells]] vectors by id (the
+    * deterministic seed), then [[IvfIters]] rounds of: broadcast
+    * centroids → one narrow assignment pass (argmax cosine, ties to the
+    * lower cell id) → per-cell elementwise sum of the QUANTIZED vectors
+    * via `reduceGroups` (an Aggregator under the hood: map-side partial
+    * merge, so the shuffle carries ≤ C rows per partition, never
+    * vectors) → collect C tiny (sum, count) rows to the driver for the
+    * next broadcast (the same bounded driver loop Spark MLlib's KMeans
+    * uses — C·Dim doubles, not data). Empty cells keep their previous
+    * centroid. Returns movements per iteration alongside the centroids
+    * so SimilaritySpec can assert convergence. */
+  private[graft] def trainIvfCentroidsWithTrace(
+      spark: SparkSession, dir: String): (Array[Array[Double]], Array[Double]) = {
+    import spark.implicits._
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+    var cents: Array[Array[Double]] = vecs.filter(_._1 < IvfCells)
+      .collect().sortBy(_._1).map(_._2)
+    val movements = Array.ofDim[Double](IvfIters)
+    for (iter <- 0 until IvfIters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val sums = vecs.mapPartitions { it =>
+        val cs = bc.value
+        val cn = cs.map(c => math.sqrt(dotA(c, c)))
+        it.map { case (_, v) =>
+          val nv = math.sqrt(dotA(v, v))
+          var best = 0; var bs = Double.NegativeInfinity
+          var j = 0
+          while (j < cs.length) {
+            val s = dotA(v, cs(j)) / (nv * cn(j))
+            if (s > bs) { bs = s; best = j } // strict > : ties keep min cid
+            j += 1
+          }
+          val q = new Array[Long](v.length)
+          var d = 0
+          while (d < v.length) {
+            q(d) = math.floor(v(d) * QuantScale).toLong; d += 1
+          }
+          (best, q, 1L)
+        }
+      }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val q = new Array[Long](a._2.length)
+          var d = 0
+          while (d < q.length) { q(d) = a._2(d) + b._2(d); d += 1 }
+          (a._1, q, a._3 + b._3)
+        }
+        .map { case (cid, (_, q, n)) => (cid, q, n) }
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { case (cid, q, n) =>
+        next(cid) = q.map(s => (s.toDouble / n) / QuantScale)
+      }
+      var move = 0.0
+      for (j <- cents.indices; d <- cents(j).indices)
+        move += math.abs(next(j)(d) - cents(j)(d))
+      movements(iter) = move
+      cents = next
+      bc.unpersist()
+    }
+    (cents, movements)
+  }
+
+  def trainIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+    centroidCache.computeIfAbsent((spark, dir),
+      { _ => trainIvfCentroidsWithTrace(spark, dir)._1 })
 
   /** IVF-style ANN: assign every vector to its nearest of [[IvfCells]]
     * centroids (one narrow n×C scoring pass — centroids broadcast, no
@@ -160,8 +249,13 @@ object Similarity {
   def similarAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vecs = vectors(spark, dir)
-    val cents = vecs.filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // trained coarse quantizer (deterministic k-means), as a local-rows
+    // frame: C·Dim doubles, broadcast below like any dimension table
+    val cents = spark.createDataset(
+        trainIvfCentroids(spark, dir).zipWithIndex
+          .map { case (c, i) => (i.toLong, c) })
+      .toDF("cid", "cv")
+      .withColumn("cnrm", norm(col("cv")))
     val s = dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
     // persisted (memoized per session+dir): the n×C scoring pass feeds
     // both the assignment branch and the probe-cell branch — without
@@ -244,6 +338,31 @@ object Similarity {
       |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
       |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))""".stripMargin
 
+  /** One (assign, means, cents) CTE triple per Lloyd iteration. */
+  private def ivfTrainingCtes: Seq[String] =
+    (1 to IvfIters).map { i =>
+      s"""assign$i AS (SELECT vec_id, cid FROM (
+         |    SELECT v.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             list_dot_product(v.v, c.cv) /
+         |             (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+         |             c.cid) AS rn
+         |    FROM v, cents${i - 1} c) t
+         |  WHERE rn = 1),
+         |means$i AS (
+         |  SELECT cid, list(cd ORDER BY d) AS cv FROM (
+         |    SELECT a.cid, rd.d,
+         |           CAST(SUM(CAST(floor(v.v[rd.d] * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |             / COUNT(*) / 1000000.0 AS cd
+         |    FROM assign$i a, v, range(1, ${Dim + 1}) rd(d)
+         |    WHERE v.vec_id = a.vec_id
+         |    GROUP BY a.cid, rd.d) s
+         |  GROUP BY cid),
+         |cents$i AS (
+         |  SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+         |  FROM cents${i - 1} p LEFT JOIN means$i m ON m.cid = p.cid)""".stripMargin
+    }
+
   val oracles: Map[String, String] = Map(
     "embedding_quantize" ->
       """SELECT vec_id,
@@ -263,14 +382,21 @@ object Similarity {
          |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
          |  WHERE a.vec_id < $NumProbes) t
          |WHERE rn <= $K""".stripMargin,
+    // The training replay: cents0 = first-C seed; each iteration is
+    // argmax-cosine assignment against cents(i-1), then per-cell
+    // per-dimension means over floor(x·10⁶) BIGINT quantized values —
+    // exact integer sums, so the means match Spark's bit-for-bit
+    // regardless of aggregation order. COALESCE keeps an empty cell's
+    // previous centroid, mirroring the Spark loop.
     "similar_ann_ivf" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
-         |      WHERE vec_id < $IvfCells),
-         |sims AS (SELECT vec_id, cid,
-         |           list_dot_product(v, cv) /
-         |           (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS s
-         |         FROM v, c),
+         |cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+         |           WHERE vec_id < $IvfCells),
+         |${ivfTrainingCtes.mkString(",\n")},
+         |sims AS (SELECT vec_id, c.cid,
+         |           list_dot_product(v.v, c.cv) /
+         |           (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+         |         FROM v, cents$IvfIters c),
          |assign AS (SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
          |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn

@@ -75,4 +75,17 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(p.flatten.forall(x => x == 1.0 || x == -1.0))
     assert(Similarity.planeEntry(0, 0) == Similarity.planeEntry(0, 0))
   }
+
+  test("IVF k-means training converges and is deterministic") {
+    val (cents, moves) = Similarity.trainIvfCentroidsWithTrace(spark, sfDir)
+    assert(cents.length == Similarity.IvfCells)
+    assert(cents.forall(_.length == Similarity.Dim))
+    // centroids moved away from the raw seed, then the movement decays
+    // as cells stabilize — the convergence signature of Lloyd's
+    assert(moves.head > 0.0)
+    assert(moves.last < moves.head)
+    // two trainings agree exactly (quantized-long sums are order-free)
+    val (cents2, _) = Similarity.trainIvfCentroidsWithTrace(spark, sfDir)
+    assert(cents.flatten.toSeq == cents2.flatten.toSeq)
+  }
 }
