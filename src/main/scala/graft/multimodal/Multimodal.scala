@@ -12,11 +12,15 @@ import graft.Tables
   * The Spark-side shape is real and tested — a `BinaryType` payload
   * column processed in executor batches via `mapPartitions` over a typed
   * Dataset (one decoder instance per partition, bytes never touch the
-  * driver) producing a typed metadata row. The DECODE ITSELF IS A STUB:
-  * this container has no image/audio codecs, so `decodeStub` derives
-  * deterministic fake dimensions from an md5 of the payload bytes. A
-  * real deployment swaps `decodeStub` for a codec call; nothing else
-  * changes — schema, partitioning, batch shape are production-real.
+  * driver) producing a typed metadata row. [[decode]] parses REAL
+  * container headers for two public header-only formats (BMP,
+  * farbfeld — certified by the `multimodal_bmp_decode` round-trip
+  * oracle); payloads in no recognized format fall back to
+  * [[decodeStub]], which derives deterministic fake dimensions from an
+  * md5 of the bytes (this sandbox has no pixel codecs). A real
+  * deployment adds codec branches beside the header parsers; nothing
+  * else changes — schema, partitioning, batch shape are
+  * production-real.
   *
   * The test corpus has no binary media, so `documents.text` bytes stand
   * in as the payload (UTF-8, so DuckDB's md5(text) sees the same bytes
@@ -42,7 +46,8 @@ object Multimodal {
     else (math.max(1L, w * TargetDim / h), TargetDim)
 
   /** STUB decoder: deterministic pseudo-metadata from the payload md5.
-    * Replace with a real codec for production use. */
+    * The fallback for payloads in no recognized container format (the
+    * test corpus: UTF-8 text bytes). */
   def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
     val hex = MessageDigest.getInstance("MD5").digest(payload)
       .map("%02x".format(_)).mkString
@@ -51,6 +56,68 @@ object Multimodal {
     val height = 64L + (h >> 12) % 1017L
     val frames = 1L + (h >> 24) % 16L
     (width, height, frames)
+  }
+
+  private def leI32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def beU32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private val FarbfeldMagic = "farbfeld".getBytes("US-ASCII")
+
+  /** REAL header parsers for two public header-only-decodable formats —
+    * the non-stub decode path (the codec-free sandbox can't decode
+    * pixel data, but container headers are plain public-spec byte
+    * layouts):
+    *  - BMP (Windows BITMAPINFOHEADER): 'B''M' magic, little-endian
+    *    i32 width at offset 18, i32 height at 22 (negative height =
+    *    top-down row order → abs). Guarded on the four RESERVED bytes
+    *    at offsets 6-9 being zero, which valid BMP requires and UTF-8
+    *    text (no NUL bytes) never satisfies — so text payloads that
+    *    merely start with "BM" can't misparse.
+    *  - farbfeld (suckless.org): "farbfeld" magic, big-endian u32
+    *    width at 8, height at 12. Guarded on the high byte of each dim
+    *    being zero (dims < 2^24 — every real image), which again no
+    *    text continuation can satisfy.
+    * Returns (fmt, width, height, n_frames); unrecognized payloads
+    * fall back to the md5 [[decodeStub]] with fmt = "stub". Both
+    * still images report n_frames = 1. */
+  def decode(payload: Array[Byte]): (String, Long, Long, Long) = {
+    if (payload.length >= 26 && payload(0) == 'B' && payload(1) == 'M' &&
+        payload(6) == 0 && payload(7) == 0 && payload(8) == 0 && payload(9) == 0) {
+      val w = leI32(payload, 18).toInt
+      val h = leI32(payload, 22).toInt
+      ("bmp", math.abs(w.toLong), math.abs(h.toLong), 1L)
+    } else if (payload.length >= 16 &&
+        payload.startsWith(FarbfeldMagic) &&
+        payload(8) == 0 && payload(12) == 0) {
+      ("farbfeld", beU32(payload, 8), beU32(payload, 12), 1L)
+    } else {
+      val (w, h, f) = decodeStub(payload)
+      ("stub", w, h, f)
+    }
+  }
+
+  /** Minimal valid BMP: 14-byte file header + 40-byte BITMAPINFOHEADER
+    * (no pixel data — header-only fixtures for the parser). */
+  def bmpBytes(width: Int, height: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+      .putInt(54).putInt(0).putInt(54) // size, reserved, data offset
+      .putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24) // planes, bpp
+    bb.array()
+  }
+
+  def farbfeldBytes(width: Int, height: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(FarbfeldMagic).putInt(width).putInt(height)
+    bb.array()
   }
 
   /** Binary payload table: doc_id + the bytes. In production this is
@@ -64,7 +131,7 @@ object Multimodal {
     import spark.implicits._
     blobs(spark, dir).as[MediaBlob].mapPartitions { it =>
       it.map { b =>
-        val (w, h, frames) = decodeStub(b.payload)
+        val (_, w, h, frames) = decode(b.payload)
         val (rw, rh) = resizeFit(w, h)
         MediaMeta(b.doc_id, b.payload.length.toLong, w, h,
           frames, (frames + 1) / 2, rw, rh)
@@ -86,7 +153,7 @@ object Multimodal {
     blobs(spark, dir).as[MediaBlob].mapPartitions { it =>
       val md = MessageDigest.getInstance("MD5")
       it.flatMap { b =>
-        val (_, _, frames) = decodeStub(b.payload)
+        val (_, _, _, frames) = decode(b.payload)
         (0L until frames by FrameStride).map { idx =>
           md.reset()
           md.update(b.payload)
@@ -151,7 +218,7 @@ object Multimodal {
         col("content").as("payload"))
       .as[MediaBlob].mapPartitions { it =>
         it.map { b =>
-          val (w, h, frames) = decodeStub(b.payload)
+          val (_, w, h, frames) = decode(b.payload)
           val (rw, rh) = resizeFit(w, h)
           MediaMeta(b.doc_id, b.payload.length.toLong, w, h,
             frames, (frames + 1) / 2, rw, rh)
@@ -159,12 +226,46 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Oracled round-trip certification of the REAL header parsers:
+    * synthesize a BMP (even doc_ids) or farbfeld (odd) container per
+    * document with dimensions derived from doc_id, run the bytes
+    * through [[decode]] in executor batches, and emit what the parser
+    * read. The oracle predicts the dimensions from doc_id directly —
+    * any endianness/offset/guard bug in the parser mismatches. The
+    * synthesizing and parsing happen in the SAME mapPartitions batch,
+    * so this is narrow and zero-shuffle. */
+  def multimodalBmpDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (64L + id % 1857L).toInt
+          val h = (64L + id % 1017L).toInt
+          val payload =
+            if (id % 2 == 0) bmpBytes(w, h) else farbfeldBytes(w, h)
+          val (fmt, dw, dh, fr) = decode(payload)
+          (id, fmt, dw, dh, fr)
+        }
+      }.toDF("doc_id", "fmt", "width", "height", "n_frames")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
-    "multimodal_binary_source" -> (multimodalBinaryFiles _))
+    "multimodal_binary_source" -> (multimodalBinaryFiles _),
+    "multimodal_bmp_decode" -> (multimodalBmpDecode _))
 
   val oracles: Map[String, String] = Map(
+    // round-trip: the oracle predicts the dims the synthesizer encoded;
+    // the Spark side must PARSE them back out of the container bytes
+    "multimodal_bmp_decode" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'farbfeld' END AS fmt,
+        |       64 + doc_id % 1857 AS width,
+        |       64 + doc_id % 1017 AS height,
+        |       CAST(1 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, byte_len, width, height, n_frames,
         |       (n_frames + 1) // 2 AS n_sampled,

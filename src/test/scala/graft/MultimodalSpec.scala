@@ -41,4 +41,29 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       assert(m.n_sampled == (m.n_frames + 1) / 2)
     }
   }
+
+  test("decode parses hand-built BMP and farbfeld headers") {
+    // BMP little-endian dims
+    assert(Multimodal.decode(Multimodal.bmpBytes(800, 600)) ==
+      (("bmp", 800L, 600L, 1L)))
+    // top-down BMP: negative height means flipped row order, abs dims
+    val topDown = Multimodal.bmpBytes(320, -240)
+    assert(Multimodal.decode(topDown) == (("bmp", 320L, 240L, 1L)))
+    // farbfeld big-endian dims
+    assert(Multimodal.decode(Multimodal.farbfeldBytes(1920, 1080)) ==
+      (("farbfeld", 1920L, 1080L, 1L)))
+    // dims wide enough to exercise multi-byte encodings
+    assert(Multimodal.decode(Multimodal.bmpBytes(65537, 70000)) ==
+      (("bmp", 65537L, 70000L, 1L)))
+  }
+
+  test("decode falls back to the md5 stub for text payloads — even BM/farbfeld prefixes") {
+    for (s <- Seq("plain document text", "BM is a text prefix long enough to pass the length gate",
+                  "farbfeld is also just a word in this sentence")) {
+      val payload = s.getBytes("UTF-8")
+      val (fmt, w, h, f) = Multimodal.decode(payload)
+      assert(fmt == "stub", s"'$s' misparsed as $fmt")
+      assert((w, h, f) == Multimodal.decodeStub(payload))
+    }
+  }
 }
