@@ -1,33 +1,111 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** F12 parity — the reference's per-worker progress counters
+  * (keysRead/keysWritten, `master/WorkerStatus.java:38-41`,
+  * `worker/PingThread.java:61-93`): a SparkListener accumulating task
+  * input and shuffle record counts. Bench snapshots it around each
+  * query so BENCH json reports record movement alongside wall time.
+  * Listener events post asynchronously; [[settled]] polls until two
+  * consecutive reads agree (bounded), which is exact-enough between
+  * serially-run queries. */
+class RecordCounterListener extends SparkListener {
+  val recordsRead = new AtomicLong
+  val shuffleRecords = new AtomicLong
+
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      recordsRead.addAndGet(m.inputMetrics.recordsRead)
+      shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+    }
+  }
+
+  def snapshot: (Long, Long) = (recordsRead.get, shuffleRecords.get)
+
+  /** Snapshot after the async listener bus drains (two equal reads
+    * 50 ms apart, capped at 1 s). */
+  def settled: (Long, Long) = {
+    var prev = snapshot
+    var i = 0
+    while (i < 20) {
+      Thread.sleep(50)
+      val cur = snapshot
+      if (cur == prev) return cur
+      prev = cur
+      i += 1
+    }
+    prev
+  }
+}
+
 object Bench {
+
+  /** Run one query to FULL materialization; (seconds, error). A failed
+    * query reports its error message instead of masquerading as a fast
+    * success (round-2 swallowed failures into a small timing). */
+  def timeQuery(spark: SparkSession, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                sfDir: String): (Double, Option[String]) = {
+    val t0 = System.nanoTime()
+    try {
+      // queryExecution.toRdd evaluates every declared output column
+      // (a bare .count() lets Catalyst prune projection-only queries
+      // down to a row count)
+      fn(spark, sfDir).queryExecution.toRdd.count()
+      ((System.nanoTime() - t0) / 1e9, None)
+    } catch {
+      case e: Throwable =>
+        ((System.nanoTime() - t0) / 1e9,
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("\\s+", " ").take(200)))
+    }
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
+    val counters = new RecordCounterListener
+    spark.sparkContext.addSparkListener(counters)
     // untimed warmup: JVM/codegen/classloading startup costs otherwise
     // land entirely on whichever query happens to run first (~4 s)
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       Tables.load(spark, sfDir, "region").groupBy("r_name").count().collect()
     } catch { case _: Throwable => () }
-    // Force FULL materialization of every declared column: a bare
-    // .count() lets Catalyst prune all unreferenced columns, so
-    // projection-only queries (string_funcs, doc_fingerprint, ...) would
-    // time a pruned row count instead of the declared work.
-    // queryExecution.toRdd produces the final UnsafeRows with every
-    // output column evaluated; count() just drains that iterator.
+
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val records = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val before = counters.settled
+      val (secs, err) = timeQuery(spark, fn, sfDir)
+      val after = counters.settled
+      records(name) = (after._1 - before._1, after._2 - before._2)
+      err.foreach(errors(name) = _)
+      // a failed query reports -1, never a plausible-looking time
+      name -> (if (err.isDefined) -1.0 else secs)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val rs = records.map { case (k, (in, sh)) =>
+      jstr(k) + s""":{"in":$in,"shuffle":$sh}""" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"records":$rs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

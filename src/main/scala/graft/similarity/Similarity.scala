@@ -140,6 +140,43 @@ object Similarity {
         round(col("n.sim"), 6).as("sim"))
   }
 
+  /** Multi-probe ANN: each probe searches its own bucket PLUS every
+    * bucket at Hamming distance 1 (flip one hyperplane sign) — the
+    * production knob that lifts recall at CONSTANT bits. A near
+    * neighbor falls in a different bucket exactly when some hyperplane
+    * margin is small, and a small margin is precisely a single flipped
+    * bit — so Hamming-1 probing recovers most single-plane misses for
+    * (LshBits+1)× the candidate volume, instead of halving LshBits
+    * (which would square bucket occupancy). The probe side explodes to
+    * its LshBits+1 target buckets before the SAME broadcast bucket
+    * equi-join as [[similarAnnLsh]]: probes are tiny, candidates never
+    * shuffle, and each (probe, candidate) pair matches at most once
+    * (a candidate has one bucket; the probed set is distinct). */
+  def similarAnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = vectors(spark, dir).withColumn("bucket", lshBucket(col("v")))
+    val neighborBuckets = (0 until LshBits)
+      .map(j => col("pbucket").bitwiseXOR(lit(1L << j)))
+    val probes = vecs.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("bucket").as("pbucket"))
+      .withColumn("target",
+        explode(array(col("pbucket") +: neighborBuckets: _*)))
+    val sim = dot(col("pv"), col("v")) / (col("pnrm") * col("nrm"))
+    val scored = vecs.join(broadcast(probes),
+        col("bucket") === col("target") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
+    val topk = new graft.operators.BoundedTopK[Neighbor](K, neighborBetter).toColumn
+    scored.as[Scored]
+      .groupByKey(_.probe_id)
+      .mapValues(s => Neighbor(s.sim, s.neighbor_id))
+      .agg(topk.name("top"))
+      .toDF("probe_id", "top")
+      .select(col("probe_id"), explode(col("top")).as("n"))
+      .select(col("probe_id"), col("n.id").as("neighbor_id"),
+        round(col("n.sim"), 6).as("sim"))
+  }
+
   /** IVF coarse-quantizer size: the cell list a probe searches. At
     * scale C ≈ n / target cell size. */
   val IvfCells = 16
@@ -330,6 +367,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similar_topk" -> (similarTopk _),
     "similar_ann_lsh" -> (similarAnnLsh _),
+    "similar_ann_multiprobe" -> (similarAnnMultiprobe _),
     "similar_ann_ivf" -> (similarAnnIvf _),
     "embedding_quantize" -> (embeddingQuantize _))
 
@@ -421,17 +459,7 @@ object Similarity {
          |  JOIN v av ON av.vec_id = a.vec_id) t
          |WHERE rn <= $K""".stripMargin,
     "similar_ann_lsh" ->
-      s"""WITH buckets AS (
-         |  SELECT vec_id, embedding,
-         |         SUM(CASE WHEN dj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
-         |  FROM (
-         |    SELECT vec_id, embedding, j,
-         |           SUM(embedding[d]::DOUBLE *
-         |               (CASE WHEN CAST(('0x' || substring(md5(j || '_' || (d-1)), 1, 15)) AS BIGINT) % 2 = 0
-         |                     THEN 1.0 ELSE -1.0 END)) AS dj
-         |    FROM embeddings, range(0, $LshBits) rj(j), range(1, ${Dim + 1}) rd(d)
-         |    GROUP BY vec_id, embedding, j) s
-         |  GROUP BY vec_id, embedding)
+      s"""WITH $lshBucketsCte
          |SELECT probe_id, neighbor_id, round(sim, 6) AS sim FROM (
          |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
          |         $cosineSql AS sim,
@@ -440,7 +468,33 @@ object Similarity {
          |  FROM buckets a JOIN buckets b
          |    ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
          |  WHERE a.vec_id < $NumProbes) t
+         |WHERE rn <= $K""".stripMargin,
+    // multi-probe: candidate buckets within Hamming distance 1 of the
+    // probe's bucket (bit_count(xor) <= 1 covers "same" + "one flip")
+    "similar_ann_multiprobe" ->
+      s"""WITH $lshBucketsCte
+         |SELECT probe_id, neighbor_id, round(sim, 6) AS sim FROM (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         |         $cosineSql AS sim,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |                            ORDER BY $cosineSql DESC, b.vec_id) AS rn
+         |  FROM buckets a JOIN buckets b
+         |    ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < $NumProbes) t
          |WHERE rn <= $K""".stripMargin)
+
+  private lazy val lshBucketsCte =
+    s"""buckets AS (
+       |  SELECT vec_id, embedding,
+       |         SUM(CASE WHEN dj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+       |  FROM (
+       |    SELECT vec_id, embedding, j,
+       |           SUM(embedding[d]::DOUBLE *
+       |               (CASE WHEN CAST(('0x' || substring(md5(j || '_' || (d-1)), 1, 15)) AS BIGINT) % 2 = 0
+       |                     THEN 1.0 ELSE -1.0 END)) AS dj
+       |    FROM embeddings, range(0, $LshBits) rj(j), range(1, ${Dim + 1}) rd(d)
+       |    GROUP BY vec_id, embedding, j) s
+       |  GROUP BY vec_id, embedding)""".stripMargin
 }
 
 case class Scored(probe_id: Long, neighbor_id: Long, sim: Double)
