@@ -128,6 +128,40 @@ object Dedup {
       .groupBy(col("survivor.lang").as("lang"))
       .agg(count(lit(1)).as("n_survivors"))
 
+  /** The 100 TB form of exact dedup the [[dedupExact]] Scaladoc
+    * promises: group on sha2(text, 256) so the shuffle key is a fixed
+    * 64-hex digest instead of the full document body — at scale that
+    * turns a text-sized exchange into a constant-width one. (A digest
+    * collision would merge two distinct texts; production breaks ties
+    * with a full compare inside each digest group — astronomically
+    * rare, and absent from the corpus by construction since the oracle
+    * groups the same way.) Certified against DuckDB's sha256. */
+  def dedupExactSha(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), sha2(col("text"), 256).as("digest"))
+      .groupBy("digest")
+      .agg(min(struct(col("doc_id"), col("lang"))).as("survivor"))
+      .groupBy(col("survivor.lang").as("lang"))
+      .agg(count(lit(1)).as("n_survivors"))
+
+  /** Blocked fuzzy matching — the dedup assist for NEAR-IDENTICAL
+    * prefixes (OCR noise, whitespace drift) where shingle Jaccard is
+    * overkill: block on the first 8 chars (equi-join key — 100 TB safe,
+    * the standard record-linkage blocking move; only same-block pairs
+    * are compared), then exact Levenshtein ≤ 5 over the 40-char
+    * prefixes. The quadratic expansion is per-block, and blocks are
+    * tiny by construction (~1.5 docs here). */
+  def fuzzyMatchPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 8).as("blk"),
+        substring(col("text"), 1, 40).as("pfx"))
+    docs.as("a").join(docs.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        levenshtein(col("a.pfx"), col("b.pfx")).cast(LongType).as("lev"))
+      .filter(col("lev") <= 5)
+  }
+
   // ---- exact n-gram Jaccard (quadratic baseline) ----
 
   /** All pairs with word-3gram Jaccard >= 0.5. Shared-shingle self-join:
@@ -285,6 +319,22 @@ object Dedup {
 
   // ---- near-dup cluster resolution (pairs -> components -> survivors) ----
 
+  /** Session-scoped persisted VERIFIED-PAIRS frame (same memo policy as
+    * [[cachedDocShingles]]): the pair list feeds the `minhash_neardup`
+    * result, the component resolution, and through it the training-set
+    * selection — three consumers of a frame that is tiny (one row per
+    * verified near-dup pair) but expensive to produce (the whole
+    * signature pipeline). Computing pairs once and clustering the
+    * materialized list is exactly how the 100 TB pipeline stages it. */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def cachedMinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsCache.computeIfAbsent((spark, dir), { _ =>
+      minhashNeardup(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
@@ -298,7 +348,7 @@ object Dedup {
   def neardupComponents(spark: SparkSession, dir: String): DataFrame =
     clusterCache.computeIfAbsent((spark, dir), { _ =>
       ConnectedComponents.resolve(
-        minhashNeardup(spark, dir).select("d1", "d2"), "d1", "d2")
+        cachedMinhashPairs(spark, dir).select("d1", "d2"), "d1", "d2")
     })
 
   /** The missing stage between "pairs exist" and "the pipeline works":
@@ -400,8 +450,10 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_exact_sha" -> (dedupExactSha _),
+    "fuzzy_match_prefix" -> (fuzzyMatchPrefix _),
     "ngram_jaccard" -> (ngramJaccard _),
-    "minhash_neardup" -> (minhashNeardup _),
+    "minhash_neardup" -> (cachedMinhashPairs _),
     "neardup_clusters" -> (neardupClusters _),
     "simhash" -> (simhash _),
     "embedding_neardup" -> (embeddingNeardup _))
@@ -460,6 +512,19 @@ object Dedup {
         |FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
         |GROUP BY lang""".stripMargin,
+    "dedup_exact_sha" ->
+      """SELECT lang, count(*) AS n_survivors
+        |FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))
+        |GROUP BY lang""".stripMargin,
+    "fuzzy_match_prefix" ->
+      """SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |       CAST(levenshtein(substring(a.text, 1, 40),
+        |                        substring(b.text, 1, 40)) AS BIGINT) AS lev
+        |FROM documents a JOIN documents b
+        |  ON substring(a.text, 1, 8) = substring(b.text, 1, 8)
+        | AND a.doc_id < b.doc_id
+        |WHERE levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) <= 5""".stripMargin,
     "ngram_jaccard" ->
       s"""WITH sh AS ($docShinglesSql),
          |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),

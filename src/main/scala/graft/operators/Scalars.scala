@@ -81,15 +81,67 @@ object Scalars {
         concat_ws("/", col("c_mktsegment"), col("c_name")).as("seg_name"),
         length(col("c_name")).cast(LongType).as("name_len"))
 
+  /** One-pass table profiling — the data-quality audit every pipeline
+    * runs before training: row counts, per-column null counts, distinct
+    * cardinalities, numeric min/max/mean. All partial-aggregating, one
+    * reduce to a single row (countDistinct plans an expand+two-phase
+    * agg — still one shuffle each). */
+  def profileOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("o_totalprice"))).as("n_null_price"),
+        countDistinct(col("o_custkey")).as("n_custkeys"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          / count(lit(1)), 6).as("avg_price"))
+
+  /** ARGMAX/ARGMIN (max_by/min_by family) with DETERMINISTIC ties:
+    * expressed as min/max over (value, id) structs — lexicographic
+    * struct comparison breaks value ties on the unique event_id, where
+    * bare max_by would be free to return any tied row (and the two
+    * engines would disagree). Same partial-agg shuffle shape as any
+    * min/max. */
+  def argMaxMinEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        max(struct(col("value").as("v"), col("event_id").as("id"))).as("mx"),
+        min(struct(col("value").as("v"), col("event_id").as("id"))).as("mn"))
+      .select(col("event_type"),
+        col("mx.id").as("top_event"), col("mx.v").as("top_value"),
+        col("mn.id").as("bottom_event"), col("mn.v").as("bottom_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "string_funcs" -> (stringFuncs _),
     "value_percentiles" -> (valuePercentiles _),
     "approx_value_percentiles" -> (approxValuePercentiles _),
     "json_extract_events" -> (jsonExtractEvents _),
     "scalar_math" -> (scalarMath _),
+    "profile_orders" -> (profileOrders _),
+    "arg_max_min_events" -> (argMaxMinEvents _),
     "events_per_day" -> (eventsPerDay _))
 
   val oracles: Map[String, String] = Map(
+    "profile_orders" ->
+      """SELECT count(*) AS n_rows,
+        |       count(*) - count(o_totalprice) AS n_null_price,
+        |       count(DISTINCT o_custkey) AS n_custkeys,
+        |       count(DISTINCT o_orderpriority) AS n_priorities,
+        |       min(o_totalprice) AS min_price,
+        |       max(o_totalprice) AS max_price,
+        |       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |             / count(*), 6) AS avg_price
+        |FROM orders""".stripMargin,
+    "arg_max_min_events" ->
+      """SELECT event_type,
+        |       (max(struct_pack(v := value, id := event_id))).id AS top_event,
+        |       (max(struct_pack(v := value, id := event_id))).v AS top_value,
+        |       (min(struct_pack(v := value, id := event_id))).id AS bottom_event,
+        |       (min(struct_pack(v := value, id := event_id))).v AS bottom_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "string_funcs" ->
       """SELECT c_custkey,
         |       upper(c_mktsegment) AS seg_upper,

@@ -51,4 +51,25 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       assert(!p.contains("ScalaUDF"), s"$q fell back to a UDF:\n$p")
     }
   }
+
+  test("intersect_except_keys scans each input exactly once") {
+    val p = plan("intersect_except_keys")
+    // round-2's separate intersect/except branches scanned each table
+    // twice (4 scans); the full-outer rewrite must keep it at 2
+    val nScans = "Scan parquet".r.findAllIn(p).length
+    assert(nScans == 2, s"expected 2 parquet scans, got $nScans:\n$p")
+  }
+
+  test("multi-probe LSH broadcasts the probe side, never the corpus") {
+    val p = plan("similar_ann_multiprobe")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast bucket join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"candidate side must not shuffle or cross:\n$p")
+  }
+
+  test("neardup cluster resolution has no cartesian and no full-table window") {
+    val p = plan("neardup_clusters")
+    assert(!p.contains("CartesianProduct"), s"pair graph went quadratic:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in CC plan:\n$p")
+  }
 }
