@@ -102,6 +102,20 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** Explicit lifecycle hook for the session-scoped memos: unpersist
+    * and drop every cached frame belonging to `spark`. The memos are
+    * bounded (one entry per corpus) and MEMORY_AND_DISK-evictable, so
+    * the driver harness never needs this — a long-lived multi-tenant
+    * session calls it when a corpus is retired. */
+  def clearCaches(spark: SparkSession): Unit =
+    Seq(shingleCache, pairsCache, clusterCache).foreach { c =>
+      val it = c.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 eq spark) { e.getValue.unpersist(); it.remove() }
+      }
+    }
+
   private val shinglesSql =
     """list_distinct(CASE WHEN len(ws) < 3 THEN []
       |  ELSE list_transform(generate_series(1, len(ws)-2),

@@ -167,22 +167,26 @@ object Multimodal {
 
   /** Materialize each document's payload as a real on-disk file, once
     * per CORPUS — written from EXECUTORS via foreachPartition so bytes
-    * never pass through the driver (local[k] shares one filesystem; on
-    * a cluster this path would be shared/object storage). The
+    * never pass through the driver. `stagingRoot` is an EXPLICIT
+    * parameter because its default (`java.io.tmpdir`) is only correct
+    * under local[k], where driver and executors share one filesystem —
+    * a real cluster MUST pass a shared/object-storage path here or the
+    * reader will see only the files its own host wrote. The
     * directory is keyed by a corpus fingerprint (row count + summed
     * text crc32), not just the input path: regenerated fixture data at
     * the same path gets a fresh directory instead of stale files, and
     * a shrunk corpus cannot leave orphaned extra files in view.
     * Idempotent: a marker file skips the write on reruns; concurrent
     * writers race benignly (identical bytes). */
-  def binaryFileDir(spark: SparkSession, dir: String): String = {
+  def binaryFileDir(spark: SparkSession, dir: String,
+                    stagingRoot: String = sys.props("java.io.tmpdir")): String = {
     import spark.implicits._
     val (nDocs, fp) = Tables.load(spark, dir, "documents")
       .agg(count(lit(1)), sum(crc32(col("text"))))
       .as[(Long, Long)].head()
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val out = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_binary_${key}_${nDocs}_$fp")
+      stagingRoot, s"graft_binary_${key}_${nDocs}_$fp")
     val marker = new java.io.File(out, "_WRITTEN")
     if (!marker.exists()) {
       out.mkdirs()

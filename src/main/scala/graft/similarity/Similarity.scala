@@ -86,6 +86,17 @@ object Similarity {
   private val ivfSimsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Lifecycle hook mirroring [[graft.dedup.Dedup.clearCaches]]: drop
+    * this session's memoized IVF scoring frame and trained centroids. */
+  def clearCaches(spark: SparkSession): Unit = {
+    val it = ivfSimsCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) { e.getValue.unpersist(); it.remove() }
+    }
+    centroidCache.keySet.removeIf(_._1 eq spark)
+  }
+
   /** Neighbor ranking order: sim desc, vec_id asc tie-break — shared by
     * every top-k aggregation in this module. */
   val neighborBetter: (Neighbor, Neighbor) => Boolean =

@@ -189,6 +189,34 @@ object TextAnalysis {
       .filter(col("n_tokens") >= 20 && col("quality_score") >= 0.1)
   }
 
+  /** PII scan + scrub — the redaction pass a training pipeline runs
+    * before a document reaches a shard: count email/URL occurrences and
+    * measure the text after replacing both with fixed placeholder
+    * tokens. The corpus carries no PII by construction, so the query
+    * AUGMENTS every third doc with a synthesized address+URL derived
+    * from doc_id (the same synthesize-then-process move as
+    * `multimodal_bmp_decode`) — the oracle replays the augmentation,
+    * so the regex engines must agree on real matches, not just zeros.
+    * Pure narrow projection; patterns are RE2-and-Java-compatible. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlRe = "https?://[^ ]+"
+
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val aug = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com or https://ex.org/p/"), col("doc_id").cast("string")))
+      .otherwise(col("text"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), aug.as("t"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("t"), lit(emailRe)).cast(LongType).as("n_emails"),
+        regexp_count(col("t"), lit(urlRe)).cast(LongType).as("n_urls"),
+        length(regexp_replace(
+          regexp_replace(col("t"), emailRe, "[EMAIL]"),
+          urlRe, "[URL]")).cast(LongType).as("scrubbed_len"))
+  }
+
   /** Global top-20 bigrams by count (ties broken lexicographically).
     * Tokenization in a tight typed flatMap (higher-order Column lambdas
     * evaluate interpreted); `orderBy.limit` plans as
@@ -270,6 +298,7 @@ object TextAnalysis {
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
+    "text_pii_scrub" -> (textPiiScrub _),
     "token_count" -> (tokenCount _),
     "doc_fingerprint" -> (docFingerprint _))
 
@@ -411,6 +440,23 @@ object TextAnalysis {
          |  CAST(SUM(len(regexp_extract_all(text, '$bpeRegex'))) AS BIGINT) AS n_bpe_tokens,
          |  count(*) AS n_docs
          |FROM documents GROUP BY lang""".stripMargin,
+    // regexp_replace needs the 'g' flag in DuckDB (replace-all is
+    // Spark's default); len(regexp_extract_all) is the regexp_count twin
+    "text_pii_scrub" ->
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 3 = 0
+         |              THEN text || ' contact u' || doc_id ||
+         |                   '@example.com or https://ex.org/p/' || doc_id
+         |              ELSE text END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$urlRe')) AS BIGINT) AS n_urls,
+         |  CAST(length(regexp_replace(
+         |         regexp_replace(t, '$emailRe', '[EMAIL]', 'g'),
+         |         '$urlRe', '[URL]', 'g')) AS BIGINT) AS scrubbed_len
+         |FROM a""".stripMargin,
     "doc_fingerprint" ->
       """SELECT doc_id,
         |  CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS md5_fp,

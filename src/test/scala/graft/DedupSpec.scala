@@ -160,6 +160,15 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(pairs == Set((9000L, 9001L)))
   }
 
+  test("clearCaches drops session memos; queries rebuild cleanly after") {
+    Dedup.cachedDocShingles(spark, sfDir).count()
+    Dedup.cachedMinhashPairs(spark, sfDir).count()
+    Dedup.clearCaches(spark)
+    graft.similarity.Similarity.clearCaches(spark)
+    assert(Dedup.neardupClusters(spark, sfDir).count() > 0)
+    assert(graft.similarity.Similarity.similarAnnIvf(spark, sfDir).count() > 0)
+  }
+
   test("connected components: min-label propagation on a hand-built graph") {
     import spark.implicits._
     // chain 1-2-3 (diameter 2), isolated pair 10-11, triangle 20-21-22,
