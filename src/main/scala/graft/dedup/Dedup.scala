@@ -121,7 +121,7 @@ object Dedup {
       |  ELSE list_transform(generate_series(1, len(ws)-2),
       |                      i -> ws[i] || '|' || ws[i+1] || '|' || ws[i+2]) END)""".stripMargin
 
-  private val docShinglesSql =
+  private[graft] val docShinglesSql =
     s"""SELECT doc_id, $shinglesSql AS sh
        |FROM (SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS ws
        |      FROM documents)""".stripMargin

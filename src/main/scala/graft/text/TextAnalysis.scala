@@ -217,6 +217,53 @@ object TextAnalysis {
           urlRe, "[URL]")).cast(LongType).as("scrubbed_len"))
   }
 
+  /** Deterministic 95/5 train/eval split on a CONTENT hash (60-bit md5
+    * prefix mod 100) — the split survives recomputation, re-sharding,
+    * and corpus growth, which a row-number or random split does not;
+    * duplicate texts land on the same side by construction (no
+    * train/eval leakage through copies). Reported as per-(lang, split)
+    * counts. */
+  val EvalPct = 5
+
+  private def splitCol: Column =
+    when(conv(substring(md5(col("text")), 1, 15), 16, 10)
+      .cast(LongType) % 100 < lit(100 - EvalPct), "train").otherwise("eval")
+
+  def trainEvalSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("lang"), splitCol.as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Eval-set DECONTAMINATION — the audit every benchmark-holdout
+    * pipeline runs: for each eval-split doc, the fraction of its
+    * word-3-gram shingles that also occur anywhere in the train split.
+    * One distinct pass over train shingles + one shingle-keyed
+    * equi-join; reuses the session-persisted shingle frame. At 100 TB
+    * the exact distinct-join stays correct but the train side is
+    * usually compacted into a Bloom filter per shard first — same
+    * join key, approximate membership; this is the exact form the
+    * approximation is audited against. */
+  def evalDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.dedup.Dedup.cachedDocShingles(spark, dir)
+    val split = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), splitCol.as("split"))
+    val tagged = sh.join(split, "doc_id")
+    val trainShingles = tagged.filter(col("split") === "train")
+      .select(explode(col("sh")).as("s")).distinct()
+    val evalDocs = tagged.filter(col("split") === "eval" && size(col("sh")) > 0)
+    val hits = evalDocs
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(trainShingles, "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("c"))
+    evalDocs.select(col("doc_id"), size(col("sh")).cast(LongType).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("c"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("c"), lit(0L)).cast(DoubleType)
+          / col("n_shingles").cast(DoubleType), 6).as("contamination"))
+  }
+
   /** Global top-20 bigrams by count (ties broken lexicographically).
     * Tokenization in a tight typed flatMap (higher-order Column lambdas
     * evaluate interpreted); `orderBy.limit` plans as
@@ -299,6 +346,8 @@ object TextAnalysis {
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_pii_scrub" -> (textPiiScrub _),
+    "train_eval_split" -> (trainEvalSplit _),
+    "eval_decontamination" -> (evalDecontamination _),
     "token_count" -> (tokenCount _),
     "doc_fingerprint" -> (docFingerprint _))
 
@@ -440,6 +489,34 @@ object TextAnalysis {
          |  CAST(SUM(len(regexp_extract_all(text, '$bpeRegex'))) AS BIGINT) AS n_bpe_tokens,
          |  count(*) AS n_docs
          |FROM documents GROUP BY lang""".stripMargin,
+    "train_eval_split" ->
+      s"""SELECT lang,
+         |       CASE WHEN CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT)
+         |                 % 100 < ${100 - EvalPct}
+         |            THEN 'train' ELSE 'eval' END AS split,
+         |       count(*) AS n_docs
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "eval_decontamination" ->
+      s"""WITH sh AS (${graft.dedup.Dedup.docShinglesSql}),
+         |sp AS (SELECT doc_id,
+         |              CASE WHEN CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT)
+         |                        % 100 < ${100 - EvalPct}
+         |                   THEN 'train' ELSE 'eval' END AS split
+         |       FROM documents),
+         |tr AS (SELECT DISTINCT s FROM (
+         |         SELECT unnest(sh.sh) AS s
+         |         FROM sh JOIN sp USING (doc_id) WHERE split = 'train')),
+         |ev AS (SELECT sh.doc_id, sh.sh
+         |       FROM sh JOIN sp USING (doc_id)
+         |       WHERE split = 'eval' AND len(sh.sh) > 0),
+         |hits AS (SELECT doc_id, count(*) AS c
+         |         FROM (SELECT doc_id, unnest(sh) AS s FROM ev) e
+         |         JOIN tr USING (s) GROUP BY doc_id)
+         |SELECT ev.doc_id,
+         |       CAST(len(ev.sh) AS BIGINT) AS n_shingles,
+         |       COALESCE(c, 0) AS n_contaminated,
+         |       round(CAST(COALESCE(c, 0) AS DOUBLE) / len(ev.sh), 6) AS contamination
+         |FROM ev LEFT JOIN hits USING (doc_id)""".stripMargin,
     // regexp_replace needs the 'g' flag in DuckDB (replace-all is
     // Spark's default); len(regexp_extract_all) is the regexp_count twin
     "text_pii_scrub" ->

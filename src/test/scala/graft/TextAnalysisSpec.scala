@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
+
+  test("train_eval_split: hash split is total, both sides populated, rerun-stable") {
+    import spark.implicits._
+    val counts = TextAnalysis.trainEvalSplit(spark, sfDir)
+      .as[(String, String, Long)].collect()
+    val total = counts.map(_._3).sum
+    assert(total == Tables.load(spark, sfDir, "documents").count())
+    assert(counts.map(_._2).toSet == Set("train", "eval"))
+    // content-hash determinism: a second evaluation is identical
+    // (identical texts landing on one side follows structurally:
+    // same text => same 60-bit hash => same side)
+    val again = TextAnalysis.trainEvalSplit(spark, sfDir)
+      .as[(String, String, Long)].collect()
+    assert(counts.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("eval_decontamination: fractions are in [0,1] and hits never exceed shingles") {
+    import spark.implicits._
+    val rows = TextAnalysis.evalDecontamination(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, c, f) =>
+      assert(n > 0, s"doc $id emitted with zero shingles")
+      assert(c >= 0 && c <= n, s"doc $id: $c hits of $n shingles")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
+  test("text_pii_scrub: augmented docs carry exactly one email and one url") {
+    import spark.implicits._
+    val rows = TextAnalysis.textPiiScrub(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    rows.foreach { case (id, nEmail, nUrl, _) =>
+      if (id % 3 == 0) {
+        assert(nEmail == 1, s"doc $id: expected 1 synthesized email, got $nEmail")
+        assert(nUrl == 1, s"doc $id: expected 1 synthesized url, got $nUrl")
+      } else {
+        assert(nEmail == 0 && nUrl == 0, s"doc $id: clean text matched PII")
+      }
+    }
+  }
+}
