@@ -87,7 +87,12 @@ object Multimodal {
     * still images report n_frames = 1. */
   def decode(payload: Array[Byte]): (String, Long, Long, Long) = {
     if (payload.length >= 26 && payload(0) == 'B' && payload(1) == 'M' &&
-        payload(6) == 0 && payload(7) == 0 && payload(8) == 0 && payload(9) == 0) {
+        payload(6) == 0 && payload(7) == 0 && payload(8) == 0 && payload(9) == 0 &&
+        // only the BITMAPINFOHEADER layout (DIB size 40) puts i32 dims
+        // at 18/22 — an OS/2 BITMAPCOREHEADER (size 12) stores u16 dims
+        // at 18/20 and would misparse; unsupported variants fall to the
+        // stub rather than fabricate dimensions
+        leI32(payload, 14) == 40L) {
       val w = leI32(payload, 18).toInt
       val h = leI32(payload, 22).toInt
       ("bmp", math.abs(w.toLong), math.abs(h.toLong), 1L)

@@ -41,9 +41,9 @@ object ConnectedComponents {
   /** @param edges     two-column frame of undirected edges
     * @param srcCol    left endpoint column name
     * @param dstCol    right endpoint column name
-    * @return (id, cluster_id): one row per distinct node in `edges`,
-    *         cluster_id = min node id of its component. The returned
-    *         frame is persisted; callers own the unpersist.
+    * @return columns (id, label): one row per distinct node in
+    *         `edges`, label = min node id of its component. The
+    *         returned frame is persisted; callers own the unpersist.
     */
   def resolve(edges: DataFrame, srcCol: String, dstCol: String,
               maxIters: Int = 50): DataFrame = {

@@ -328,15 +328,20 @@ object Relational {
     * Equivalence to the bare `.intersect`/`.except` operators is pinned
     * by RelationalSpec. */
   def intersectExceptKeys(spark: SparkSession, dir: String): DataFrame = {
+    // null-safe join + indicator columns: INTERSECT/EXCEPT treat NULL
+    // keys as equal (a NULL on both sides intersects), so membership is
+    // carried in non-null indicators rather than read off the join keys
     val orderKeys = Tables.load(spark, dir, "orders")
       .select(col("o_custkey").as("ok")).distinct()
+      .withColumn("has_o", lit(1))
     val custKeys = Tables.load(spark, dir, "customer")
       .select(col("c_custkey").as("ck")).distinct()
-    orderKeys.join(custKeys, col("ok") === col("ck"), "full_outer")
+      .withColumn("has_c", lit(1))
+    orderKeys.join(custKeys, col("ok") <=> col("ck"), "full_outer")
       .agg(
-        sum(when(col("ok").isNotNull && col("ck").isNotNull, 1L)
+        sum(when(col("has_o").isNotNull && col("has_c").isNotNull, 1L)
           .otherwise(0L)).as("n_intersect"),
-        sum(when(col("ok").isNull, 1L).otherwise(0L)).as("n_except"))
+        sum(when(col("has_o").isNull, 1L).otherwise(0L)).as("n_except"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

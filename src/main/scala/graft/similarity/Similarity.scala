@@ -53,13 +53,6 @@ object Similarity {
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Seq-based twin for driver-side plane precomputation and tests. */
-  private def dotArr(a: Seq[Double], b: Seq[Double]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length) { s += a(i) * b(i); i += 1 }
-    s
-  }
-
   /** Hyperplane entry r(j, d) ∈ {−1, +1}: parity of the 60-bit md5
     * prefix of "j_d" — reproduced verbatim by the SQL oracle. */
   def planeEntry(j: Int, d: Int): Double = {
@@ -69,15 +62,21 @@ object Similarity {
     if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1.0 else -1.0
   }
 
-  lazy val planes: Seq[Seq[Double]] =
-    (0 until LshBits).map(j => (0 until Dim).map(d => planeEntry(j, d)))
+  private lazy val planesArr: Array[Array[Double]] =
+    Array.tabulate(LshBits, Dim)(planeEntry)
+
+  lazy val planes: Seq[Seq[Double]] = planesArr.map(_.toSeq).toSeq
 
   /** Sign-LSH bucket of a (64-dim double) vector column: bit j set iff
-    * dot(v, plane_j) > 0. One loop over bits × dims per vector. */
+    * dot(v, plane_j) > 0. One `v.toArray` copy per row, then the same
+    * [[dotA]] kernel every dot product in this module uses (ONE
+    * sequential-fold implementation to keep in IEEE lockstep with the
+    * oracles, review round 3). */
   val lshBucket: UserDefinedFunction = udf { (v: Seq[Double]) =>
+    val a = v.toArray
     var b = 0L; var j = 0
     while (j < LshBits) {
-      if (dotArr(v, planes(j)) > 0) b |= 1L << j
+      if (dotA(a, planesArr(j)) > 0) b |= 1L << j
       j += 1
     }
     b
@@ -89,11 +88,7 @@ object Similarity {
   /** Lifecycle hook mirroring [[graft.dedup.Dedup.clearCaches]]: drop
     * this session's memoized IVF scoring frame and trained centroids. */
   def clearCaches(spark: SparkSession): Unit = {
-    val it = ivfSimsCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 eq spark) { e.getValue.unpersist(); it.remove() }
-    }
+    graft.SessionCaches.clear(spark, Seq(ivfSimsCache))
     centroidCache.keySet.removeIf(_._1 eq spark)
   }
 
@@ -231,30 +226,38 @@ object Similarity {
   private[graft] def trainIvfCentroidsWithTrace(
       spark: SparkSession, dir: String): (Array[Array[Double]], Array[Double]) = {
     import spark.implicits._
-    val vecs = Tables.load(spark, dir, "embeddings")
+    // one materialization for the whole training loop: the quantized
+    // vector and the norm are centroid-independent, so they are
+    // computed once and persisted — without this, each of the
+    // IvfIters+1 passes re-scans the parquet, re-casts float→double,
+    // and re-quantizes (the review-caught round-3 redundancy)
+    val base = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
-    var cents: Array[Array[Double]] = vecs.filter(_._1 < IvfCells)
-      .collect().sortBy(_._1).map(_._2)
+      .map { case (id, v) =>
+        val q = new Array[Long](v.length)
+        var d = 0
+        while (d < v.length) {
+          q(d) = math.floor(v(d) * QuantScale).toLong; d += 1
+        }
+        (id, v, q, math.sqrt(dotA(v, v)))
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents: Array[Array[Double]] = base.filter(_._1 < IvfCells)
+      .map(t => (t._1, t._2)).collect().sortBy(_._1).map(_._2)
     val movements = Array.ofDim[Double](IvfIters)
     for (iter <- 0 until IvfIters) {
       val bc = spark.sparkContext.broadcast(cents)
-      val sums = vecs.mapPartitions { it =>
+      val sums = base.mapPartitions { it =>
         val cs = bc.value
         val cn = cs.map(c => math.sqrt(dotA(c, c)))
-        it.map { case (_, v) =>
-          val nv = math.sqrt(dotA(v, v))
+        it.map { case (_, v, q, nv) =>
           var best = 0; var bs = Double.NegativeInfinity
           var j = 0
           while (j < cs.length) {
             val s = dotA(v, cs(j)) / (nv * cn(j))
             if (s > bs) { bs = s; best = j } // strict > : ties keep min cid
             j += 1
-          }
-          val q = new Array[Long](v.length)
-          var d = 0
-          while (d < v.length) {
-            q(d) = math.floor(v(d) * QuantScale).toLong; d += 1
           }
           (best, q, 1L)
         }
@@ -279,6 +282,7 @@ object Similarity {
       cents = next
       bc.unpersist()
     }
+    base.unpersist()
     (cents, movements)
   }
 

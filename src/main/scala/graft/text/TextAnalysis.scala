@@ -355,6 +355,32 @@ object TextAnalysis {
     lang -> ms.map(m => s"'$m'").mkString("(", ",", ")")
   }.toMap
 
+  // ---- shared oracle fragments (ONE copy of each tunable formula so
+  // an adjustment cannot silently diverge the oracles, review round 3)
+
+  /** The per-doc quality metric columns (SQL twin of [[qualityExprs]]'
+    * inputs), selected FROM documents. */
+  private val qualityMetricsSql =
+    """len(list_filter(string_split(text,' '), w -> w <> '')) AS n_tokens,
+      |    len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+      |    len(list_filter(string_split(text,' '),
+      |        w -> w IN ('the','a','and','of','to','in','is','on','for','with'))) AS n_stopwords,
+      |    length(text) AS n_chars""".stripMargin
+
+  /** The 0.5/0.3/0.2 composite score over those metric columns. */
+  private val qualityScoreSql =
+    """round(0.5 * (CASE WHEN n_tokens = 0 THEN 0.0
+      |               ELSE CAST(n_stopwords AS DOUBLE)/n_tokens END)
+      |      + 0.3 * (CAST(least(n_tokens, 100) AS DOUBLE)/100.0)
+      |      - 0.2 * (CASE WHEN n_chars = 0 THEN 0.0
+      |               ELSE CAST(n_punct AS DOUBLE)/n_chars END), 6)""".stripMargin
+
+  /** The content-hash train/eval split (SQL twin of [[splitCol]]). */
+  private val splitCaseSql =
+    s"""CASE WHEN CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT)
+       |          % 100 < ${100 - EvalPct}
+       |     THEN 'train' ELSE 'eval' END""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "doc_chunks" ->
       s"""WITH t AS (
@@ -395,25 +421,17 @@ object TextAnalysis {
         |  FROM scored) t
         |WHERE rn <= 5""".stripMargin,
     "training_set_select" ->
-      """WITH m AS (
-        |  SELECT doc_id, lang,
-        |    len(list_filter(string_split(text,' '), w -> w <> '')) AS n_tokens,
-        |    len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
-        |    len(list_filter(string_split(text,' '),
-        |        w -> w IN ('the','a','and','of','to','in','is','on','for','with'))) AS n_stopwords,
-        |    length(text) AS n_chars
-        |  FROM documents
-        |  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)),
-        |q AS (
-        |  SELECT doc_id, lang, n_tokens,
-        |    round(0.5 * (CASE WHEN n_tokens = 0 THEN 0.0
-        |                 ELSE CAST(n_stopwords AS DOUBLE)/n_tokens END)
-        |        + 0.3 * (CAST(least(n_tokens, 100) AS DOUBLE)/100.0)
-        |        - 0.2 * (CASE WHEN n_chars = 0 THEN 0.0
-        |                 ELSE CAST(n_punct AS DOUBLE)/n_chars END), 6) AS quality_score
-        |  FROM m)
-        |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score
-        |FROM q WHERE n_tokens >= 20 AND quality_score >= 0.1""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT doc_id, lang,
+         |    $qualityMetricsSql
+         |  FROM documents
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)),
+         |q AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    $qualityScoreSql AS quality_score
+         |  FROM m)
+         |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score
+         |FROM q WHERE n_tokens >= 20 AND quality_score >= 0.1""".stripMargin,
     // the recursive-CTE component resolution (Dedup.componentCtes)
     // prepends comp(doc_id, cluster_id); the selection then excludes
     // cluster members whose id is not the cluster minimum
@@ -421,21 +439,13 @@ object TextAnalysis {
       s"""${graft.dedup.Dedup.componentCtes},
          |m AS (
          |  SELECT doc_id, lang,
-         |    len(list_filter(string_split(text,' '), w -> w <> '')) AS n_tokens,
-         |    len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
-         |    len(list_filter(string_split(text,' '),
-         |        w -> w IN ('the','a','and','of','to','in','is','on','for','with'))) AS n_stopwords,
-         |    length(text) AS n_chars
+         |    $qualityMetricsSql
          |  FROM documents
          |  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
          |    AND doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)),
          |mq AS (
          |  SELECT doc_id, lang, n_tokens,
-         |    round(0.5 * (CASE WHEN n_tokens = 0 THEN 0.0
-         |                 ELSE CAST(n_stopwords AS DOUBLE)/n_tokens END)
-         |        + 0.3 * (CAST(least(n_tokens, 100) AS DOUBLE)/100.0)
-         |        - 0.2 * (CASE WHEN n_chars = 0 THEN 0.0
-         |                 ELSE CAST(n_punct AS DOUBLE)/n_chars END), 6) AS quality_score
+         |    $qualityScoreSql AS quality_score
          |  FROM m)
          |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score
          |FROM mq WHERE n_tokens >= 20 AND quality_score >= 0.1""".stripMargin,
@@ -447,21 +457,13 @@ object TextAnalysis {
     "text_quality" ->
       s"""WITH m AS (
          |  SELECT doc_id,
-         |    len(list_filter(string_split(text,' '), w -> w <> '')) AS n_tokens,
-         |    len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
-         |    len(regexp_extract_all(text, '[0-9]')) AS n_digits,
-         |    len(list_filter(string_split(text,' '),
-         |        w -> w IN ('the','a','and','of','to','in','is','on','for','with'))) AS n_stopwords,
-         |    length(text) AS n_chars
+         |    $qualityMetricsSql,
+         |    len(regexp_extract_all(text, '[0-9]')) AS n_digits
          |  FROM documents)
          |SELECT doc_id, n_tokens, n_punct, n_digits, n_stopwords,
          |  round(CASE WHEN n_tokens = 0 THEN 0.0
          |             ELSE CAST(n_stopwords AS DOUBLE)/n_tokens END, 6) AS stop_ratio,
-         |  round(0.5 * (CASE WHEN n_tokens = 0 THEN 0.0
-         |               ELSE CAST(n_stopwords AS DOUBLE)/n_tokens END)
-         |      + 0.3 * (CAST(least(n_tokens, 100) AS DOUBLE)/100.0)
-         |      - 0.2 * (CASE WHEN n_chars = 0 THEN 0.0
-         |               ELSE CAST(n_punct AS DOUBLE)/n_chars END), 6) AS quality_score
+         |  $qualityScoreSql AS quality_score
          |FROM m""".stripMargin,
     "text_langid" ->
       s"""WITH s AS (
@@ -491,17 +493,12 @@ object TextAnalysis {
          |FROM documents GROUP BY lang""".stripMargin,
     "train_eval_split" ->
       s"""SELECT lang,
-         |       CASE WHEN CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT)
-         |                 % 100 < ${100 - EvalPct}
-         |            THEN 'train' ELSE 'eval' END AS split,
+         |       $splitCaseSql AS split,
          |       count(*) AS n_docs
          |FROM documents GROUP BY 1, 2""".stripMargin,
     "eval_decontamination" ->
       s"""WITH sh AS (${graft.dedup.Dedup.docShinglesSql}),
-         |sp AS (SELECT doc_id,
-         |              CASE WHEN CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT)
-         |                        % 100 < ${100 - EvalPct}
-         |                   THEN 'train' ELSE 'eval' END AS split
+         |sp AS (SELECT doc_id, $splitCaseSql AS split
          |       FROM documents),
          |tr AS (SELECT DISTINCT s FROM (
          |         SELECT unnest(sh.sh) AS s

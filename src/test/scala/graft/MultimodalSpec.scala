@@ -55,6 +55,11 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     // dims wide enough to exercise multi-byte encodings
     assert(Multimodal.decode(Multimodal.bmpBytes(65537, 70000)) ==
       (("bmp", 65537L, 70000L, 1L)))
+    // an OS/2 BITMAPCOREHEADER (DIB size 12) stores u16 dims at other
+    // offsets — the parser must refuse rather than fabricate dims
+    val core = Multimodal.bmpBytes(100, 50)
+    core(14) = 12
+    assert(Multimodal.decode(core)._1 == "stub")
   }
 
   test("decode falls back to the md5 stub for text payloads — even BM/farbfeld prefixes") {
