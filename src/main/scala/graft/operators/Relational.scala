@@ -242,6 +242,23 @@ object Relational {
         sum(abs(col("delta"))).cast(DoubleType).as("sum_abs_delta"))
   }
 
+  /** Navigation-function coverage: first_value / last_value /
+    * nth_value over the full per-user partition frame (ROWS UNBOUNDED
+    * PRECEDING..UNBOUNDED FOLLOWING — last_value under the DEFAULT
+    * frame would read the current row, the classic footgun both
+    * engines share), reduced to one row per user. Ordering includes
+    * the unique event_id so every navigation target is deterministic. */
+  def navFunctionsPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"),
+        nth_value(col("event_type"), 2).over(w).as("second_type"))
+      .distinct()
+  }
+
   /** Ranking-function coverage: rank / dense_rank / percent_rank /
     * ntile over a HIGH-cardinality partition key (per-customer order
     * ranking) — the shape where a window is the right tool, unlike the
@@ -352,6 +369,7 @@ object Relational {
     "range_frame_sum" -> (rangeFrameSum _),
     "cube_orders" -> (cubeOrders _),
     "lag_delta_per_user" -> (lagDeltaPerUser _),
+    "nav_functions_per_user" -> (navFunctionsPerUser _),
     "intersect_except_keys" -> (intersectExceptKeys _),
     "theta_join_regions" -> (thetaJoinRegions _),
     "pivot_events_by_day" -> (pivotEventsByDay _),
@@ -434,6 +452,14 @@ object Relational {
         |               OVER (PARTITION BY user_id ORDER BY event_id) AS delta
         |      FROM events) t
         |GROUP BY user_id""".stripMargin,
+    "nav_functions_per_user" ->
+      """SELECT DISTINCT user_id,
+        |       first_value(event_type) OVER w AS first_type,
+        |       last_value(event_type) OVER w AS last_type,
+        |       nth_value(event_type, 2) OVER w AS second_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "intersect_except_keys" ->
       """SELECT
         |  (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders

@@ -139,4 +139,34 @@ object EventStreams {
           next
       }
   }
+
+  case class Crossing(user_id: Long, threshold: Double, total: Double)
+
+  /** flatMapGroupsWithState (the 0..n-outputs state API
+    * mapGroupsWithState cannot express): per user, emit one row each
+    * time the running value total crosses another multiple of
+    * `step` — a streaming threshold-alert stream. State is one
+    * (count, total) per key, constant size; emission count varies per
+    * batch, which is exactly why this needs flatMap semantics. Update
+    * mode (each batch may re-emit for keys that advanced). */
+  def thresholdCrossings(events: Dataset[EventRow],
+                         step: Double = 100.0): Dataset[Crossing] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
+          val next = rows.foldLeft(prev) { (acc, r) =>
+            UserTotal(userId, acc.n + 1, acc.total + r.value)
+          }
+          state.update(next)
+          val from = math.floor(prev.total / step).toLong
+          val to = math.floor(next.total / step).toLong
+          ((from + 1) to to).iterator
+            .map(k => Crossing(userId, k * step, next.total))
+      }
+  }
 }

@@ -59,6 +59,28 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits one row per crossed threshold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = EventStreams.thresholdCrossings(mem.toDS(), step = 10.0)
+      .writeStream.format("memory").queryName("crossings")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // total 7 -> no crossing
+      mem.addData(EventRow(ts(1), 9, "click", 7.0))
+      q.processAllAvailable()
+      assert(spark.table("crossings").as[EventStreams.Crossing]
+        .collect().count(_.user_id == 9) == 0)
+      // total 7 -> 31: crosses 10, 20, 30 in one batch (3 emissions)
+      mem.addData(EventRow(ts(2), 9, "click", 24.0))
+      q.processAllAvailable()
+      val got = spark.table("crossings").as[EventStreams.Crossing]
+        .collect().filter(_.user_id == 9).map(_.threshold).sorted
+      assert(got.toSeq == Seq(10.0, 20.0, 30.0))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
