@@ -21,7 +21,11 @@ object PlanAudit {
       "group_agg_sum", "anti_join_no_big_orders", "minhash_neardup",
       "similar_topk", "topk_per_group", "embedding_neardup",
       "similar_ann_ivf", "sessionize_events", "tfidf_top_terms",
-      "ngram_counts", "outer_join_order_counts")
+      "ngram_counts", "outer_join_order_counts",
+      // round 3
+      "neardup_clusters", "training_set_select_neardup",
+      "similar_ann_multiprobe", "intersect_except_keys",
+      "eval_decontamination", "skew_salted_sum", "fuzzy_match_prefix")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -335,30 +335,30 @@ object Relational {
   }
 
   /** INTERSECT / EXCEPT set operations, one row of counts — expressed
-    * as ONE full-outer join of the two pre-distincted key sets with
-    * conditional counts (INTERSECT = both sides present, EXCEPT =
-    * right-only). The round-2 form built `.intersect` and `.except`
-    * branches separately, so each input was scanned and
-    * distinct-shuffled TWICE (4 scans / 4 exchanges; 1.84 s at sf0.1);
-    * here each side is distincted once and the join reuses the
-    * distinct's hash partitioning — 2 scans, no extra exchange.
-    * Equivalence to the bare `.intersect`/`.except` operators is pinned
-    * by RelationalSpec. */
+    * as tagged UNION ALL + one flag aggregation: each side contributes
+    * (key, side-flag) rows; `max` per key collapses duplicates AND
+    * merges side membership in a single map-side-partial pass, so the
+    * whole computation is 2 scans and ONE hash exchange. (Round 2
+    * built `.intersect`/`.except` branches separately: 4 scans, 4
+    * exchanges, 1.84 s at sf0.1; a full-outer-join rewrite got to 2
+    * scans but null-safe join keys defeated exchange reuse.) NULL keys
+    * are a group like any other under groupBy, which is exactly
+    * INTERSECT/EXCEPT's null-safe equality. Equivalence to the bare
+    * operators is pinned by RelationalSpec, the plan shape by
+    * PlanShapeSpec. */
   def intersectExceptKeys(spark: SparkSession, dir: String): DataFrame = {
-    // null-safe join + indicator columns: INTERSECT/EXCEPT treat NULL
-    // keys as equal (a NULL on both sides intersects), so membership is
-    // carried in non-null indicators rather than read off the join keys
-    val orderKeys = Tables.load(spark, dir, "orders")
-      .select(col("o_custkey").as("ok")).distinct()
-      .withColumn("has_o", lit(1))
-    val custKeys = Tables.load(spark, dir, "customer")
-      .select(col("c_custkey").as("ck")).distinct()
-      .withColumn("has_c", lit(1))
-    orderKeys.join(custKeys, col("ok") <=> col("ck"), "full_outer")
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("k"), lit(1).as("o"), lit(0).as("c"))
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("k"), lit(0).as("o"), lit(1).as("c"))
+    o.unionAll(c)
+      .groupBy("k")
+      .agg(max("o").as("has_o"), max("c").as("has_c"))
       .agg(
-        sum(when(col("has_o").isNotNull && col("has_c").isNotNull, 1L)
+        sum(when(col("has_o") === 1 && col("has_c") === 1, 1L)
           .otherwise(0L)).as("n_intersect"),
-        sum(when(col("has_o").isNull, 1L).otherwise(0L)).as("n_except"))
+        sum(when(col("has_c") === 1 && col("has_o") === 0, 1L)
+          .otherwise(0L)).as("n_except"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -52,12 +52,15 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  test("intersect_except_keys scans each input exactly once") {
+  test("intersect_except_keys: 2 scans, one hash exchange") {
     val p = plan("intersect_except_keys")
     // round-2's separate intersect/except branches scanned each table
-    // twice (4 scans); the full-outer rewrite must keep it at 2
+    // twice (4 scans, 4 exchanges); the union+flag-agg rewrite is 2
+    // scans around a single key exchange
     val nScans = "Scan parquet".r.findAllIn(p).length
     assert(nScans == 2, s"expected 2 parquet scans, got $nScans:\n$p")
+    val nHash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nHash == 1, s"expected exactly 1 hash exchange, got $nHash:\n$p")
   }
 
   test("multi-probe LSH broadcasts the probe side, never the corpus") {
