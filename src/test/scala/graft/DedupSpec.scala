@@ -189,6 +189,34 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(got == want)
   }
 
+  test("connected components match a union-find oracle on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // fixed seed: deterministic test
+    for (_ <- 1 to 3) {
+      val edges = Seq.fill(25)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(e => e._1 != e._2)
+      val got = graft.operators.ConnectedComponents
+        .resolve(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      // driver-side union-find truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val roots = nodes.map(n => n -> find(n)).toMap
+      // min id per union-find component
+      val minOf = nodes.groupBy(roots).map { case (r, ns) => r -> ns.min }
+      val want = nodes.map(n => n -> minOf(roots(n))).toMap
+      assert(got == want)
+    }
+  }
+
   test("neardup_clusters: cluster_id is the min member, sizes agree, survivors filter") {
     import spark.implicits._
     val clusters = Dedup.neardupClusters(spark, sfDir)
