@@ -114,7 +114,43 @@ object Scalars {
         col("mx.id").as("top_event"), col("mx.v").as("top_value"),
         col("mn.id").as("bottom_event"), col("mn.v").as("bottom_value"))
 
+  /** Zero-filled daily series — the reporting shape a sparse GROUP BY
+    * cannot produce: generate the full [min-day, max-day] calendar with
+    * `sequence`, cross the (tiny) day × type grid, left-join the real
+    * counts, zero-fill the gaps. The grid is bounded by the date range
+    * and type cardinality, never by row count — at 100 TB the generate
+    * side is still a few thousand rows against one aggregated frame. */
+  def eventsPerDayDense(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.load(spark, dir, "events")
+      .select(
+        date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+    val counts = days.groupBy("day", "event_type").agg(count(lit(1)).as("cnt"))
+    val allDays = days.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(to_date(col("lo")), to_date(col("hi")))).as("d"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"))
+    val types = days.select("event_type").distinct()
+    allDays.crossJoin(types)
+      .join(counts, Seq("day", "event_type"), "left_outer")
+      .select(col("day"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("n"))
+  }
+
+  /** Fixed-width value histogram: bucket = floor(value / width). One
+    * narrow kernel + one hash aggregate; the binning a numeric profile
+    * or feature-distribution check runs at any scale. */
+  val HistWidth = 50.0
+
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(floor(col("value") / HistWidth).cast(LongType).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bucket_lo", col("bucket") * HistWidth)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_per_day_dense" -> (eventsPerDayDense _),
+    "value_histogram" -> (valueHistogram _),
     "string_funcs" -> (stringFuncs _),
     "value_percentiles" -> (valuePercentiles _),
     "approx_value_percentiles" -> (approxValuePercentiles _),
@@ -172,5 +208,22 @@ object Scalars {
         |FROM lineitem GROUP BY l_linenumber""".stripMargin,
     "events_per_day" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_per_day_dense" ->
+      """WITH days AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type FROM events),
+        |counts AS (SELECT day, event_type, count(*) AS cnt FROM days GROUP BY 1, 2),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM days),
+        |alld AS (SELECT strftime(d, '%Y-%m-%d') AS day
+        |         FROM b, LATERAL unnest(generate_series(CAST(lo AS DATE),
+        |                                                CAST(hi AS DATE),
+        |                                                INTERVAL 1 DAY)) t(d)),
+        |types AS (SELECT DISTINCT event_type FROM days)
+        |SELECT day, event_type, COALESCE(cnt, 0) AS n
+        |FROM alld CROSS JOIN types
+        |LEFT JOIN counts USING (day, event_type)""".stripMargin,
+    "value_histogram" ->
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+        |       count(*) AS n,
+        |       CAST(floor(value / 50.0) AS BIGINT) * 50.0 AS bucket_lo
+        |FROM events GROUP BY 1""".stripMargin)
 }
