@@ -152,6 +152,21 @@ object Dedup {
       .groupBy(col("survivor.lang").as("lang"))
       .agg(count(lit(1)).as("n_survivors"))
 
+  /** Normalization-then-dedup — the C4-style cleaning move: lowercase,
+    * strip sentence punctuation, collapse whitespace runs, THEN group;
+    * catches trivially-reformatted copies exact dedup misses while
+    * staying one content-key shuffle. Same survivor election and
+    * per-lang report shape as [[dedupExact]]. */
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[.,!?;:]", ""), " +", " "))
+    Tables.load(spark, dir, "documents")
+      .groupBy(norm.as("norm"))
+      .agg(min(struct(col("doc_id"), col("lang"))).as("survivor"))
+      .groupBy(col("survivor.lang").as("lang"))
+      .agg(count(lit(1)).as("n_survivors"))
+  }
+
   /** Blocked fuzzy matching — the dedup assist for NEAR-IDENTICAL
     * prefixes (OCR noise, whitespace drift) where shingle Jaccard is
     * overkill: block on the first 8 chars (equi-join key — 100 TB safe,
@@ -459,6 +474,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_sha" -> (dedupExactSha _),
+    "dedup_normalized" -> (dedupNormalized _),
     "fuzzy_match_prefix" -> (fuzzyMatchPrefix _),
     "ngram_jaccard" -> (ngramJaccard _),
     // NOTE: the declared query maps to the UNcached builder so its
@@ -529,6 +545,17 @@ object Dedup {
       """SELECT lang, count(*) AS n_survivors
         |FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))
+        |GROUP BY lang""".stripMargin,
+    "dedup_normalized" ->
+      """WITH n AS (
+        |  SELECT doc_id, lang,
+        |         trim(regexp_replace(
+        |           regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+        |           ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_survivors
+        |FROM n
+        |WHERE doc_id IN (SELECT min(doc_id) FROM n GROUP BY norm)
         |GROUP BY lang""".stripMargin,
     "fuzzy_match_prefix" ->
       """SELECT a.doc_id AS d1, b.doc_id AS d2,

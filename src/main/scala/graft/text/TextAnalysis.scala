@@ -189,6 +189,24 @@ object TextAnalysis {
       .filter(col("n_tokens") >= 20 && col("quality_score") >= 0.1)
   }
 
+  /** Token-repetition signal (the Gopher-rules quality family): per
+    * doc, distinct-token fraction and its complement — high repetition
+    * marks boilerplate/spam for filtering. Exact integer counts + one
+    * IEEE division, so both engines agree bitwise; narrow, zero
+    * shuffle. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = WordCount.tokens(col("text"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(toks).cast(LongType).as("n_tokens"),
+        size(array_distinct(toks)).cast(LongType).as("n_distinct"))
+      .withColumn("repetition",
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(round(lit(1.0) -
+            col("n_distinct").cast(DoubleType) /
+              col("n_tokens").cast(DoubleType), 6)))
+  }
+
   /** PII scan + scrub — the redaction pass a training pipeline runs
     * before a document reaches a shard: count email/URL occurrences and
     * measure the text after replacing both with fixed placeholder
@@ -346,6 +364,7 @@ object TextAnalysis {
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_pii_scrub" -> (textPiiScrub _),
+    "text_repetition" -> (textRepetition _),
     "train_eval_split" -> (trainEvalSplit _),
     "eval_decontamination" -> (evalDecontamination _),
     "token_count" -> (tokenCount _),
@@ -491,6 +510,16 @@ object TextAnalysis {
          |  CAST(SUM(len(regexp_extract_all(text, '$bpeRegex'))) AS BIGINT) AS n_bpe_tokens,
          |  count(*) AS n_docs
          |FROM documents GROUP BY lang""".stripMargin,
+    "text_repetition" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), w -> w <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(list_filter(string_split(text,' '), w -> w <> ''))) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(list_filter(string_split(text,' '), w -> w <> '')) = 0 THEN 0.0
+        |       ELSE round(1.0 -
+        |         CAST(len(list_distinct(list_filter(string_split(text,' '), w -> w <> ''))) AS DOUBLE) /
+        |         len(list_filter(string_split(text,' '), w -> w <> '')), 6)
+        |  END AS repetition
+        |FROM documents""".stripMargin,
     "train_eval_split" ->
       s"""SELECT lang,
          |       $splitCaseSql AS split,
