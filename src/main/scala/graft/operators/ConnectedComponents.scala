@@ -26,11 +26,17 @@ import org.apache.spark.storage.StorageLevel
   *    alternating large-star/small-star algorithm (Kiveris et al.,
   *    "Connected Components in MapReduce and Beyond", SoCC'14) which
   *    converges in O(log n) rounds on the same join/agg primitives;
-  *  - per-round frames are persisted and the PREVIOUS round is
-  *    unpersisted, so memory holds at most two label sets; on a real
-  *    cluster a long-running loop would also `checkpoint` every ~10
-  *    rounds to truncate lineage (local[k] runs converge long before
-  *    lineage depth matters).
+  *  - each round ends in an EAGER `localCheckpoint`, which both
+  *    materializes the labels and TRUNCATES the logical plan. The
+  *    truncation is load-bearing, not hygiene: `next` references
+  *    `labels` twice (union branch + propagation join), so without it
+  *    the plan DOUBLES per round — at diameter ~8 the explain string
+  *    AQE renders per plan update is already hundreds of MB and OOMs
+  *    the driver (caught by the random-graph spec). With the
+  *    checkpoint every round starts from a constant-size LogicalRDD.
+  *    On a real cluster, swap `localCheckpoint` (lost on executor
+  *    failure) for reliable `checkpoint` against shared storage —
+  *    same truncation, failure-tolerant.
   *
   * Fails loudly (IllegalStateException) if `maxIters` rounds pass
   * without convergence — a silently-unconverged labeling would be
@@ -43,7 +49,8 @@ object ConnectedComponents {
     * @param dstCol    right endpoint column name
     * @return columns (id, label): one row per distinct node in
     *         `edges`, label = min node id of its component. The
-    *         returned frame is persisted; callers own the unpersist.
+    *         returned frame is locally-checkpointed (materialized);
+    *         callers own the unpersist.
     */
   def resolve(edges: DataFrame, srcCol: String, dstCol: String,
               maxIters: Int = 50): DataFrame = {
@@ -54,9 +61,12 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // eager localCheckpoint, not persist: truncates the logical plan
+    // each round (see object Scaladoc — the plan doubles per round
+    // otherwise) AND materializes the frame in one move
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var prevSum: Option[java.math.BigDecimal] = None
     var iter = 0
     while (iter < maxIters) {
@@ -64,7 +74,7 @@ object ConnectedComponents {
         .select(sym("dst").as("id"), labels("label"))
       val next = labels.select("id", "label").union(prop)
         .groupBy("id").agg(min("label").as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       // null sum <=> empty node set: trivially converged
       val s = Option(next.agg(sum(col("label").cast(DecimalType(38, 0))))
         .head().getDecimal(0))

@@ -172,20 +172,24 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
   test("connected components: min-label propagation on a hand-built graph") {
     import spark.implicits._
     // chain 1-2-3 (diameter 2), isolated pair 10-11, triangle 20-21-22,
-    // chain 30..34 (diameter 4 — forces several propagation rounds)
-    val edges = Seq(
+    // chain 30..34 (diameter 4), and a LONG path 100..115 (diameter 15:
+    // one propagation round per hop — exercises the per-round lineage
+    // truncation that keeps deep loops from exponential plan growth)
+    val path = (100L until 115L).map(i => (i, i + 1))
+    val edges = (Seq(
       (2L, 1L), (2L, 3L),
       (10L, 11L),
       (20L, 21L), (21L, 22L), (22L, 20L),
       (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L)
-    ).toDF("a", "b")
+    ) ++ path).toDF("a", "b")
     val got = graft.operators.ConnectedComponents.resolve(edges, "a", "b")
       .as[(Long, Long)].collect().toMap
     val want = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L,
-      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L)
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L) ++
+      (100L to 115L).map(_ -> 100L).toMap
     assert(got == want)
   }
 
