@@ -361,7 +361,35 @@ object Relational {
           .otherwise(0L)).as("n_except"))
   }
 
+  /** INTERSECT ALL / EXCEPT ALL (multiset semantics — duplicates
+    * count), same tagged-UNION-ALL shape as [[intersectExceptKeys]]
+    * but with per-side COUNTS instead of membership flags: for key k
+    * appearing n_o times in orders and n_c times in customers,
+    * |∩_all| contributes min(n_o, n_c), |orders ∖_all customers|
+    * contributes max(n_o − n_c, 0), symmetrically for the other side.
+    * Still 2 scans + ONE hash exchange. Spark's native
+    * `.intersectAll`/`.exceptAll` plan a Generate(ReplicateRows) over
+    * a per-side count union — semantically this identity — but one
+    * call per set op re-scans both inputs; the tagged union computes
+    * all three counts in a single pass (equivalence to the native
+    * operators is pinned by RelationalSpec). Multiset set ops use
+    * null-safe equality, which groupBy gives for free. */
+  def setOpsAllCounts(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("k"), lit(1L).as("o"), lit(0L).as("c"))
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("k"), lit(0L).as("o"), lit(1L).as("c"))
+    o.unionAll(c)
+      .groupBy("k")
+      .agg(sum("o").as("n_o"), sum("c").as("n_c"))
+      .agg(
+        sum(least(col("n_o"), col("n_c"))).as("n_intersect_all"),
+        sum(greatest(col("n_o") - col("n_c"), lit(0L))).as("n_orders_except_all"),
+        sum(greatest(col("n_c") - col("n_o"), lit(0L))).as("n_customer_except_all"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "setops_all_counts" -> (setOpsAllCounts _),
     "rank_functions" -> (rankFunctions _),
     "sessionize_events" -> (sessionizeEvents _),
     "outer_join_order_counts" -> (outerJoinOrderCounts _),
@@ -389,6 +417,14 @@ object Relational {
     "rollup_orders" -> (rollupOrders _))
 
   val oracles: Map[String, String] = Map(
+    "setops_all_counts" ->
+      """SELECT
+        |  (SELECT count(*) FROM (SELECT o_custkey FROM orders
+        |    INTERSECT ALL SELECT c_custkey FROM customer)) AS n_intersect_all,
+        |  (SELECT count(*) FROM (SELECT o_custkey FROM orders
+        |    EXCEPT ALL SELECT c_custkey FROM customer)) AS n_orders_except_all,
+        |  (SELECT count(*) FROM (SELECT c_custkey FROM customer
+        |    EXCEPT ALL SELECT o_custkey FROM orders)) AS n_customer_except_all""".stripMargin,
     "range_frame_sum" ->
       """SELECT event_id, user_id,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2)))

@@ -54,6 +54,29 @@ object TemporalJoins {
       .select(col("event_id"), col("attributed_click"))
   }
 
+  /** FORWARD as-of: for each click, the EARLIEST same-user purchase at
+    * or after it (conversion attribution looking ahead). Mirror image
+    * of [[asofPurchaseAttribution]]: same single-shuffle union-stream
+    * plan, frame flipped to currentRow..unboundedFollowing and
+    * `first(ignoreNulls)` instead of `last`. Purchases sort AFTER
+    * clicks at an equal instant (kind 0 < 1) so a same-instant
+    * purchase is visible to the click (>= semantics); among purchases
+    * at one instant the smallest event_id wins, matching the oracle's
+    * ORDER BY ts ASC, event_id ASC LIMIT 1. */
+  def asofNextPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("kind", when(col("event_type") === "click", 0).otherwise(1))
+      .withColumn("purchase_id",
+        when(col("event_type") === "purchase", col("event_id")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("kind"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev.withColumn("next_purchase", first("purchase_id", ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("next_purchase"))
+  }
+
   /** Count of same-user event pairs (a before-or-equal b, a != b)
     * within 5 minutes, per user. Bucket width == range bound: candidate
     * pairs only from (bucket, bucket) and (bucket, bucket+1). */
@@ -81,9 +104,17 @@ object TemporalJoins {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_purchase_attribution" -> (asofPurchaseAttribution _),
+    "asof_next_purchase" -> (asofNextPurchase _),
     "range_join_pairs" -> (rangeJoinPairs _))
 
   val oracles: Map[String, String] = Map(
+    "asof_next_purchase" ->
+      """SELECT c.event_id,
+        |       (SELECT p.event_id FROM events p
+        |        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        |          AND p.ts >= c.ts
+        |        ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS next_purchase
+        |FROM events c WHERE c.event_type = 'click'""".stripMargin,
     "asof_purchase_attribution" ->
       """SELECT p.event_id,
         |       (SELECT c.event_id FROM events c

@@ -189,6 +189,39 @@ object TextAnalysis {
       .filter(col("n_tokens") >= 20 && col("quality_score") >= 0.1)
   }
 
+  /** Per-language quota for [[corpusBalanceSample]]: at sf0.01 the
+    * minority languages (~64-75 docs) come in under quota and survive
+    * whole while `en` (~218) is capped — so the oracle exercises both
+    * the under- and over-quota branches at the verify SF. */
+  val QuotaPerLang = 100
+
+  /** Deterministic per-language quota sample — the corpus-balancing
+    * pass of a multilingual training pipeline: keep at most
+    * [[QuotaPerLang]] docs per language, chosen by md5(text) order
+    * (content-keyed, so the SAME docs are chosen on recomputation,
+    * re-sharding, or corpus append — a random() or row-order sample is
+    * neither reproducible nor stable under growth; same rationale as
+    * [[trainEvalSplit]]'s content-hash split). `lang` has 5 values, so
+    * ranking runs through the bounded [[graft.operators.BoundedTopK]]
+    * Aggregator (k=100, O(1) reject on full buffer), not a
+    * 5-partition window: each map partition forwards at most
+    * 5·quota rows to the shuffle regardless of corpus size. */
+  def corpusBalanceSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val topk = new graft.operators.BoundedTopK[(String, Long)](QuotaPerLang,
+      (a, b) => a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)).toColumn
+    Tables.load(spark, dir, "documents")
+      .select(col("lang"), md5(col("text")).as("h"), col("doc_id"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(topk.name("keep"))
+      .toDF("lang", "keep")
+      .select(col("lang"), posexplode(col("keep")).as(Seq("pos", "t")))
+      .select(col("lang"), col("t._2").as("doc_id"),
+        (col("pos") + 1).cast(LongType).as("sample_rank"))
+  }
+
   /** Token-repetition signal (the Gopher-rules quality family): per
     * doc, distinct-token fraction and its complement — high repetition
     * marks boilerplate/spam for filtering. Exact integer counts + one
@@ -365,6 +398,7 @@ object TextAnalysis {
     "text_langid" -> (textLangid _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_repetition" -> (textRepetition _),
+    "corpus_balance_sample" -> (corpusBalanceSample _),
     "train_eval_split" -> (trainEvalSplit _),
     "eval_decontamination" -> (evalDecontamination _),
     "token_count" -> (tokenCount _),
@@ -401,6 +435,13 @@ object TextAnalysis {
        |     THEN 'train' ELSE 'eval' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "corpus_balance_sample" ->
+      s"""SELECT lang, doc_id, rn AS sample_rank FROM (
+         |  SELECT lang, doc_id,
+         |         row_number() OVER (PARTITION BY lang
+         |                            ORDER BY md5(text), doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= $QuotaPerLang""".stripMargin,
     "doc_chunks" ->
       s"""WITH t AS (
          |  SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS ws

@@ -70,6 +70,44 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     assert(nExcept == custKeys.except(orderKeys).count())
   }
 
+  test("setops_all_counts equals Spark's native intersectAll/exceptAll") {
+    import spark.implicits._
+    val (nInterAll, nOExceptAll, nCExceptAll) =
+      Relational.setOpsAllCounts(spark, sfDir).as[(Long, Long, Long)].head()
+    val o = Tables.load(spark, sfDir, "orders").select(col("o_custkey").as("k"))
+    val c = Tables.load(spark, sfDir, "customer").select(col("c_custkey").as("k"))
+    assert(nInterAll == o.intersectAll(c).count())
+    assert(nOExceptAll == o.exceptAll(c).count())
+    assert(nCExceptAll == c.exceptAll(o).count())
+    // multiset identities: |A| = |A ∩all B| + |A ∖all B|
+    assert(o.count() == nInterAll + nOExceptAll)
+    assert(c.count() == nInterAll + nCExceptAll)
+  }
+
+  test("asof_next_purchase: every attribution is a later-or-equal same-user purchase") {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+    val got = operators.TemporalJoins.asofNextPurchase(spark, sfDir)
+    // row per click, exactly
+    assert(got.count() == ev.filter(col("event_type") === "click").count())
+    // each non-null attribution must be the MIN (ts_us, event_id) purchase
+    // at-or-after its click for that user
+    val clicks = ev.select(col("event_id").as("cid"),
+      col("user_id").as("cu"), col("ts_us").as("cts"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"),
+        col("ts_us").as("pts"))
+    val want = clicks.join(purch,
+        col("cu") === col("pu") && col("pts") >= col("cts"), "left_outer")
+      .groupBy(col("cid").as("event_id"))
+      .agg(min(struct(col("pts"), col("pid"))).as("m"))
+      .select(col("event_id"), col("m.pid").as("next_purchase"))
+    assert(got.join(want, Seq("event_id"))
+      .filter(!(got("next_purchase") <=> want("next_purchase"))).count() == 0)
+  }
+
   test("skew_salted_sum equals the plain one-stage aggregate") {
     import spark.implicits._
     val got = operators.Skew.skewSaltedSum(spark, sfDir)

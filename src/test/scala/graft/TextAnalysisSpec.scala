@@ -21,6 +21,27 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
     assert(counts.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("corpus_balance_sample: per-lang count is min(quota, lang size), ranks dense, rerun-stable") {
+    import spark.implicits._
+    val sample = TextAnalysis.corpusBalanceSample(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    val langSizes = Tables.load(spark, sfDir, "documents")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val byLang = sample.groupBy(_._1)
+    assert(byLang.keySet == langSizes.keySet)
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length == math.min(TextAnalysis.QuotaPerLang, langSizes(lang)),
+        s"$lang: ${rows.length} sampled of ${langSizes(lang)}")
+      // ranks are exactly 1..n and doc_ids are unique
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+      assert(rows.map(_._2).distinct.length == rows.length)
+    }
+    // content-keyed selection: a second evaluation picks the same docs
+    val again = TextAnalysis.corpusBalanceSample(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    assert(sample.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("eval_decontamination: fractions are in [0,1] and hits never exceed shingles") {
     import spark.implicits._
     val rows = TextAnalysis.evalDecontamination(spark, sfDir)
