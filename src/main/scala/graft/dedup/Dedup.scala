@@ -152,6 +152,27 @@ object Dedup {
       .groupBy(col("survivor.lang").as("lang"))
       .agg(count(lit(1)).as("n_survivors"))
 
+  /** Incremental-ingest dedup — the steady-state form of exact dedup
+    * once a corpus exists: a NEW batch (odd doc_ids here; in
+    * production, today's crawl) is deduped within itself (min-doc_id
+    * survivor per text, one content-key shuffle with map-side
+    * combine), then anti-joined against the EXISTING corpus's distinct
+    * texts (even doc_ids) so re-crawled content never re-enters. Both
+    * join sides are pre-reduced to distinct keys before the exchange;
+    * at 100 TB the join key is the sha2 digest (the
+    * [[dedupExactSha]] move) and the corpus side is a bucketed digest
+    * table, making the daily anti-join co-located and shuffle-free on
+    * the corpus side. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .groupBy("text").agg(min("doc_id").as("doc_id"))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+      .select("text").distinct()
+    batch.join(corpus, Seq("text"), "left_anti")
+      .select("doc_id")
+  }
+
   /** Normalization-then-dedup — the C4-style cleaning move: lowercase,
     * strip sentence punctuation, collapse whitespace runs, THEN group;
     * catches trivially-reformatted copies exact dedup misses while
@@ -474,6 +495,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_sha" -> (dedupExactSha _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_normalized" -> (dedupNormalized _),
     "fuzzy_match_prefix" -> (fuzzyMatchPrefix _),
     "ngram_jaccard" -> (ngramJaccard _),
@@ -546,6 +568,12 @@ object Dedup {
         |FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))
         |GROUP BY lang""".stripMargin,
+    "dedup_incremental" ->
+      """SELECT min_id AS doc_id FROM (
+        |  SELECT text, min(doc_id) AS min_id FROM documents
+        |  WHERE doc_id % 2 = 1 GROUP BY text) b
+        |WHERE NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.doc_id % 2 = 0 AND c.text = b.text)""".stripMargin,
     "dedup_normalized" ->
       """WITH n AS (
         |  SELECT doc_id, lang,

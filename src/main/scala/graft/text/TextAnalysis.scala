@@ -189,6 +189,29 @@ object TextAnalysis {
       .filter(col("n_tokens") >= 20 && col("quality_score") >= 0.1)
   }
 
+  /** Percentile-band length trim — drop both tails of the token-length
+    * distribution (fragments below p05, runaway concatenations above
+    * p95), the standard outlier-length filter before training. The
+    * band is ONE exact-percentile aggregate broadcast back over the
+    * corpus: an agg-to-one-row cross join, not a window — the corpus
+    * never funnels through a single partition, and the second pass is
+    * a narrow filter. (At 100 TB swap `percentile` for
+    * `percentile_approx`, the `approx_value_percentiles` move; the
+    * plan shape is unchanged.) Integer token counts interpolate
+    * identically in both engines — same IEEE formula over the same
+    * ints — which `value_percentiles` already pins. */
+  def lengthTrimFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(WordCount.tokens(col("text"))).cast(LongType).as("n_tokens"))
+    val band = docs.agg(
+      percentile(col("n_tokens"), lit(0.05)).as("lo"),
+      percentile(col("n_tokens"), lit(0.95)).as("hi"))
+    docs.crossJoin(broadcast(band))
+      .filter(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+      .select(col("doc_id"), col("n_tokens"))
+  }
+
   /** Per-language quota for [[corpusBalanceSample]]: at sf0.01 the
     * minority languages (~64-75 docs) come in under quota and survive
     * whole while `en` (~218) is capped — so the oracle exercises both
@@ -399,6 +422,7 @@ object TextAnalysis {
     "text_pii_scrub" -> (textPiiScrub _),
     "text_repetition" -> (textRepetition _),
     "corpus_balance_sample" -> (corpusBalanceSample _),
+    "length_trim_filter" -> (lengthTrimFilter _),
     "train_eval_split" -> (trainEvalSplit _),
     "eval_decontamination" -> (evalDecontamination _),
     "token_count" -> (tokenCount _),
@@ -435,6 +459,15 @@ object TextAnalysis {
        |     THEN 'train' ELSE 'eval' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "length_trim_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split(text,' '), w -> w <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |q AS (SELECT quantile_cont(n_tokens, 0.05) AS lo,
+        |             quantile_cont(n_tokens, 0.95) AS hi FROM t)
+        |SELECT doc_id, n_tokens FROM t, q
+        |WHERE n_tokens >= lo AND n_tokens <= hi""".stripMargin,
     "corpus_balance_sample" ->
       s"""SELECT lang, doc_id, rn AS sample_rank FROM (
          |  SELECT lang, doc_id,

@@ -169,6 +169,20 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(graft.similarity.Similarity.similarAnnIvf(spark, sfDir).count() > 0)
   }
 
+  test("dedup_incremental: survivors are odd-id, batch-unique, absent from corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sfDir, "documents")
+    val surv = graft.dedup.Dedup.dedupIncremental(spark, sfDir)
+    assert(surv.count() > 0)
+    assert(surv.filter(col("doc_id") % 2 === 0).count() == 0)
+    val sTexts = surv.join(docs, "doc_id").select("text")
+    // no survivor text already exists in the even-id corpus
+    val corpus = docs.filter(col("doc_id") % 2 === 0).select("text")
+    assert(sTexts.intersect(corpus).count() == 0)
+    // one survivor per distinct batch text
+    assert(sTexts.count() == sTexts.distinct().count())
+  }
+
   test("connected components: min-label propagation on a hand-built graph") {
     import spark.implicits._
     // chain 1-2-3 (diameter 2), isolated pair 10-11, triangle 20-21-22,

@@ -42,6 +42,20 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
     assert(sample.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("length_trim_filter: keeps the central ~90% band, trims both tails") {
+    import spark.implicits._
+    val total = Tables.load(spark, sfDir, "documents").count()
+    val kept = TextAnalysis.lengthTrimFilter(spark, sfDir)
+      .as[(Long, Long)].collect()
+    val frac = kept.length.toDouble / total
+    // the [p05, p95] band covers >= 90% of rows by construction; ties
+    // at the boundaries can only widen it
+    assert(frac >= 0.9 && frac < 1.0, s"kept $frac of corpus")
+    // something was trimmed on EACH side
+    val lens = kept.map(_._2)
+    assert(lens.min > 0)
+  }
+
   test("eval_decontamination: fractions are in [0,1] and hits never exceed shingles") {
     import spark.implicits._
     val rows = TextAnalysis.evalDecontamination(spark, sfDir)
