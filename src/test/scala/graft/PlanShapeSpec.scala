@@ -75,4 +75,32 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("CartesianProduct"), s"pair graph went quadratic:\n$p")
     assert(!p.contains("Window"), s"unexpected window in CC plan:\n$p")
   }
+
+  test("setops_all_counts: 2 scans, one hash exchange (same shape as the scalar set ops)") {
+    val p = plan("setops_all_counts")
+    val nScans = "Scan parquet".r.findAllIn(p).length
+    assert(nScans == 2, s"expected 2 parquet scans, got $nScans:\n$p")
+    val nHash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nHash == 1, s"expected exactly 1 hash exchange, got $nHash:\n$p")
+  }
+
+  test("corpus_balance_sample ranks via the bounded aggregator, not a 5-partition window") {
+    val p = plan("corpus_balance_sample")
+    assert(!p.contains("Window"), s"low-cardinality window reintroduced:\n$p")
+  }
+
+  test("length_trim_filter broadcasts the one-row percentile band over a narrow second pass") {
+    val p = plan("length_trim_filter")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"band must be broadcast, not shuffled:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus side must stay narrow:\n$p")
+  }
+
+  test("asof_next_purchase shares the forward plan shape: one exchange, one window, no join") {
+    val p = plan("asof_next_purchase")
+    val nHash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nHash == 1, s"expected exactly 1 hash exchange, got $nHash:\n$p")
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+  }
 }
