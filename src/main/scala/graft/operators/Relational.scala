@@ -361,6 +361,43 @@ object Relational {
           .otherwise(0L)).as("n_except"))
   }
 
+  /** Several DISTINCT aggregates with different keys in ONE aggregate —
+    * Catalyst plans this via Expand (each input row is replicated once
+    * per distinct clause, then a two-level aggregate dedups and
+    * counts), so the whole thing remains a single pipeline with
+    * partial aggregation; naively self-joining three separately
+    * grouped frames would triple the scans. The Expand multiplies rows
+    * ×3 BEFORE the exchange, which is the documented cost knob: at
+    * 100 TB with many distinct clauses you split the query or switch
+    * to approx_count_distinct (`approx_distinct_users`). */
+  def multiDistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd").as("day"))
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("day")).as("n_days"),
+        count(lit(1)).as("n"))
+
+  /** Schema-evolution union — the ingestion reality where yesterday's
+    * shard lacks a column today's carries: `unionByName(
+    * allowMissingColumns = true)` aligns columns by NAME and
+    * null-fills the absent side, where positional `unionAll` would
+    * silently misbind columns or reject the width mismatch. Modeled
+    * here as two disjoint projections of orders (even keys carry
+    * status, odd keys carry priority). Narrow: two scans, no
+    * exchange. */
+  def unionByNameEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val v2 = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    v1.unionByName(v2, allowMissingColumns = true)
+  }
+
   /** INTERSECT ALL / EXCEPT ALL (multiset semantics — duplicates
     * count), same tagged-UNION-ALL shape as [[intersectExceptKeys]]
     * but with per-side COUNTS instead of membership flags: for key k
@@ -389,6 +426,8 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multi_distinct_agg" -> (multiDistinctAgg _),
+    "union_by_name_evolution" -> (unionByNameEvolution _),
     "setops_all_counts" -> (setOpsAllCounts _),
     "rank_functions" -> (rankFunctions _),
     "sessionize_events" -> (sessionizeEvents _),
@@ -417,6 +456,18 @@ object Relational {
     "rollup_orders" -> (rollupOrders _))
 
   val oracles: Map[String, String] = Map(
+    "union_by_name_evolution" ->
+      """SELECT o_orderkey, o_orderstatus, NULL AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, NULL AS o_orderstatus, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
+    "multi_distinct_agg" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS n_users,
+        |       count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     "setops_all_counts" ->
       """SELECT
         |  (SELECT count(*) FROM (SELECT o_custkey FROM orders
