@@ -76,6 +76,13 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("Window"), s"unexpected window in CC plan:\n$p")
   }
 
+  test("multi_distinct_agg plans via Expand in one pipeline, not per-clause scans") {
+    val p = plan("multi_distinct_agg")
+    assert(p.contains("Expand"), s"expected Expand-planned multi-distinct:\n$p")
+    val nScans = "Scan parquet".r.findAllIn(p).length
+    assert(nScans == 1, s"expected a single scan, got $nScans:\n$p")
+  }
+
   test("setops_all_counts: 2 scans, one hash exchange (same shape as the scalar set ops)") {
     val p = plan("setops_all_counts")
     val nScans = "Scan parquet".r.findAllIn(p).length
