@@ -37,6 +37,52 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
       sample.as[(Long, String, Double)].collect().sortBy(_._1).toSeq)
   }
 
+  test("malformed CSV rows are dropped (DROPMALFORMED), not silently nulled") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("badcsv")
+    Files.write(dir.resolve("part.csv"), java.util.Arrays.asList(
+      "1,alpha,1.5",
+      "not-a-long,beta,2.0", // malformed id
+      "3,gamma", // short row
+      "4,delta,0.25"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val rows = spark.read.schema(schema).option("mode", "DROPMALFORMED")
+      .csv(dir.toString).as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "alpha", 1.5), (4L, "delta", 0.25)))
+    // PERMISSIVE keeps every row and flags the broken ones instead —
+    // the audit-what-you-dropped posture for a 100 TB ingest
+    val withCorrupt = spark.read
+      .schema(schema.add(StructField("_corrupt_record", StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir.toString).cache()
+    assert(withCorrupt.count() == 4)
+    assert(withCorrupt.filter($"_corrupt_record".isNotNull).count() == 2)
+    withCorrupt.unpersist()
+  }
+
+  test("writer bounds output file sizes via maxRecordsPerFile (small-files control)") {
+    val dir = Files.createTempDirectory("sized").toString
+    // one task would otherwise emit one big file; the cap splits it so
+    // downstream scans parallelize — the other half of the small-files
+    // problem (coalesce merges too-many, maxRecordsPerFile splits
+    // too-few)
+    Tables.load(spark, sfDir, "orders")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 100)
+      .parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    val n = Tables.load(spark, sfDir, "orders").count()
+    val expected = Math.ceil(n / 100.0).toLong
+    assert(files.length == expected,
+      s"$n rows at 100/file should give $expected files, got ${files.length}")
+    assert(spark.read.parquet(dir).count() == n)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("pq").toString
     Tables.load(spark, sfDir, "events")
