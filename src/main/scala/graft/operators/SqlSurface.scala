@@ -62,6 +62,30 @@ object SqlSurface {
     spark.sql(correlatedSubquerySql)
   }
 
+  /** EXISTS and NOT IN predicate subqueries — the OTHER decorrelation
+    * family (`RewritePredicateSubquery`): Catalyst rewrites EXISTS to
+    * a left-semi join and NOT IN to a (null-aware) left-anti join, so
+    * neither executes per outer row. One query certifies both
+    * rewrites plus their composition with an aggregate. Identical SQL
+    * text is the oracle. The NOT IN branch filters the subquery to
+    * big-ticket orders, so customers either never ordered or only
+    * ordered small — the anti-join-with-a-twist every analyst writes. */
+  val existsNotInSql: String =
+    """SELECT c_mktsegment,
+      |       count(*) AS n_with_orders,
+      |       CAST(SUM(CASE WHEN c_custkey NOT IN
+      |                  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_no_big_orders
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  def existsNotIn(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(existsNotInSql)
+  }
+
   /** Sketch aggregates: HyperLogLog++ distinct-count per event type,
     * beside the exact count. No oracle (DuckDB's approx sketch differs
     * by construction); ScalaTest pins the relative error instead. */
@@ -75,9 +99,11 @@ object SqlSurface {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_pricing_summary" -> (pricingSummary _),
     "sql_correlated_subquery" -> (correlatedSubquery _),
+    "sql_exists_not_in" -> (existsNotIn _),
     "approx_distinct_users" -> (approxDistinctUsers _))
 
   val oracles: Map[String, String] = Map(
     "sql_pricing_summary" -> pricingSummarySql,
-    "sql_correlated_subquery" -> correlatedSubquerySql)
+    "sql_correlated_subquery" -> correlatedSubquerySql,
+    "sql_exists_not_in" -> existsNotInSql)
 }
