@@ -20,6 +20,7 @@ object SparkEntry {
     (operators.Scalars.queries, operators.Scalars.oracles),
     (operators.SqlSurface.queries, operators.SqlSurface.oracles),
     (operators.TemporalJoins.queries, operators.TemporalJoins.oracles),
+    (operators.Behavioral.queries, operators.Behavioral.oracles),
     (operators.Skew.queries, operators.Skew.oracles),
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),
     (dedup.Dedup.queries, dedup.Dedup.oracles),

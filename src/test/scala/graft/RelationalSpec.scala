@@ -108,6 +108,19 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
       .filter(!(got("next_purchase") <=> want("next_purchase"))).count() == 0)
   }
 
+  test("funnel stages shrink monotonically; cohort users total the distinct-user count") {
+    import spark.implicits._
+    val (nV, nC, nP) = operators.Behavioral.funnelConversion(spark, sfDir)
+      .as[(Long, Long, Long)].head()
+    assert(nV >= nC && nC >= nP, s"funnel must narrow: $nV >= $nC >= $nP")
+    assert(nV > 0)
+    val cohorts = operators.Behavioral.cohortRetention(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    cohorts.foreach { case (_, n, r) => assert(r <= n) }
+    assert(cohorts.map(_._2).sum ==
+      Tables.load(spark, sfDir, "events").select("user_id").distinct().count())
+  }
+
   test("skew_salted_sum equals the plain one-stage aggregate") {
     import spark.implicits._
     val got = operators.Skew.skewSaltedSum(spark, sfDir)
