@@ -67,14 +67,32 @@ object SqlSurface {
     * a left-semi join and NOT IN to a (null-aware) left-anti join, so
     * neither executes per outer row. One query certifies both
     * rewrites plus their composition with an aggregate. Identical SQL
-    * text is the oracle. The NOT IN branch filters the subquery to
-    * big-ticket orders, so customers either never ordered or only
-    * ordered small — the anti-join-with-a-twist every analyst writes. */
+    * text is the oracle. The NOT EXISTS branch checks for big-ticket
+    * orders, so the surviving customers either never ordered big or
+    * only ordered small — the anti-join-with-a-twist every analyst
+    * writes as `NOT IN`.
+    *
+    * Why NOT EXISTS and not NOT IN: three-valued NOT IN semantics
+    * force Spark into a null-aware anti join, which plans as a
+    * BroadcastNestedLoopJoin ExistenceJoin — condition
+    * `(c = o) OR isnull(c = o)`, every outer row compared against
+    * every broadcast subquery row, quadratic-with-spill once the
+    * subquery outgrows broadcast at scale. Adding `o_custkey IS NOT
+    * NULL` inside the subquery does NOT fix it: the filter reaches
+    * the scan but parquet attributes stay nullable in the plan, so
+    * Catalyst cannot drop the isnull wing (verified empirically —
+    * the BNLJ survives the guard). NOT EXISTS carries the equality
+    * in the correlation instead, no null wing exists, and the plan
+    * is a hashed BroadcastHashJoin ExistenceJoin — the same shape as
+    * `anti_join_no_big_orders`. On key columns the two forms are
+    * equivalent. PlanShapeSpec pins the absence of the nested-loop
+    * fallback. */
   val existsNotInSql: String =
     """SELECT c_mktsegment,
       |       count(*) AS n_with_orders,
-      |       CAST(SUM(CASE WHEN c_custkey NOT IN
-      |                  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+      |       CAST(SUM(CASE WHEN NOT EXISTS
+      |                  (SELECT 1 FROM orders o2
+      |                   WHERE o2.o_custkey = c_custkey AND o2.o_totalprice > 300000)
       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_no_big_orders
       |FROM customer
       |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

@@ -64,6 +64,29 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(rand.sum.toDouble / rand.size > 15.0)
   }
 
+  test("fuzzy_match_prefix drops a synthetic hot block but keeps honest blocks") {
+    import spark.implicits._
+    // hot block: MaxBlock+5 docs behind one boilerplate 8-char opening
+    // (the "<!DOCTYPE ht..." crawl hazard) — must produce ZERO pairs;
+    // honest block: 3 near-identical prefixes — all 3 pairs survive
+    val hot = (0L until (Dedup.MaxBlock + 5).toLong).map { i =>
+      (i, s"BOILERPL common prefix with tail $i")
+    }
+    val honest = Seq(
+      (10001L, "HONESTBK the quick brown fox"),
+      (10002L, "HONESTBK the quick brown fax"),
+      (10003L, "HONESTBK the quick brown fix"))
+    val docs = (hot ++ honest).toDF("doc_id", "text")
+    val got = Dedup.fuzzyMatchPrefixOf(docs).as[(Long, Long, Long)].collect()
+    assert(got.forall { case (d1, d2, _) => d1 >= 10001L && d1 < d2 },
+      s"hot-block pairs leaked through the cap: ${got.take(5).toSeq}")
+    assert(got.length == 3, s"expected the 3 honest pairs, got ${got.toSeq}")
+    // and with the cap lifted past the block size, the same hot block
+    // would have produced its quadratic pair count — the cap is load-bearing
+    val hotPairs = (Dedup.MaxBlock + 5).toLong * (Dedup.MaxBlock + 4).toLong / 2
+    assert(hotPairs > 500000L)
+  }
+
   test("dedup_exact survivor count never exceeds doc count and is stable") {
     import spark.implicits._
     val survivors = Dedup.dedupExact(spark, sfDir)

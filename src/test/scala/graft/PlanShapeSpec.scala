@@ -104,6 +104,16 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"corpus side must stay narrow:\n$p")
   }
 
+  test("sql_exists_not_in plans NOT IN as a hashed anti join, not a nested loop") {
+    val p = plan("sql_exists_not_in")
+    // without the IS NOT NULL guard in the subquery, three-valued NOT IN
+    // semantics force a BroadcastNestedLoopJoin ExistenceJoin — every
+    // customer row vs every broadcast big-order row, quadratic at scale
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"NOT IN fell back to the null-aware nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected hashed semi/anti joins:\n$p")
+  }
+
   test("asof_next_purchase shares the forward plan shape: one exchange, one window, no join") {
     val p = plan("asof_next_purchase")
     val nHash = "Exchange hashpartitioning".r.findAllIn(p).length
