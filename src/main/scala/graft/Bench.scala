@@ -103,27 +103,54 @@ object Bench {
       Tables.load(spark, sfDir, "region").groupBy("r_name").count().collect()
     } catch { case _: Throwable => () }
 
+    // repeat mode (round-3 verdict): single samples on this box vary
+    // 43-56 s run-to-run under external load (BASELINE.md:131-133),
+    // making per-query cross-round deltas unreadable. Each query runs
+    // `reps` times; `queries` carries the MEDIAN (the comparison
+    // number), `queries_first` the cold first sample (what single-shot
+    // rounds measured — for cache-fed queries the first run also
+    // absorbs any session-scoped pipeline materialization, so the
+    // first/median split makes that cost visible instead of hidden).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val records = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+    val firsts = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // record counters snapshot around the FIRST (cold) run only, so
+      // `records` keeps meaning "what one execution moves"
       val before = counters.settled
-      val (secs, err) = timeQuery(spark, fn, sfDir)
+      val (secs0, err0) = timeQuery(spark, fn, sfDir)
       val after = counters.settled
       records(name) = (after._1 - before._1, after._2 - before._2)
-      err.foreach(errors(name) = _)
       // a failed query reports -1, never a plausible-looking time
-      name -> (if (err.isDefined) -1.0 else secs)
+      firsts(name) = if (err0.isDefined) -1.0 else secs0
+      err0.foreach(errors(name) = _)
+      val samples =
+        if (err0.isDefined) Seq(-1.0)
+        else secs0 +: (2 to reps).map { _ =>
+          val (s, e) = timeQuery(spark, fn, sfDir)
+          e.foreach(errors(name) = _)
+          if (e.isDefined) -1.0 else s
+        }
+      name -> (if (samples.contains(-1.0)) -1.0 else median(samples))
     }
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val fs = firsts.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val rs = records.map { case (k, (in, sh)) =>
       jstr(k) + s""":{"in":$in,"shuffle":$sh}""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val totalFirst = firsts.collect { case (_, v) if v >= 0 => v }.sum
     val baselineSubset = results.collect {
       case (k, v) if v >= 0 && BaselineQueries(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"records":$rs,"errors":$es,"baseline_subset_sec":$baselineSubset,"n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first":$fs,"records":$rs,"errors":$es,"baseline_subset_sec":$baselineSubset,"total_first_sec":$totalFirst,"reps":$reps,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
