@@ -13,9 +13,9 @@ import graft.Tables
   * column processed in executor batches via `mapPartitions` over a typed
   * Dataset (one decoder instance per partition, bytes never touch the
   * driver) producing a typed metadata row. [[decode]] parses REAL
-  * container headers for two public header-only formats (BMP,
-  * farbfeld — certified by the `multimodal_bmp_decode` round-trip
-  * oracle); payloads in no recognized format fall back to
+  * container headers for three public header-only formats (BMP,
+  * farbfeld, PNG IHDR — certified by the `multimodal_bmp_decode`
+  * round-trip oracle); payloads in no recognized format fall back to
   * [[decodeStub]], which derives deterministic fake dimensions from an
   * md5 of the bytes (this sandbox has no pixel codecs). A real
   * deployment adds codec branches beside the header parsers; nothing
@@ -68,10 +68,16 @@ object Multimodal {
 
   private val FarbfeldMagic = "farbfeld".getBytes("US-ASCII")
 
-  /** REAL header parsers for two public header-only-decodable formats —
-    * the non-stub decode path (the codec-free sandbox can't decode
-    * pixel data, but container headers are plain public-spec byte
-    * layouts):
+  /** PNG signature (public spec, RFC 2083 §3.1): \x89 'P' 'N' 'G'
+    * \r \n \x1a \n — the 0x89 lead byte alone is un-typable in any
+    * text payload. */
+  private val PngMagic =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** REAL header parsers for three public header-only-decodable
+    * formats — the non-stub decode path (the codec-free sandbox can't
+    * decode pixel data, but container headers are plain public-spec
+    * byte layouts):
     *  - BMP (Windows BITMAPINFOHEADER): 'B''M' magic, little-endian
     *    i32 width at offset 18, i32 height at 22 (negative height =
     *    top-down row order → abs). Guarded on the four RESERVED bytes
@@ -82,8 +88,14 @@ object Multimodal {
     *    width at 8, height at 12. Guarded on the high byte of each dim
     *    being zero (dims < 2^24 — every real image), which again no
     *    text continuation can satisfy.
+    *  - PNG (RFC 2083): 8-byte signature, then the IHDR chunk —
+    *    big-endian u32 chunk length at offset 8 (must be 13 for
+    *    IHDR), ASCII type "IHDR" at 12, big-endian u32 width at 16,
+    *    height at 20. The signature's 0x89 lead byte plus the
+    *    length==13 and type guards make a false positive impossible;
+    *    no pixel codec is ever touched.
     * Returns (fmt, width, height, n_frames); unrecognized payloads
-    * fall back to the md5 [[decodeStub]] with fmt = "stub". Both
+    * fall back to the md5 [[decodeStub]] with fmt = "stub". All
     * still images report n_frames = 1. */
   def decode(payload: Array[Byte]): (String, Long, Long, Long) = {
     if (payload.length >= 26 && payload(0) == 'B' && payload(1) == 'M' &&
@@ -100,6 +112,12 @@ object Multimodal {
         payload.startsWith(FarbfeldMagic) &&
         payload(8) == 0 && payload(12) == 0) {
       ("farbfeld", beU32(payload, 8), beU32(payload, 12), 1L)
+    } else if (payload.length >= 24 &&
+        payload.startsWith(PngMagic) &&
+        beU32(payload, 8) == 13L &&
+        payload(12) == 'I' && payload(13) == 'H' &&
+        payload(14) == 'D' && payload(15) == 'R') {
+      ("png", beU32(payload, 16), beU32(payload, 20), 1L)
     } else {
       val (w, h, f) = decodeStub(payload)
       ("stub", w, h, f)
@@ -122,6 +140,20 @@ object Multimodal {
     val bb = java.nio.ByteBuffer.allocate(16)
       .order(java.nio.ByteOrder.BIG_ENDIAN)
     bb.put(FarbfeldMagic).putInt(width).putInt(height)
+    bb.array()
+  }
+
+  /** Minimal valid PNG prefix: signature + full IHDR chunk (length,
+    * type, 13 data bytes — w, h, bit depth 8, color type 2/truecolor,
+    * compression 0, filter 0, interlace 0 — and the 4-byte CRC slot;
+    * header-only fixture, no pixel chunks). */
+  def pngBytes(width: Int, height: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(33)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(PngMagic)
+      .putInt(13).put("IHDR".getBytes("US-ASCII"))
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
     bb.array()
   }
 
@@ -236,13 +268,14 @@ object Multimodal {
   }
 
   /** Oracled round-trip certification of the REAL header parsers:
-    * synthesize a BMP (even doc_ids) or farbfeld (odd) container per
-    * document with dimensions derived from doc_id, run the bytes
-    * through [[decode]] in executor batches, and emit what the parser
-    * read. The oracle predicts the dimensions from doc_id directly —
-    * any endianness/offset/guard bug in the parser mismatches. The
-    * synthesizing and parsing happen in the SAME mapPartitions batch,
-    * so this is narrow and zero-shuffle. */
+    * synthesize a BMP (doc_id ≡ 0 mod 3), farbfeld (≡ 1), or PNG
+    * (≡ 2) container per document with dimensions derived from
+    * doc_id, run the bytes through [[decode]] in executor batches,
+    * and emit what the parser read. The oracle predicts the
+    * dimensions from doc_id directly — any endianness/offset/guard
+    * bug in any of the three parsers mismatches. The synthesizing and
+    * parsing happen in the SAME mapPartitions batch, so this is
+    * narrow and zero-shuffle. */
   def multimodalBmpDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
@@ -251,8 +284,11 @@ object Multimodal {
         it.map { id =>
           val w = (64L + id % 1857L).toInt
           val h = (64L + id % 1017L).toInt
-          val payload =
-            if (id % 2 == 0) bmpBytes(w, h) else farbfeldBytes(w, h)
+          val payload = (id % 3) match {
+            case 0 => bmpBytes(w, h)
+            case 1 => farbfeldBytes(w, h)
+            case _ => pngBytes(w, h)
+          }
           val (fmt, dw, dh, fr) = decode(payload)
           (id, fmt, dw, dh, fr)
         }
@@ -270,7 +306,8 @@ object Multimodal {
     // the Spark side must PARSE them back out of the container bytes
     "multimodal_bmp_decode" ->
       """SELECT doc_id,
-        |       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'farbfeld' END AS fmt,
+        |       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'farbfeld'
+        |            ELSE 'png' END AS fmt,
         |       64 + doc_id % 1857 AS width,
         |       64 + doc_id % 1017 AS height,
         |       CAST(1 AS BIGINT) AS n_frames

@@ -34,9 +34,10 @@ import org.apache.spark.storage.StorageLevel
   *    AQE renders per plan update is already hundreds of MB and OOMs
   *    the driver (caught by the random-graph spec). With the
   *    checkpoint every round starts from a constant-size LogicalRDD.
-  *    On a real cluster, swap `localCheckpoint` (lost on executor
-  *    failure) for reliable `checkpoint` against shared storage —
-  *    same truncation, failure-tolerant.
+  *    On a real cluster, pass `checkpointDir` to swap
+  *    `localCheckpoint` (lost on executor failure) for reliable
+  *    `checkpoint` against shared storage — same truncation,
+  *    failure-tolerant. The swap is a parameter, not an edit.
   *
   * Fails loudly (IllegalStateException) if `maxIters` rounds pass
   * without convergence — a silently-unconverged labeling would be
@@ -47,13 +48,32 @@ object ConnectedComponents {
   /** @param edges     two-column frame of undirected edges
     * @param srcCol    left endpoint column name
     * @param dstCol    right endpoint column name
+    * @param maxIters  loud-failure bound on propagation rounds
+    * @param checkpointDir when set, per-round truncation uses RELIABLE
+    *                  `checkpoint` into this (shared-storage) path —
+    *                  the cluster-grade mode that survives executor
+    *                  loss; when None, `localCheckpoint` (executor
+    *                  blocks — right for local[k] and fastest). Set
+    *                  `spark.cleaner.referenceTracking.cleanCheckpoints`
+    *                  on long-lived sessions so superseded round files
+    *                  are reaped.
     * @return columns (id, label): one row per distinct node in
     *         `edges`, label = min node id of its component. The
-    *         returned frame is locally-checkpointed (materialized);
-    *         callers own the unpersist.
+    *         returned frame is checkpointed (materialized); callers
+    *         own the unpersist.
     */
   def resolve(edges: DataFrame, srcCol: String, dstCol: String,
-              maxIters: Int = 50): DataFrame = {
+              maxIters: Int = 50,
+              checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(d =>
+      edges.sparkSession.sparkContext.setCheckpointDir(d))
+    // eager checkpoint, not persist: truncates the logical plan each
+    // round (see object Scaladoc — the plan doubles per round
+    // otherwise) AND materializes the frame in one move
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     // symmetrize once; both propagation sides read this frame each round
@@ -61,20 +81,15 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // eager localCheckpoint, not persist: truncates the logical plan
-    // each round (see object Scaladoc — the plan doubles per round
-    // otherwise) AND materializes the frame in one move
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    var labels = truncate(sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var prevSum: Option[java.math.BigDecimal] = None
     var iter = 0
     while (iter < maxIters) {
       val prop = sym.join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), labels("label"))
-      val next = labels.select("id", "label").union(prop)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+      val next = truncate(labels.select("id", "label").union(prop)
+        .groupBy("id").agg(min("label").as("label")))
       // null sum <=> empty node set: trivially converged
       val s = Option(next.agg(sum(col("label").cast(DecimalType(38, 0))))
         .head().getDecimal(0))

@@ -258,6 +258,33 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("connected components: reliable-checkpoint mode labels == localCheckpoint labels") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7) // fixed seed: deterministic test
+    val edges = (Seq.fill(25)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2) ++
+      // a diameter-15 path so both modes truncate across many rounds
+      (200L until 215L).map(i => (i, i + 1))).toDF("a", "b")
+    val local = graft.operators.ConnectedComponents
+      .resolve(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_cc_ckpt").toString
+    try {
+      val reliable = graft.operators.ConnectedComponents
+        .resolve(edges, "a", "b", checkpointDir = Some(ckptDir))
+        .as[(Long, Long)].collect().toMap
+      assert(reliable == local)
+      // reliable mode actually wrote round snapshots to the shared dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable checkpoint wrote nothing")
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(ckptDir))
+    }
+  }
+
   test("neardup_clusters: cluster_id is the min member, sizes agree, survivors filter") {
     import spark.implicits._
     val clusters = Dedup.neardupClusters(spark, sfDir)

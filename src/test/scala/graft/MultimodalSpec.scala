@@ -62,6 +62,25 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(Multimodal.decode(core)._1 == "stub")
   }
 
+  test("decode parses a hand-built PNG IHDR, big-endian dims") {
+    assert(Multimodal.decode(Multimodal.pngBytes(1024, 768)) ==
+      (("png", 1024L, 768L, 1L)))
+    // multi-byte big-endian widths must not be flipped
+    assert(Multimodal.decode(Multimodal.pngBytes(70000, 65537)) ==
+      (("png", 70000L, 65537L, 1L)))
+    // a PNG whose first chunk is not a 13-byte IHDR must refuse
+    // rather than read garbage dims
+    val wrongLen = Multimodal.pngBytes(64, 64)
+    wrongLen(11) = 14
+    assert(Multimodal.decode(wrongLen)._1 == "stub")
+    val wrongType = Multimodal.pngBytes(64, 64)
+    wrongType(12) = 'J'.toByte
+    assert(Multimodal.decode(wrongType)._1 == "stub")
+    // the 8-byte signature alone (truncated before IHDR) is not enough
+    assert(Multimodal.decode(
+      Multimodal.pngBytes(64, 64).take(16))._1 == "stub")
+  }
+
   test("decode falls back to the md5 stub for text payloads — even BM/farbfeld prefixes") {
     for (s <- Seq("plain document text", "BM is a text prefix long enough to pass the length gate",
                   "farbfeld is also just a word in this sentence")) {
