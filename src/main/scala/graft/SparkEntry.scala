@@ -22,6 +22,7 @@ object SparkEntry {
     (operators.TemporalJoins.queries, operators.TemporalJoins.oracles),
     (operators.Behavioral.queries, operators.Behavioral.oracles),
     (operators.Skew.queries, operators.Skew.oracles),
+    (operators.Bucketed.queries, operators.Bucketed.oracles),
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),
     (dedup.Dedup.queries, dedup.Dedup.oracles),
     (similarity.Similarity.queries, similarity.Similarity.oracles),

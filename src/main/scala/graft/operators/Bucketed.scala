@@ -1,0 +1,104 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+
+/** Bucketed CO-LOCATED fact-fact join — the shuffle-elimination
+  * mitigation for the one join class broadcast can't save: both sides
+  * big (orders ⋈ lineitem at 100 TB is fact-vs-fact; neither fits in
+  * memory). Writing both tables `bucketBy(k, join_key).sortBy` means
+  * every future join/aggregate on that key reads co-partitioned,
+  * pre-sorted buckets: the SortMergeJoin needs NO exchange and NO
+  * sort, and a following groupBy on the same key reuses the bucketing
+  * too — the whole query plans with ZERO hash exchanges (pinned by
+  * PlanShapeSpec). This is the declared-query counterpart of the
+  * SurfaceSpec bucketing test, with the same contract as
+  * `skew_salted_sum`: the MITIGATION MUST BE INVISIBLE — the oracle is
+  * the plain orders⋈lineitem SQL over the raw parquet, so a bucketing
+  * bug (wrong key, dropped rows, stale buckets) hash-mismatches.
+  *
+  * The bucketed tables are materialized once per (session, corpus)
+  * into the warehouse, keyed by a corpus fingerprint (row count +
+  * crc32 sum — same staleness defense as the binaryFile staging dir:
+  * regenerated fixture data gets fresh buckets, never stale files).
+  * In production this write IS the ingest step — you pay one shuffle
+  * at load time and never again on the join key; at 100 TB the bucket
+  * count scales with data (thousands, not 32) and the same query text
+  * runs unchanged.
+  *
+  * The `merge` hint keeps the demonstration honest at test scale:
+  * without it Catalyst would broadcast the small-SF lineitem side and
+  * the co-location would never be exercised — at real scale SMJ is
+  * what the planner picks on its own.
+  */
+object Bucketed {
+
+  val NumBuckets = 32
+
+  private val dbCache =
+    new ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Ensure bucketed twins of orders/lineitem exist for `dir`; returns
+    * the database name. Memoized per (session, corpus); on a fresh
+    * session with the warehouse already populated the tables are
+    * re-registered, not re-written. */
+  def ensureBucketed(spark: SparkSession, dir: String): String =
+    dbCache.computeIfAbsent((spark, dir), { _ =>
+      import spark.implicits._
+      val (n, fp) = Tables.load(spark, dir, "orders")
+        .agg(count(lit(1)), sum(crc32(col("o_orderkey").cast("string"))))
+        .as[(Long, Long)].head()
+      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val db = s"graft_bucketed_${key}_${n}_$fp"
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      if (!spark.catalog.tableExists(s"$db.orders_b")) {
+        Tables.load(spark, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("overwrite")
+          .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(s"$db.orders_b")
+      }
+      if (!spark.catalog.tableExists(s"$db.lineitem_b")) {
+        Tables.load(spark, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+          .write.mode("overwrite")
+          .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(s"$db.lineitem_b")
+      }
+      db
+    })
+
+  /** Per-order item rollup over the bucketed twins: join + aggregate,
+    * both on the bucket key, zero exchanges end to end. */
+  def bucketedJoinRollup(spark: SparkSession, dir: String): DataFrame = {
+    val db = ensureBucketed(spark, dir)
+    val o = spark.table(s"$db.orders_b")
+    val l = spark.table(s"$db.lineitem_b")
+    o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bucketed_join_rollup" -> (bucketedJoinRollup _))
+
+  val oracles: Map[String, String] = Map(
+    // the oracle knows nothing of buckets: plain join over raw parquet
+    "bucketed_join_rollup" ->
+      """SELECT o_orderkey,
+        |       count(*) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey""".stripMargin)
+}

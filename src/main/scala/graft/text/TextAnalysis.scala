@@ -338,6 +338,54 @@ object TextAnalysis {
           / col("n_shingles").cast(DoubleType), 6).as("contamination"))
   }
 
+  /** The 100 TB FORM of [[evalDecontamination]]: the train side
+    * compacted into a BLOOM FILTER instead of a distinct-join —
+    * approximate membership, one-sided error (false positives only,
+    * so measured contamination can only over-report, never miss).
+    * Built with `DataFrameStatFunctions.bloomFilter` (a distributed
+    * aggregate; executors fold their partitions into per-task filters
+    * that merge by OR), broadcast back, and applied as a narrow
+    * filter on the eval shingle stream — the shuffle-heavy
+    * shingle-keyed equi-join disappears entirely.
+    *
+    * Honest scale note: ONE global filter is the right shape up to
+    * ~10^10 train shingles (a 1%-fpp filter is ~1.2 GB — broadcast
+    * range); past that the production layout hash-partitions BOTH
+    * sides by shingle and builds per-shard filters of bounded size,
+    * same mechanism shard-locally. The exact distinct-join form
+    * ([[evalDecontamination]]) is the audit baseline this
+    * approximation is pinned against (TextSpec: FP rate < 1%).
+    *
+    * No DuckDB oracle by the sketch rule — Bloom bit layouts are
+    * engine-specific; the spec pins behavior instead. */
+  def evalDecontaminationBloom(spark: SparkSession, dir: String,
+                               fpp: Double = 0.001): DataFrame = {
+    val sh = graft.dedup.Dedup.cachedDocShingles(spark, dir)
+    val split = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), splitCol.as("split"))
+    val tagged = sh.join(split, "doc_id")
+    val trainShingles = tagged.filter(col("split") === "train")
+      .select(explode(col("sh")).as("s")).distinct()
+    // sizing pass: expectedNumItems drives the bit-array width; the
+    // distinct frame is persisted upstream so both passes are cheap
+    val nTrain = math.max(trainShingles.count(), 1L)
+    val bloom = trainShingles.stat.bloomFilter("s", nTrain, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((s: String) => bloomB.value.mightContainString(s))
+    val evalDocs = tagged.filter(col("split") === "eval" && size(col("sh")) > 0)
+    val hits = evalDocs
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .filter(mightContain(col("s")))
+      .groupBy("doc_id").agg(count(lit(1)).as("c"))
+    evalDocs.select(col("doc_id"), size(col("sh")).cast(LongType).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("c"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("c"), lit(0L)).cast(DoubleType)
+          / col("n_shingles").cast(DoubleType), 6).as("contamination"))
+  }
+
   /** Global top-20 bigrams by count (ties broken lexicographically).
     * Tokenization in a tight typed flatMap (higher-order Column lambdas
     * evaluate interpreted); `orderBy.limit` plans as

@@ -104,6 +104,15 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"corpus side must stay narrow:\n$p")
   }
 
+  test("bucketed_join_rollup: SMJ + aggregate on the bucket key, zero hash exchanges") {
+    val p = plan("bucketed_join_rollup")
+    assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+    val nHash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nHash == 0, s"bucketing must eliminate every exchange, got $nHash:\n$p")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      s"scan did not report bucketed read:\n$p")
+  }
+
   test("sql_exists_not_in plans NOT IN as a hashed anti join, not a nested loop") {
     val p = plan("sql_exists_not_in")
     // without the IS NOT NULL guard in the subquery, three-valued NOT IN

