@@ -56,20 +56,27 @@ object Bucketed {
       val key = dir.replaceAll("[^A-Za-z0-9]", "_")
       val db = s"graft_bucketed_${key}_${n}_$fp"
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-      if (!spark.catalog.tableExists(s"$db.orders_b")) {
+      // the in-memory catalog dies with the session but managed-table
+      // FILES persist in the warehouse; CREATE refuses to reuse an
+      // existing location, so clear any orphaned files before writing
+      // (same fingerprint = same data — nothing of value is lost)
+      def writeBucketed(table: String, build: => DataFrame,
+                        bucketCol: String): Unit =
+        if (!spark.catalog.tableExists(s"$db.$table")) {
+          val loc = new org.apache.hadoop.fs.Path(
+            spark.catalog.getDatabase(db).locationUri, table)
+          val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(loc)) fs.delete(loc, true)
+          build.write.mode("overwrite")
+            .bucketBy(NumBuckets, bucketCol).sortBy(bucketCol)
+            .saveAsTable(s"$db.$table")
+        }
+      writeBucketed("orders_b",
         Tables.load(spark, dir, "orders")
-          .select("o_orderkey", "o_custkey", "o_totalprice")
-          .write.mode("overwrite")
-          .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
-          .saveAsTable(s"$db.orders_b")
-      }
-      if (!spark.catalog.tableExists(s"$db.lineitem_b")) {
+          .select("o_orderkey", "o_custkey", "o_totalprice"), "o_orderkey")
+      writeBucketed("lineitem_b",
         Tables.load(spark, dir, "lineitem")
-          .select("l_orderkey", "l_quantity", "l_extendedprice")
-          .write.mode("overwrite")
-          .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
-          .saveAsTable(s"$db.lineitem_b")
-      }
+          .select("l_orderkey", "l_quantity", "l_extendedprice"), "l_orderkey")
       db
     })
 
