@@ -237,6 +237,53 @@ object Dedup {
       .filter(col("lev") <= 5)
   }
 
+  /** EXACT SUBSTRING-duplication analysis — the within-corpus measure
+    * behind suffix-array training-data dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): for
+    * each doc, what fraction of its 8-token windows occurs verbatim in
+    * more than one document. Unlike Jaccard near-dup (whole-doc
+    * similarity) this catches PARTIAL copies — a quoted paragraph, a
+    * boilerplate footer — that document-level signatures dilute away.
+    *
+    * Spark shape instead of a suffix array: explode each doc's
+    * distinct 8-token windows (tight typed flatMap — the per-token
+    * loop stays out of interpreted Column lambdas), count docs per
+    * window, join the flag back, aggregate per doc. Two shuffles
+    * (window key, then doc key), both partial-aggregating; nothing
+    * quadratic anywhere — the window join is 1:n on window COUNTS,
+    * never a doc-pair expansion. At 100 TB the window string itself is
+    * the shuffle key here for oracle transparency; production swaps it
+    * for the 60-bit rolling hash ([[graft.text.TextAnalysis]]
+    * doc_fingerprint kernel) — constant-width keys, same plan. */
+  def substringDupStats(spark: SparkSession, dir: String): DataFrame =
+    substringDupStatsOf(spark, Tables.load(spark, dir, "documents"))
+
+  /** [[substringDupStats]] over an explicit (doc_id, text, …) frame —
+    * split out so DedupSpec can assert exact span counts on a
+    * hand-built corpus. */
+  def substringDupStatsOf(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val WinTokens = 8
+    val wins = documents
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val ws = t.split(" ").filter(_.nonEmpty)
+        if (ws.length < WinTokens) Iterator.empty
+        else (0 to ws.length - WinTokens).iterator
+          .map(i => (id, ws.slice(i, i + WinTokens).mkString(" ")))
+      }
+      .toDF("doc_id", "w").distinct()
+    val counts = wins.groupBy("w").agg(count(lit(1)).as("nd"))
+    wins.join(counts, "w")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        round(col("n_dup_windows").cast(DoubleType)
+          / col("n_windows").cast(DoubleType), 6))
+  }
+
   // ---- exact n-gram Jaccard (quadratic baseline) ----
 
   /** All pairs with word-3gram Jaccard >= 0.5. Shared-shingle self-join:
@@ -529,6 +576,7 @@ object Dedup {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_normalized" -> (dedupNormalized _),
     "fuzzy_match_prefix" -> (fuzzyMatchPrefix _),
+    "substring_dup_stats" -> (substringDupStats _),
     "ngram_jaccard" -> (ngramJaccard _),
     // NOTE: the declared query maps to the UNcached builder so its
     // bench timing always measures the real pipeline — query-map
@@ -624,6 +672,22 @@ object Dedup {
         |  ON substring(a.text, 1, 8) = substring(b.text, 1, 8)
         | AND a.doc_id < b.doc_id
         |WHERE levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) <= 5""".stripMargin,
+    "substring_dup_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |wins AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ts[i:i+7], ' ') AS w
+        |  FROM toks, LATERAL unnest(generate_series(1, len(ts) - 7)) t(i)
+        |  WHERE len(ts) >= 8),
+        |cnt AS (SELECT w, count(*) AS nd FROM wins GROUP BY w)
+        |SELECT doc_id, count(*) AS n_windows,
+        |       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+        |       round(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS dup_frac
+        |FROM wins JOIN cnt USING (w)
+        |GROUP BY doc_id""".stripMargin,
     "ngram_jaccard" ->
       s"""WITH sh AS ($docShinglesSql),
          |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),

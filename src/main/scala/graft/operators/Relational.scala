@@ -259,6 +259,31 @@ object Relational {
       .distinct()
   }
 
+  /** LOCF gap-fill (last observation carried forward) — the standard
+    * time-series imputation: a sparse sensor/metric column filled from
+    * the most recent non-null reading per key. Sparsity is synthesized
+    * deterministically (click events report no value), then
+    * `last(_, ignoreNulls = true)` over ROWS UNBOUNDED PRECEDING
+    * fills forward; leading nulls stay null (nothing to carry). Both
+    * window functions (row_number for the stable output seq + the
+    * fill) share ONE window spec, so the plan is one exchange + one
+    * sort — per-key history length never matters. The carried value
+    * is a raw passthrough (no arithmetic), so cross-engine hashes are
+    * bit-exact; ordering is (ts, event_id) with the unique event_id
+    * breaking timestamp ties. */
+  def locfGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wFill = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        when(col("event_type") === "click", lit(null))
+          .otherwise(col("value")).as("v_sparse"))
+      .select(col("user_id"),
+        row_number().over(w).cast("long").as("seq"),
+        col("event_type"),
+        last(col("v_sparse"), ignoreNulls = true).over(wFill).as("v_filled"))
+  }
+
   /** Ranking-function coverage: rank / dense_rank / percent_rank /
     * ntile over a HIGH-cardinality partition key (per-customer order
     * ranking) — the shape where a window is the right tool, unlike the
@@ -437,6 +462,7 @@ object Relational {
     "cube_orders" -> (cubeOrders _),
     "lag_delta_per_user" -> (lagDeltaPerUser _),
     "nav_functions_per_user" -> (navFunctionsPerUser _),
+    "locf_gap_fill" -> (locfGapFill _),
     "intersect_except_keys" -> (intersectExceptKeys _),
     "theta_join_regions" -> (thetaJoinRegions _),
     "pivot_events_by_day" -> (pivotEventsByDay _),
@@ -547,6 +573,16 @@ object Relational {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "locf_gap_fill" ->
+      """SELECT user_id,
+        |       row_number() OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS seq,
+        |       event_type,
+        |       last_value(CASE WHEN event_type = 'click' THEN NULL
+        |                       ELSE value END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM events""".stripMargin,
     "intersect_except_keys" ->
       """SELECT
         |  (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders

@@ -104,6 +104,30 @@ object SqlSurface {
     spark.sql(existsNotInSql)
   }
 
+  /** Explicit GROUPING SETS — the general form ROLLUP and CUBE are
+    * sugar for: an arbitrary LIST of grouping combinations in ONE
+    * pass. Catalyst plans it exactly like the rollup/cube queries —
+    * one Expand (×3 here) feeding one hash aggregate, one exchange —
+    * so at 100 TB the cost is (#sets)× the pre-exchange rows, the
+    * documented Expand trade. `GROUPING(col)` disambiguates a
+    * "grouped-away" NULL from a data NULL — cast to BIGINT so both
+    * engines hash the same integer type. Identical SQL text is the
+    * oracle. */
+  val groupingSetsSql: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |       count(*) AS n_orders,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+      |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+      |                        (o_orderpriority, o_orderstatus))""".stripMargin
+
+  def groupingSetsMix(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(groupingSetsSql)
+  }
+
   /** Sketch aggregates: HyperLogLog++ distinct-count per event type,
     * beside the exact count. No oracle (DuckDB's approx sketch differs
     * by construction); ScalaTest pins the relative error instead. */
@@ -118,10 +142,12 @@ object SqlSurface {
     "sql_pricing_summary" -> (pricingSummary _),
     "sql_correlated_subquery" -> (correlatedSubquery _),
     "sql_exists_not_in" -> (existsNotIn _),
+    "sql_grouping_sets" -> (groupingSetsMix _),
     "approx_distinct_users" -> (approxDistinctUsers _))
 
   val oracles: Map[String, String] = Map(
     "sql_pricing_summary" -> pricingSummarySql,
     "sql_correlated_subquery" -> correlatedSubquerySql,
-    "sql_exists_not_in" -> existsNotInSql)
+    "sql_exists_not_in" -> existsNotInSql,
+    "sql_grouping_sets" -> groupingSetsSql)
 }

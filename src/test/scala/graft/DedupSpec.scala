@@ -87,6 +87,40 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(hotPairs > 500000L)
   }
 
+  test("substring_dup_stats finds the copied paragraph, not the unique text") {
+    import spark.implicits._
+    // 12 distinct tokens -> 5 windows of 8; doc 2 copies doc 1's
+    // paragraph verbatim inside otherwise-unique text; doc 3 is all
+    // unique; doc 4 is an exact duplicate of doc 3 plus nothing else
+    val para = (1 to 12).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, para),
+      (2L, s"u1 u2 u3 $para v1 v2 v3"),
+      (3L, (1 to 20).map(i => s"q$i").mkString(" ")),
+      (5L, (1 to 20).map(i => s"q$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDupStatsOf(spark, docs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, n, d, f) => id -> ((n, d, f)) }.toMap
+    // doc 1: every one of its 5 windows occurs inside doc 2
+    assert(got(1L) == ((5L, 5L, 1.0)))
+    // doc 2: 18 tokens -> 11 windows; the 5 pure-paragraph ones dup
+    assert(got(2L) == ((11L, 5L, round6(5.0 / 11))))
+    // docs 3/5: exact duplicates of each other -> fully duplicated
+    assert(got(3L) == ((13L, 13L, 1.0)))
+    assert(got(5L) == ((13L, 13L, 1.0)))
+    // and on the real corpus the output is total and bounded
+    val real = Dedup.substringDupStats(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(real.nonEmpty)
+    real.foreach { case (_, n, d, f) =>
+      assert(n > 0 && d >= 0 && d <= n && f >= 0.0 && f <= 1.0)
+    }
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("dedup_exact survivor count never exceeds doc count and is stable") {
     import spark.implicits._
     val survivors = Dedup.dedupExact(spark, sfDir)

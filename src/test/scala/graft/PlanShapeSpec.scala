@@ -104,6 +104,22 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"corpus side must stay narrow:\n$p")
   }
 
+  test("sql_grouping_sets plans via Expand over a single scan, one exchange") {
+    val p = plan("sql_grouping_sets")
+    assert(p.contains("Expand"), s"expected Expand-planned grouping sets:\n$p")
+    val nScans = "Scan parquet".r.findAllIn(p).length
+    assert(nScans == 1, s"expected a single scan, got $nScans:\n$p")
+    val nHash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nHash == 1, s"expected exactly 1 hash exchange, got $nHash:\n$p")
+  }
+
+  test("locf_gap_fill: both window functions share one exchange") {
+    val p = plan("locf_gap_fill")
+    val nHash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nHash == 1, s"expected exactly 1 hash exchange, got $nHash:\n$p")
+    assert(!p.contains("Join"), s"gap fill must not plan a join:\n$p")
+  }
+
   test("bucketed_join_rollup: SMJ + aggregate on the bucket key, zero hash exchanges") {
     val p = plan("bucketed_join_rollup")
     assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")

@@ -136,6 +136,32 @@ class RelationalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("locf_gap_fill carries the most recent non-click value forward") {
+    import spark.implicits._
+    val got = Relational.locfGapFill(spark, sfDir)
+      .as[(Long, Long, String, Option[Double])].collect()
+    val events = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)].collect()
+    assert(got.length == events.length)
+    // driver-side truth: replay LOCF over (ts, event_id)-sorted history
+    val want = events.groupBy(_._1).iterator.flatMap { case (u, evs) =>
+      var carried: Option[Double] = None
+      evs.sortBy(e => (e._2, e._3)).zipWithIndex.map { case (e, i) =>
+        if (e._4 != "click") carried = Some(e._5)
+        (u, i + 1L, e._4) -> carried
+      }
+    }.toMap
+    got.foreach { case (u, seq, typ, filled) =>
+      assert(want((u, seq, typ)) == filled,
+        s"user $u seq $seq: got $filled, want ${want((u, seq, typ))}")
+    }
+    // the synthesized sparsity is real: some rows are clicks, and a
+    // user's leading clicks stay null
+    assert(got.exists(_._3 == "click"))
+  }
+
   test("running_sum_per_user final value equals the user's total") {
     import spark.implicits._
     val last = Relational.runningSumPerUser(spark, sfDir)
