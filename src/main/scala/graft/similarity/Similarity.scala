@@ -298,7 +298,13 @@ object Similarity {
     * shuffles; per-probe top-k runs through the same
     * [[graft.operators.BoundedTopK]] as the exact path. Recall/latency
     * trades via IvfProbeCells exactly like production IVF indexes. */
-  def similarAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** The n×C vector-vs-trained-centroid cosine pass, persisted and
+    * memoized per (session, corpus) — it feeds the IVF assignment
+    * branch, the probe-cell branch, and the cluster-balance query;
+    * without the persist Spark recomputes the pass (and its parquet
+    * scan) once per consumer; without the memo each CALL leaked a
+    * cache. */
+  private def ivfSims(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vecs = vectors(spark, dir)
     // trained coarse quantizer (deterministic k-means), as a local-rows
@@ -309,20 +315,40 @@ object Similarity {
       .toDF("cid", "cv")
       .withColumn("cnrm", norm(col("cv")))
     val s = dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
-    // persisted (memoized per session+dir): the n×C scoring pass feeds
-    // both the assignment branch and the probe-cell branch — without
-    // the persist Spark recomputes the pass (and its parquet scan)
-    // once per consumer; without the memo each CALL leaked a cache
-    val sims = Similarity.ivfSimsCache.computeIfAbsent((spark, dir), { _ =>
+    Similarity.ivfSimsCache.computeIfAbsent((spark, dir), { _ =>
       vecs.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("cid"), s.as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
-    // argmax centroid with cid tie-break == min over (-s, cid) structs
-    val assign = sims
+  }
+
+  /** Every vector's trained-cluster assignment: argmax centroid with
+    * cid tie-break == min over (-s, cid) structs. */
+  private def ivfAssign(spark: SparkSession, dir: String): DataFrame =
+    ivfSims(spark, dir)
       .groupBy("vec_id")
       .agg(min(struct(negate(col("s")).as("ns"), col("cid"))).as("b"))
       .select(col("vec_id"), col("b.cid").as("cid"))
+
+  /** Cluster-balance profile of the corpus over the TRAINED k-means
+    * cells — the "is my training mix topically skewed" audit that
+    * drives cluster-balanced sampling (the embedding-space analog of
+    * `corpus_balance_sample`'s per-language quotas): one row per
+    * cluster with its member count. Cost beyond the shared scoring
+    * pass is one C-row aggregate. The oracle replays the full 5-round
+    * training in SQL (same CTEs as `similar_ann_ivf`) and counts the
+    * final assignment — so a drift in training, scoring, or tie-break
+    * order shows up as a count mismatch. */
+  def embeddingClusterBalance(spark: SparkSession, dir: String): DataFrame =
+    ivfAssign(spark, dir)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vectors"))
+
+  def similarAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = vectors(spark, dir)
+    val sims = ivfSims(spark, dir)
+    val assign = ivfAssign(spark, dir)
     val probeTop = new graft.operators.BoundedTopK[Neighbor](
       IvfProbeCells, neighborBetter).toColumn
     val probeCells = sims.filter(col("vec_id") < NumProbes)
@@ -384,6 +410,7 @@ object Similarity {
     "similar_ann_lsh" -> (similarAnnLsh _),
     "similar_ann_multiprobe" -> (similarAnnMultiprobe _),
     "similar_ann_ivf" -> (similarAnnIvf _),
+    "embedding_cluster_balance" -> (embeddingClusterBalance _),
     "embedding_quantize" -> (embeddingQuantize _))
 
   private val cosineSql =
@@ -473,6 +500,22 @@ object Similarity {
          |  JOIN v pv ON pv.vec_id = p.probe_id
          |  JOIN v av ON av.vec_id = a.vec_id) t
          |WHERE rn <= $K""".stripMargin,
+    // same training replay, reduced to the final per-cell census
+    "embedding_cluster_balance" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+         |           WHERE vec_id < $IvfCells),
+         |${ivfTrainingCtes.mkString(",\n")},
+         |sims AS (SELECT vec_id, c.cid,
+         |           list_dot_product(v.v, c.cv) /
+         |           (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+         |         FROM v, cents$IvfIters c),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |    FROM sims) t
+         |  WHERE rn = 1)
+         |SELECT cid, count(*) AS n_vectors FROM assign GROUP BY cid""".stripMargin,
     "similar_ann_lsh" ->
       s"""WITH $lshBucketsCte
          |SELECT probe_id, neighbor_id, round(sim, 6) AS sim FROM (
