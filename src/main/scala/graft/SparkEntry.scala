@@ -23,6 +23,7 @@ object SparkEntry {
     (operators.Behavioral.queries, operators.Behavioral.oracles),
     (operators.Skew.queries, operators.Skew.oracles),
     (operators.Bucketed.queries, operators.Bucketed.oracles),
+    (sources.OrcSource.queries, sources.OrcSource.oracles),
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),
     (dedup.Dedup.queries, dedup.Dedup.oracles),
     (similarity.Similarity.queries, similarity.Similarity.oracles),

@@ -104,6 +104,39 @@ object SqlSurface {
     spark.sql(existsNotInSql)
   }
 
+  /** TPC-H Q5 shape — the six-table join chain (customer ⋈ orders ⋈
+    * lineitem ⋈ supplier ⋈ nation ⋈ region) every warehouse runs,
+    * written as a flat WHERE conjunction so CATALYST picks the join
+    * order: the optimizer must push the region/date filters to the
+    * scans, start from the 1-row filtered region, and broadcast the
+    * dimension chain up the fact spine — exactly the reorder this
+    * query certifies. At 100 TB the o_orderdate range prunes
+    * partitions when orders is date-partitioned; the only big-big
+    * join (orders ⋈ lineitem) shuffles on orderkey, everything else
+    * broadcasts. Identical SQL text is the oracle; revenue follows
+    * the DECIMAL-exact-then-DOUBLE discipline. */
+  val localSupplierVolumeSql: String =
+    """SELECT n_name,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
+
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(localSupplierVolumeSql)
+  }
+
   /** Explicit GROUPING SETS — the general form ROLLUP and CUBE are
     * sugar for: an arbitrary LIST of grouping combinations in ONE
     * pass. Catalyst plans it exactly like the rollup/cube queries —
@@ -143,11 +176,13 @@ object SqlSurface {
     "sql_correlated_subquery" -> (correlatedSubquery _),
     "sql_exists_not_in" -> (existsNotIn _),
     "sql_grouping_sets" -> (groupingSetsMix _),
+    "sql_local_supplier_volume" -> (localSupplierVolume _),
     "approx_distinct_users" -> (approxDistinctUsers _))
 
   val oracles: Map[String, String] = Map(
     "sql_pricing_summary" -> pricingSummarySql,
     "sql_correlated_subquery" -> correlatedSubquerySql,
     "sql_exists_not_in" -> existsNotInSql,
-    "sql_grouping_sets" -> groupingSetsSql)
+    "sql_grouping_sets" -> groupingSetsSql,
+    "sql_local_supplier_volume" -> localSupplierVolumeSql)
 }

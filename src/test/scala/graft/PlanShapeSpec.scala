@@ -120,6 +120,13 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("Join"), s"gap fill must not plan a join:\n$p")
   }
 
+  test("orc_roundtrip_agg scans ORC and prunes to the two referenced columns") {
+    val p = plan("orc_roundtrip_agg")
+    assert(p.contains("Scan orc"), s"expected an ORC scan:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("doc_id"),
+      s"unused columns not pruned from the ORC scan:\n$p")
+  }
+
   test("bucketed_join_rollup: SMJ + aggregate on the bucket key, zero hash exchanges") {
     val p = plan("bucketed_join_rollup")
     assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
