@@ -120,6 +120,20 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("Join"), s"gap fill must not plan a join:\n$p")
   }
 
+  test("sql_local_supplier_volume: filters pushed, joins hashed, one exchange") {
+    val p = plan("sql_local_supplier_volume")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date range not pushed to the orders scan:\n$p")
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      s"region filter not pushed to the region scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"six-table chain must stay hashed:\n$p")
+    // at this SF every join broadcasts; the only hash exchange is the
+    // final group-by on n_name
+    val nHash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nHash == 1, s"expected exactly 1 hash exchange, got $nHash:\n$p")
+  }
+
   test("orc_roundtrip_agg scans ORC and prunes to the two referenced columns") {
     val p = plan("orc_roundtrip_agg")
     assert(p.contains("Scan orc"), s"expected an ORC scan:\n$p")
