@@ -458,6 +458,41 @@ object TextAnalysis {
         size(WordCount.tokens(col("chunk"))).cast(LongType).as("n_tokens"))
   }
 
+  /** Vocabulary-coverage audit — before committing to a tokenizer
+    * vocab, measure what it misses: build the top-[[VocabSize]] token
+    * vocabulary from the corpus itself (count desc, token asc — fully
+    * deterministic through count ties), then score every document's
+    * out-of-vocabulary token fraction (with multiplicity: a repeated
+    * rare token hurts repeatedly, as it would in training).
+    *
+    * Plan shape: the global top-k vocabulary is a
+    * TakeOrderedAndProject (bounded per-partition top-k, never a full
+    * sort) whose k-row result BROADCASTS back over the token stream —
+    * the same one-tiny-aggregate-broadcast-back pattern as
+    * `length_trim_filter`; the only full shuffles are the token count
+    * and the per-doc aggregate, both partial-aggregating. At 100 TB
+    * the vocab is parameters (32-50k for BPE), still broadcast-size. */
+  val VocabSize = 20
+
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t").asc)
+      .limit(VocabSize)
+      .select(col("t").as("v"))
+    toks.join(broadcast(vocab), toks("t") === vocab("v"), "left_outer")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac",
+        round(col("n_oov").cast(DoubleType)
+          / col("n_tokens").cast(DoubleType), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_chunks" -> (docChunks _),
     "ngram_counts" -> (ngramCounts _),
@@ -474,6 +509,7 @@ object TextAnalysis {
     "train_eval_split" -> (trainEvalSplit _),
     "eval_decontamination" -> (evalDecontamination _),
     "token_count" -> (tokenCount _),
+    "vocab_coverage" -> (vocabCoverage _),
     "doc_fingerprint" -> (docFingerprint _))
 
   private val markersSql = langMarkers.map { case (lang, ms) =>
@@ -632,6 +668,20 @@ object TextAnalysis {
          |  CAST(SUM(len(regexp_extract_all(text, '$bpeRegex'))) AS BIGINT) AS n_bpe_tokens,
          |  count(*) AS n_docs
          |FROM documents GROUP BY lang""".stripMargin,
+    "vocab_coverage" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+         |  FROM documents),
+         |vocab AS (SELECT t AS v FROM (
+         |  SELECT t, count(*) AS c FROM toks
+         |  GROUP BY t ORDER BY c DESC, t LIMIT $VocabSize)),
+         |j AS (SELECT doc_id, toks.t, v FROM toks LEFT JOIN vocab ON toks.t = v)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       round(CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / count(*), 6) AS oov_frac
+         |FROM j GROUP BY doc_id""".stripMargin,
     "text_repetition" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text,' '), w -> w <> '')) AS BIGINT) AS n_tokens,

@@ -134,6 +134,15 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(nHash == 1, s"expected exactly 1 hash exchange, got $nHash:\n$p")
   }
 
+  test("vocab_coverage: bounded top-k vocab broadcast back, never a global sort") {
+    val p = plan("vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab selection must be bounded top-k:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the k-row vocab must broadcast over the token stream:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token stream must not shuffle-join:\n$p")
+  }
+
   test("orc_roundtrip_agg scans ORC and prunes to the two referenced columns") {
     val p = plan("orc_roundtrip_agg")
     assert(p.contains("Scan orc"), s"expected an ORC scan:\n$p")
