@@ -147,6 +147,67 @@ object TextAnalysis {
       .toDF("doc_id", "md5_fp", "roll_fp")
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    * SIGMOD'03 — the MOSS algorithm): per document, hash every 3-gram
+    * (with multiplicity, in order), slide a window of [[WinnowW]]
+    * consecutive hashes, and select each window's minimum; the
+    * DISTINCT selected values are the document's fingerprint sketch —
+    * guaranteed to catch any shared substring of ≥ w+k−1 tokens while
+    * storing ~2/(w+1) of the grams. Selection-by-VALUE makes position
+    * tie-breaks irrelevant, so the sketch is deterministic in both
+    * engines. Docs shorter than one full window winnow their single
+    * truncated window (≥ 1 fingerprint for any doc with a gram).
+    *
+    * The whole algorithm is one narrow mapPartitions kernel (tight
+    * JVM loop over the gram hashes, zero shuffle, nothing but the
+    * summary row leaves the executor); the oracle replays it
+    * relationally — gram hashes via the shared md5-mod-p formula, the
+    * window min via `min() OVER (ROWS BETWEEN CURRENT ROW AND w-1
+    * FOLLOWING)`, COUNT(DISTINCT) of the selected values. */
+  val WinnowW = 4
+
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprintsOf(spark, Tables.load(spark, dir, "documents"))
+
+  /** [[winnowFingerprints]] over an explicit (doc_id, text, …) frame —
+    * split out so TextAnalysisSpec can pin hand-built window shapes. */
+  def winnowFingerprintsOf(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, t) =>
+          val ws = t.split(" ").filter(_.nonEmpty)
+          if (ws.length < 3) Iterator.empty
+          else {
+            val n = ws.length - 2
+            val hs = new Array[Long](n)
+            var i = 0
+            while (i < n) {
+              hs(i) = graft.dedup.Dedup.baseHashJvm(
+                md, ws(i) + "|" + ws(i + 1) + "|" + ws(i + 2))
+              i += 1
+            }
+            val sel = scala.collection.mutable.Set.empty[Long]
+            val nStarts = math.max(1, n - (WinnowW - 1))
+            var s = 0
+            while (s < nStarts) {
+              var m = Long.MaxValue
+              var j = s
+              val end = math.min(s + WinnowW, n)
+              while (j < end) { if (hs(j) < m) m = hs(j); j += 1 }
+              sel += m
+              s += 1
+            }
+            Iterator.single((id, n.toLong, sel.size.toLong))
+          }
+        }
+      }
+      .toDF("doc_id", "n_grams", "n_selected")
+  }
+
   /** The composed training-set selection pipeline — what the individual
     * operators exist FOR: exact-dedup survivors → quality scoring →
     * threshold filters → the per-doc rows you'd materialize as a
@@ -510,7 +571,8 @@ object TextAnalysis {
     "eval_decontamination" -> (evalDecontamination _),
     "token_count" -> (tokenCount _),
     "vocab_coverage" -> (vocabCoverage _),
-    "doc_fingerprint" -> (docFingerprint _))
+    "doc_fingerprint" -> (docFingerprint _),
+    "winnow_fingerprints" -> (winnowFingerprints _))
 
   private val markersSql = langMarkers.map { case (lang, ms) =>
     lang -> ms.map(m => s"'$m'").mkString("(", ",", ")")
@@ -668,6 +730,29 @@ object TextAnalysis {
          |  CAST(SUM(len(regexp_extract_all(text, '$bpeRegex'))) AS BIGINT) AS n_bpe_tokens,
          |  count(*) AS n_docs
          |FROM documents GROUP BY lang""".stripMargin,
+    // winnowing replay: same md5-mod-p gram hash as the minhash
+    // pipeline; forward-looking window min; distinct selected values
+    "winnow_fingerprints" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(text, ' '), x -> x <> '') AS ts
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, i, len(ts) - 2 AS n,
+         |         CAST(('0x' || substring(md5(ts[i] || '|' || ts[i+1] || '|' || ts[i+2]), 1, 15)) AS BIGINT)
+         |           % ${graft.dedup.Dedup.P} AS h
+         |  FROM toks, LATERAL unnest(generate_series(1, len(ts) - 2)) t(i)
+         |  WHERE len(ts) >= 3),
+         |mins AS (
+         |  SELECT doc_id, n, i,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS m
+         |  FROM grams)
+         |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_grams,
+         |       CAST(count(DISTINCT m) AS BIGINT) AS n_selected
+         |FROM mins
+         |WHERE i <= greatest(1, n - ${WinnowW - 1})
+         |GROUP BY doc_id""".stripMargin,
     "vocab_coverage" ->
       s"""WITH toks AS (
          |  SELECT doc_id,

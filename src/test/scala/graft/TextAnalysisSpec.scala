@@ -96,6 +96,32 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
     assert(fpRate < 0.01, f"bloom FP rate $fpRate%.4f >= 1%%")
   }
 
+  test("winnowing: window bounds, short-doc truncation, dup detection by density") {
+    import spark.implicits._
+    // doc 1: 4 tokens -> 2 grams < w -> ONE truncated window -> 1 fp;
+    // doc 2: all-identical grams -> every window min is the same hash;
+    // doc 3: 20 distinct tokens -> 18 grams, 15 windows, 1..15 fps
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "x x x x x x x x x x"),
+      (3L, (1 to 20).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.winnowFingerprintsOf(spark, docs)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, s) => id -> ((n, s)) }.toMap
+    assert(got(1L) == ((2L, 1L)))
+    assert(got(2L) == ((8L, 1L)))
+    val (n3, s3) = got(3L)
+    assert(n3 == 18L && s3 >= 1L && s3 <= 15L)
+    // real corpus: counts bounded by the winnowing guarantees
+    val real = TextAnalysis.winnowFingerprints(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(real.nonEmpty)
+    real.foreach { case (_, n, s) =>
+      assert(s >= 1 && s <= math.max(1, n - (TextAnalysis.WinnowW - 1)))
+    }
+  }
+
   test("text_pii_scrub: augmented docs carry exactly one email and one url") {
     import spark.implicits._
     val rows = TextAnalysis.textPiiScrub(spark, sfDir)
