@@ -98,6 +98,41 @@ object Scalars {
         round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
           / count(lit(1)), 6).as("avg_price"))
 
+  /** Data-quality CONSTRAINT AUDIT (the Deequ-style validation gate a
+    * pipeline runs before training on an ingest): named checks →
+    * violation counts, one row per check. The two orders checks FUSE
+    * into a single scan (one aggregate computing both counters,
+    * unpivoted to long form with `stack`) — the shape that matters at
+    * 100 TB, where each additional full-table check must ride an
+    * existing pass, not add one; the referential check is one
+    * broadcast anti-join. An all-zeros result is the point: the audit
+    * certifies the fixtures' invariants, and any generator drift
+    * flips a count. */
+  def constraintAudit(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    val ordersChecks = orders
+      .agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk"),
+        (count(lit(1)) - count(col("o_totalprice"))).as("nn"))
+      .selectExpr(
+        """stack(2, 'orders_pk_unique', pk,
+          |         'orders_price_not_null', nn) AS (check_name, n_violations)"""
+          .stripMargin)
+    val fkOrphans = orders
+      .join(broadcast(customer.select("c_custkey")),
+        orders("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orders_fk_customer").as("check_name"), col("n_violations"))
+    val ranges = lineitem
+      .agg(sum(when(col("l_quantity") <= 0 ||
+          col("l_discount") < 0 || col("l_discount") > 1, 1L)
+        .otherwise(0L)).as("n_violations"))
+      .select(lit("lineitem_value_ranges").as("check_name"), col("n_violations"))
+    ordersChecks.union(fkOrphans).union(ranges)
+  }
+
   /** ARGMAX/ARGMIN (max_by/min_by family) with DETERMINISTIC ties:
     * expressed as min/max over (value, id) structs — lexicographic
     * struct comparison breaks value ties on the unique event_id, where
@@ -157,10 +192,27 @@ object Scalars {
     "json_extract_events" -> (jsonExtractEvents _),
     "scalar_math" -> (scalarMath _),
     "profile_orders" -> (profileOrders _),
+    "constraint_audit" -> (constraintAudit _),
     "arg_max_min_events" -> (argMaxMinEvents _),
     "events_per_day" -> (eventsPerDay _))
 
   val oracles: Map[String, String] = Map(
+    "constraint_audit" ->
+      """SELECT 'orders_pk_unique' AS check_name,
+        |       count(*) - count(DISTINCT o_orderkey) AS n_violations FROM orders
+        |UNION ALL
+        |SELECT 'orders_price_not_null',
+        |       count(*) - count(o_totalprice) FROM orders
+        |UNION ALL
+        |SELECT 'orders_fk_customer',
+        |       (SELECT count(*) FROM orders o
+        |        WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                          WHERE c.c_custkey = o.o_custkey))
+        |UNION ALL
+        |SELECT 'lineitem_value_ranges',
+        |       (SELECT CAST(SUM(CASE WHEN l_quantity <= 0 OR l_discount < 0
+        |                                  OR l_discount > 1
+        |                             THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)""".stripMargin,
     "profile_orders" ->
       """SELECT count(*) AS n_rows,
         |       count(*) - count(o_totalprice) AS n_null_price,
