@@ -136,6 +136,9 @@ object Bench {
           e.foreach(errors(name) = _)
           if (e.isDefined) -1.0 else s
         }
+      // if ANY rep fails, mark the cold sample -1 too — otherwise
+      // total and total_first silently cover different query sets
+      if (samples.contains(-1.0)) firsts(name) = -1.0
       name -> (if (samples.contains(-1.0)) -1.0 else median(samples))
     }
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
@@ -150,7 +153,19 @@ object Bench {
     val totalFirst = firsts.collect { case (_, v) if v >= 0 => v }.sum
     val baselineSubset = results.collect {
       case (k, v) if v >= 0 && BaselineQueries(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first":$fs,"records":$rs,"errors":$es,"baseline_subset_sec":$baselineSubset,"total_first_sec":$totalFirst,"reps":$reps,"n_queries":${results.size},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first":$fs,"records":$rs,"errors":$es,"baseline_subset_sec":$baselineSubset,"total_first_sec":$totalFirst,"reps":$reps,"n_queries":${results.size},"sf":"$sfDir"}"""
+    println(line)
+    // stdout tail gets truncated in transit two rounds running
+    // (BENCH_r03/r04.json carried parsed:null) — persist the same line
+    // to a file so the per-query medians survive regardless
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(out)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $out: ${e.getMessage}") }
     spark.stop()
   }
 }

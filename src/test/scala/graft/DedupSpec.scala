@@ -121,6 +121,20 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("substring_dup_stats_hashed equals the string form exactly") {
+    import spark.implicits._
+    // the production (60-bit rolling-hash key) twin must reproduce the
+    // string-keyed audit row-for-row — any window-hash collision or
+    // roll-arithmetic bug shows up as a frame diff here (and as an
+    // oracle mismatch in CORRECTNESS, since both declare the same SQL)
+    val str = Dedup.substringDupStats(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val hashed = Dedup.substringDupStatsHashed(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(str.nonEmpty)
+    assert(hashed.toSeq == str.toSeq)
+  }
+
   test("dedup_exact survivor count never exceeds doc count and is stable") {
     import spark.implicits._
     val survivors = Dedup.dedupExact(spark, sfDir)
