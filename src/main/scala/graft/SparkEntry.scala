@@ -24,6 +24,7 @@ object SparkEntry {
     (operators.Skew.queries, operators.Skew.oracles),
     (operators.Bucketed.queries, operators.Bucketed.oracles),
     (sources.OrcSource.queries, sources.OrcSource.oracles),
+    (sources.CsvJsonSource.queries, sources.CsvJsonSource.oracles),
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),
     (dedup.Dedup.queries, dedup.Dedup.oracles),
     (similarity.Similarity.queries, similarity.Similarity.oracles),

@@ -150,6 +150,19 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"unused columns not pruned from the ORC scan:\n$p")
   }
 
+  test("csv/json round-trip scans prune to the referenced columns") {
+    // CSV/JSON readers parse only selected fields — the fidelity agg
+    // touches text/lang/tricky, so source and n_chars must be pruned.
+    // json additionally stays a plain (splittable) scan; csv pays
+    // multiLine for the embedded-newline certificate by design.
+    for (q <- Seq("csv_roundtrip_agg", "json_roundtrip_agg")) {
+      val p = plan(q)
+      assert(p.contains("ReadSchema"), s"$q: no file scan in plan:\n$p")
+      assert(!p.contains("n_chars"),
+        s"$q: unused columns not pruned from the scan:\n$p")
+    }
+  }
+
   test("bucketed_join_rollup: SMJ + aggregate on the bucket key, zero hash exchanges") {
     val p = plan("bucketed_join_rollup")
     assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
