@@ -161,6 +161,77 @@ object SqlSurface {
     spark.sql(groupingSetsSql)
   }
 
+  /** TPC-H Q3 shape (shipping priority) — certifies the top-k-over-
+    * joins composition on the SQL path: customer ⋈ orders ⋈ lineitem
+    * with segment + two date filters, grouped revenue, ORDER BY +
+    * LIMIT 10. The plan MUST place a TakeOrderedAndProject above the
+    * aggregate — each partition keeps its local top 10 and only 10·P
+    * rows reach the driver-side merge, never a global sort of every
+    * group (PlanShapeSpec pins Sort's absence). At 100 TB the segment
+    * filter broadcasts customer, the date filters prune at the scans,
+    * and the only big-big join is orders ⋈ lineitem on orderkey.
+    *
+    * Determinism at the LIMIT boundary: revenue is a DECIMAL-exact sum
+    * cast to DOUBLE (bit-identical both engines) and l_orderkey
+    * completes a TOTAL order, so the selected 10-row SET is unique.
+    * o_orderdate reaches the output as a VARCHAR date — the
+    * dialect-intersection spelling (no strftime/date_format split)
+    * since the oracle is this identical SQL text. The synthetic orders
+    * table has no o_shippriority; o_orderpriority plays its role. */
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR(10)) AS order_date,
+      |       o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+      |GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR(10)), o_orderpriority
+      |ORDER BY revenue DESC, order_date, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(shippingPrioritySql)
+  }
+
+  /** TPC-H Q18 shape (large-volume customer) — certifies HAVING over
+    * an aggregated subquery composed with a join: the IN subquery
+    * aggregates lineitem per order, HAVING keeps the >300-quantity
+    * orders (~1% of orders — l_quantity is integer-valued, so the sum
+    * and the HAVING boundary are exact in both engines), and the outer
+    * query joins customer ⋈ orders ⋈ lineitem back to re-aggregate per
+    * surviving order. Catalyst plans the IN as a left-semi join on the
+    * aggregated subquery — the aggregate runs ONCE, not per outer row,
+    * and the semi join halves lineitem before the expensive re-join.
+    * Top-100 by o_totalprice with o_orderkey completing a total order;
+    * identical SQL text is the oracle. */
+  val largeVolumeCustomerSql: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR(10)) AS order_date,
+      |       o_totalprice,
+      |       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+      |  AND c_custkey = o_custkey
+      |  AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey,
+      |         CAST(CAST(o_orderdate AS DATE) AS VARCHAR(10)), o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  def largeVolumeCustomer(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(largeVolumeCustomerSql)
+  }
+
   /** Sketch aggregates: HyperLogLog++ distinct-count per event type,
     * beside the exact count. No oracle (DuckDB's approx sketch differs
     * by construction); ScalaTest pins the relative error instead. */
@@ -177,6 +248,8 @@ object SqlSurface {
     "sql_exists_not_in" -> (existsNotIn _),
     "sql_grouping_sets" -> (groupingSetsMix _),
     "sql_local_supplier_volume" -> (localSupplierVolume _),
+    "sql_shipping_priority" -> (shippingPriority _),
+    "sql_large_volume_customer" -> (largeVolumeCustomer _),
     "approx_distinct_users" -> (approxDistinctUsers _))
 
   val oracles: Map[String, String] = Map(
@@ -184,5 +257,7 @@ object SqlSurface {
     "sql_correlated_subquery" -> correlatedSubquerySql,
     "sql_exists_not_in" -> existsNotInSql,
     "sql_grouping_sets" -> groupingSetsSql,
-    "sql_local_supplier_volume" -> localSupplierVolumeSql)
+    "sql_local_supplier_volume" -> localSupplierVolumeSql,
+    "sql_shipping_priority" -> shippingPrioritySql,
+    "sql_large_volume_customer" -> largeVolumeCustomerSql)
 }

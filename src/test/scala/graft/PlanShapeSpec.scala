@@ -182,6 +182,74 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("BroadcastHashJoin"), s"expected hashed semi/anti joins:\n$p")
   }
 
+  test("sql_shipping_priority: top-10 via TakeOrderedAndProject, no global sort") {
+    val p = plan("sql_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ORDER BY + LIMIT over joins must plan bounded top-k:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"top-10 must not globally sort every group:\n$p")
+  }
+
+  test("sql_large_volume_customer: HAVING subquery joins hashed, aggregate runs once") {
+    val p = plan("sql_large_volume_customer")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"IN over the aggregated subquery fell off the hashed path:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must plan bounded top-k:\n$p")
+  }
+
+  test("AQE splits a skewed fact-fact join (skew=true) with results unchanged") {
+    // the join half of the skew story (skew_salted_sum covers the
+    // aggregate half): one key owns 50% of the left fact's rows, both
+    // sides too big to broadcast, so the hot shuffle partition would
+    // serialize one task. AQE's OptimizeSkewedJoin must split it —
+    // observable as skew=true on the SMJ in the FINAL adaptive plan —
+    // and splitting must be semantically invisible (results match the
+    // analytic expectation). Thresholds are lowered to make test-scale
+    // bytes trip the same detector production trips at gigabytes.
+    import org.apache.spark.sql.functions._
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      // enough reducers that the non-hot median is small relative to
+      // the hot partition — with the suite's 4, the hot partition was
+      // only ~4x the median and under the byte threshold once the
+      // all-zero key column compressed away in the shuffle
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val n = 400000L
+      // even ids collapse onto key 0 (the hot key); odd ids stay
+      // unique. v1 (varying longs) rides along so the hot partition's
+      // shuffle bytes don't compress down to a run of zeros.
+      val fact1 = spark.range(n).select(
+        when(col("id") % 2 === 0, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("v1"))
+      val fact2 = spark.range(n).select(col("id").as("k"), (col("id") * 2).as("v2"))
+      val agg = fact1.join(fact2, "k")
+        .agg(count(lit(1)).as("cnt"), sum("v1").as("s1"), sum("v2").as("s2"))
+      val row = agg.collect().head
+      // every fact1 row matches exactly one fact2 row: v1 sums over
+      // all ids = n(n−1)/2; hot rows join v2=0, odd id i joins v2=2i
+      // → s2 = 2·(n/2)² = n²/2
+      assert(row.getLong(0) == n, s"join lost or duplicated rows: $row")
+      assert(row.getLong(1) == n * (n - 1) / 2, s"wrong left sum: $row")
+      assert(row.getLong(2) == n * n / 2, s"wrong join sum: $row")
+      val p = agg.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed join partition:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("asof_next_purchase shares the forward plan shape: one exchange, one window, no join") {
     val p = plan("asof_next_purchase")
     val nHash = "Exchange hashpartitioning".r.findAllIn(p).length
