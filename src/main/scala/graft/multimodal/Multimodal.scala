@@ -66,6 +66,9 @@ object Multimodal {
     ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
       ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
 
+  private def leU16(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8)
+
   private val FarbfeldMagic = "farbfeld".getBytes("US-ASCII")
 
   /** PNG signature (public spec, RFC 2083 §3.1): \x89 'P' 'N' 'G'
@@ -74,7 +77,7 @@ object Multimodal {
   private val PngMagic =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
-  /** REAL header parsers for three public header-only-decodable
+  /** REAL header parsers for four public header-only-decodable
     * formats — the non-stub decode path (the codec-free sandbox can't
     * decode pixel data, but container headers are plain public-spec
     * byte layouts):
@@ -94,6 +97,11 @@ object Multimodal {
     *    height at 20. The signature's 0x89 lead byte plus the
     *    length==13 and type guards make a false positive impossible;
     *    no pixel codec is ever touched.
+    *  - GIF (GIF87a/GIF89a spec): 6-byte ASCII version magic, then
+    *    the logical screen descriptor — little-endian u16 width at
+    *    offset 6, height at 8. Frame count would need a block walk
+    *    (headers only carry screen dims), so GIFs report n_frames = 1
+    *    like the other stills.
     * Returns (fmt, width, height, n_frames); unrecognized payloads
     * fall back to the md5 [[decodeStub]] with fmt = "stub". All
     * still images report n_frames = 1. */
@@ -118,6 +126,16 @@ object Multimodal {
         payload(12) == 'I' && payload(13) == 'H' &&
         payload(14) == 'D' && payload(15) == 'R') {
       ("png", beU32(payload, 16), beU32(payload, 20), 1L)
+    } else if (payload.length >= 13 &&
+        payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
+        payload(3) == '8' && (payload(4) == '7' || payload(4) == '9') &&
+        payload(5) == 'a' &&
+        // pixel-aspect-ratio byte 0 (= unspecified, the overwhelmingly
+        // common case) doubles as the text-false-positive guard: ASCII
+        // text after a literal "GIF89a" can't contain a NUL. The rare
+        // nonzero-aspect GIF falls to the stub rather than misparse.
+        payload(12) == 0) {
+      ("gif", leU16(payload, 6), leU16(payload, 8), 1L)
     } else {
       val (w, h, f) = decodeStub(payload)
       ("stub", w, h, f)
@@ -154,6 +172,18 @@ object Multimodal {
       .putInt(13).put("IHDR".getBytes("US-ASCII"))
       .putInt(width).putInt(height)
       .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.array()
+  }
+
+  /** Minimal valid GIF header (GIF89a spec, public): 6-byte version
+    * magic + logical screen descriptor — little-endian u16 width at 6,
+    * height at 8, then packed flags, background index, aspect ratio 0. */
+  def gifBytes(width: Int, height: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(13)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GIF89a".getBytes("US-ASCII"))
+      .putShort(width.toShort).putShort(height.toShort)
+      .put(0x70.toByte).put(0.toByte).put(0.toByte)
     bb.array()
   }
 
@@ -268,12 +298,12 @@ object Multimodal {
   }
 
   /** Oracled round-trip certification of the REAL header parsers:
-    * synthesize a BMP (doc_id ≡ 0 mod 3), farbfeld (≡ 1), or PNG
-    * (≡ 2) container per document with dimensions derived from
+    * synthesize a BMP (doc_id ≡ 0 mod 4), farbfeld (≡ 1), PNG (≡ 2),
+    * or GIF (≡ 3) container per document with dimensions derived from
     * doc_id, run the bytes through [[decode]] in executor batches,
     * and emit what the parser read. The oracle predicts the
     * dimensions from doc_id directly — any endianness/offset/guard
-    * bug in any of the three parsers mismatches. The synthesizing and
+    * bug in any of the four parsers mismatches. The synthesizing and
     * parsing happen in the SAME mapPartitions batch, so this is
     * narrow and zero-shuffle. */
   def multimodalBmpDecode(spark: SparkSession, dir: String): DataFrame = {
@@ -284,10 +314,11 @@ object Multimodal {
         it.map { id =>
           val w = (64L + id % 1857L).toInt
           val h = (64L + id % 1017L).toInt
-          val payload = (id % 3) match {
+          val payload = (id % 4) match {
             case 0 => bmpBytes(w, h)
             case 1 => farbfeldBytes(w, h)
-            case _ => pngBytes(w, h)
+            case 2 => pngBytes(w, h)
+            case _ => gifBytes(w, h)
           }
           val (fmt, dw, dh, fr) = decode(payload)
           (id, fmt, dw, dh, fr)
@@ -306,8 +337,8 @@ object Multimodal {
     // the Spark side must PARSE them back out of the container bytes
     "multimodal_bmp_decode" ->
       """SELECT doc_id,
-        |       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'farbfeld'
-        |            ELSE 'png' END AS fmt,
+        |       CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'farbfeld'
+        |            WHEN 2 THEN 'png' ELSE 'gif' END AS fmt,
         |       64 + doc_id % 1857 AS width,
         |       64 + doc_id % 1017 AS height,
         |       CAST(1 AS BIGINT) AS n_frames

@@ -44,17 +44,32 @@ object Bucketed {
     new ConcurrentHashMap[(SparkSession, String), String]()
 
   /** Ensure bucketed twins of orders/lineitem exist for `dir`; returns
-    * the database name. Memoized per (session, corpus); on a fresh
-    * session with the warehouse already populated the tables are
-    * re-registered, not re-written. */
+    * the database name. Memoized per (session, corpus). NOTE on fresh
+    * sessions: the in-memory catalog dies with the session, so
+    * `tableExists` is false on a new session even when the warehouse
+    * files survive — the buckets are then deleted and REWRITTEN (the
+    * orphaned location would otherwise fail the CREATE). Within one
+    * session the memo prevents any re-write; cross-session reuse would
+    * need a persistent (Hive) metastore, which this sandbox lacks.
+    *
+    * The staleness fingerprint covers BOTH tables and every projected
+    * column (round-4 advice: an orders-only key let a regenerated
+    * lineitem — or a changed o_totalprice with keys and count
+    * unchanged — silently reuse stale buckets). */
   def ensureBucketed(spark: SparkSession, dir: String): String =
     dbCache.computeIfAbsent((spark, dir), { _ =>
       import spark.implicits._
-      val (n, fp) = Tables.load(spark, dir, "orders")
-        .agg(count(lit(1)), sum(crc32(col("o_orderkey").cast("string"))))
-        .as[(Long, Long)].head()
+      def fingerprint(table: String, cols: Seq[String]): (Long, Long) =
+        Tables.load(spark, dir, table)
+          .agg(count(lit(1)),
+            sum(crc32(concat_ws("|", cols.map(c => col(c).cast("string")): _*))))
+          .as[(Long, Long)].head()
+      val (no, fpo) = fingerprint("orders",
+        Seq("o_orderkey", "o_custkey", "o_totalprice"))
+      val (nl, fpl) = fingerprint("lineitem",
+        Seq("l_orderkey", "l_quantity", "l_extendedprice"))
       val key = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val db = s"graft_bucketed_${key}_${n}_$fp"
+      val db = s"graft_bucketed_${key}_${no}_${fpo}_${nl}_$fpl"
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       // the in-memory catalog dies with the session but managed-table
       // FILES persist in the warehouse; CREATE refuses to reuse an

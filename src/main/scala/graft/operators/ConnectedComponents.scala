@@ -53,10 +53,18 @@ object ConnectedComponents {
     *                  `checkpoint` into this (shared-storage) path —
     *                  the cluster-grade mode that survives executor
     *                  loss; when None, `localCheckpoint` (executor
-    *                  blocks — right for local[k] and fastest). Set
-    *                  `spark.cleaner.referenceTracking.cleanCheckpoints`
-    *                  on long-lived sessions so superseded round files
-    *                  are reaped.
+    *                  blocks — right for local[k] and fastest).
+    *                  Hygiene (round-4 advice): the session's global
+    *                  checkpoint dir is restored on exit (even to
+    *                  None), so the override never leaks to other
+    *                  users of a shared session; and each round's
+    *                  checkpoint files are deleted as soon as the next
+    *                  round is materialized, so a long run holds at
+    *                  most two round snapshots in shared storage, not
+    *                  one per round. Only the RETURNED frame's files
+    *                  survive — callers own that cleanup (or rely on
+    *                  `spark.cleaner.referenceTracking
+    *                  .cleanCheckpoints`).
     * @return columns (id, label): one row per distinct node in
     *         `edges`, label = min node id of its component. The
     *         returned frame is checkpointed (materialized); callers
@@ -65,8 +73,12 @@ object ConnectedComponents {
   def resolve(edges: DataFrame, srcCol: String, dstCol: String,
               maxIters: Int = 50,
               checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(d =>
-      edges.sparkSession.sparkContext.setCheckpointDir(d))
+    val sc = edges.sparkSession.sparkContext
+    // scoped override of the GLOBAL checkpoint dir — remember the
+    // session's own setting so it can be put back (even when it was
+    // unset) once resolution finishes
+    val priorDir = org.apache.spark.graft.CheckpointDirAccessor.get(sc)
+    checkpointDir.foreach(sc.setCheckpointDir)
     // eager checkpoint, not persist: truncates the logical plan each
     // round (see object Scaladoc — the plan doubles per round
     // otherwise) AND materializes the frame in one move
@@ -74,40 +86,60 @@ object ConnectedComponents {
       if (checkpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
 
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-    // symmetrize once; both propagation sides read this frame each round
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    var labels = truncate(sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
-    var prevSum: Option[java.math.BigDecimal] = None
-    var iter = 0
-    while (iter < maxIters) {
-      val prop = sym.join(labels, sym("src") === labels("id"))
-        .select(sym("dst").as("id"), labels("label"))
-      val next = truncate(labels.select("id", "label").union(prop)
-        .groupBy("id").agg(min("label").as("label")))
-      // null sum <=> empty node set: trivially converged
-      val s = Option(next.agg(sum(col("label").cast(DecimalType(38, 0))))
-        .head().getDecimal(0))
-      val converged = s.isEmpty ||
-        prevSum.exists(_.compareTo(s.get) == 0)
-      if (converged) {
-        next.unpersist() // fixpoint: next == labels elementwise
-        sym.unpersist()
-        return labels
+    // reliable-mode rounds leave one ReliableCheckpointRDD directory
+    // each; delete a superseded round's files as soon as its successor
+    // is materialized (the fs handle comes from the frame's own conf)
+    def dropCheckpointFiles(df: DataFrame): Unit =
+      if (checkpointDir.isDefined) df.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.getCheckpointFile.foreach { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            val fs = p.getFileSystem(sc.hadoopConfiguration)
+            fs.delete(p, true)
+          }
+        case _ => ()
       }
+
+    try {
+      val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      // symmetrize once; both propagation sides read this frame each round
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      var labels = truncate(sym.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
+      var prevSum: Option[java.math.BigDecimal] = None
+      var iter = 0
+      while (iter < maxIters) {
+        val prop = sym.join(labels, sym("src") === labels("id"))
+          .select(sym("dst").as("id"), labels("label"))
+        val next = truncate(labels.select("id", "label").union(prop)
+          .groupBy("id").agg(min("label").as("label")))
+        // null sum <=> empty node set: trivially converged
+        val s = Option(next.agg(sum(col("label").cast(DecimalType(38, 0))))
+          .head().getDecimal(0))
+        val converged = s.isEmpty ||
+          prevSum.exists(_.compareTo(s.get) == 0)
+        if (converged) {
+          next.unpersist() // fixpoint: next == labels elementwise
+          dropCheckpointFiles(next)
+          sym.unpersist()
+          return labels
+        }
+        labels.unpersist()
+        dropCheckpointFiles(labels) // next is materialized; round N files done
+        labels = next
+        prevSum = s
+        iter += 1
+      }
+      sym.unpersist()
       labels.unpersist()
-      labels = next
-      prevSum = s
-      iter += 1
-    }
-    sym.unpersist()
-    labels.unpersist()
-    throw new IllegalStateException(
-      s"connected components did not converge in $maxIters rounds")
+      dropCheckpointFiles(labels)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds")
+    } finally
+      org.apache.spark.graft.CheckpointDirAccessor.restore(sc, priorDir)
   }
 }

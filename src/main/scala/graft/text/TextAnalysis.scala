@@ -569,6 +569,12 @@ object TextAnalysis {
     "length_trim_filter" -> (lengthTrimFilter _),
     "train_eval_split" -> (trainEvalSplit _),
     "eval_decontamination" -> (evalDecontamination _),
+    // no-oracle by the sketch rule (Bloom layouts are engine-specific);
+    // declared anyway so Verify/Bench/PlanAudit exercise the actual
+    // 100 TB shape, not just the sf0.1 spec test. TextSpec pins its
+    // FP rate < 1% against the exact form.
+    "eval_decontamination_bloom" ->
+      ((s: SparkSession, d: String) => evalDecontaminationBloom(s, d)),
     "token_count" -> (tokenCount _),
     "vocab_coverage" -> (vocabCoverage _),
     "doc_fingerprint" -> (docFingerprint _),

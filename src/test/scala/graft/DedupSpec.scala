@@ -319,14 +319,30 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     val ckptDir = java.nio.file.Files
       .createTempDirectory("graft_cc_ckpt").toString
     try {
-      val reliable = graft.operators.ConnectedComponents
+      val dirBefore = org.apache.spark.graft.CheckpointDirAccessor
+        .get(spark.sparkContext)
+      val reliableDf = graft.operators.ConnectedComponents
         .resolve(edges, "a", "b", checkpointDir = Some(ckptDir))
-        .as[(Long, Long)].collect().toMap
+      // hygiene: the global checkpoint dir is restored verbatim (here:
+      // back to unset) — the override never leaks to the shared session
+      assert(org.apache.spark.graft.CheckpointDirAccessor
+        .get(spark.sparkContext) == dirBefore,
+        "resolve leaked its checkpoint dir into the shared session")
+      val reliable = reliableDf.as[(Long, Long)].collect().toMap
       assert(reliable == local)
       // reliable mode actually wrote round snapshots to the shared dir
       val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
         .filter(java.nio.file.Files.isRegularFile(_)).count()
       assert(wrote > 0, "reliable checkpoint wrote nothing")
+      // and superseded rounds were reaped as the run went: the
+      // diameter-15 path forces ~15 rounds, but only the RETURNED
+      // frame's snapshot may remain on disk
+      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("rdd-"))
+        .count()
+      assert(rddDirs == 1,
+        s"expected exactly the returned frame's snapshot, found $rddDirs rdd-* dirs")
     } finally {
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(ckptDir))

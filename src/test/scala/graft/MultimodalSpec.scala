@@ -81,9 +81,28 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       Multimodal.pngBytes(64, 64).take(16))._1 == "stub")
   }
 
+  test("decode parses a hand-built GIF screen descriptor, little-endian dims") {
+    assert(Multimodal.decode(Multimodal.gifBytes(640, 480)) ==
+      (("gif", 640L, 480L, 1L)))
+    // u16 edge values survive the signed-short round-trip
+    assert(Multimodal.decode(Multimodal.gifBytes(65535, 1)) ==
+      (("gif", 65535L, 1L, 1L)))
+    // GIF87a variant accepted
+    val g87 = Multimodal.gifBytes(320, 200)
+    g87(4) = '7'.toByte
+    assert(Multimodal.decode(g87) == (("gif", 320L, 200L, 1L)))
+    // nonzero aspect-ratio byte → stub, never fabricated dims
+    val aspect = Multimodal.gifBytes(320, 200)
+    aspect(12) = 49.toByte
+    assert(Multimodal.decode(aspect)._1 == "stub")
+    // truncated header → stub
+    assert(Multimodal.decode(Multimodal.gifBytes(320, 200).take(12))._1 == "stub")
+  }
+
   test("decode falls back to the md5 stub for text payloads — even BM/farbfeld prefixes") {
     for (s <- Seq("plain document text", "BM is a text prefix long enough to pass the length gate",
-                  "farbfeld is also just a word in this sentence")) {
+                  "farbfeld is also just a word in this sentence",
+                  "GIF89a looks like a magic but this text has no NUL aspect byte")) {
       val payload = s.getBytes("UTF-8")
       val (fmt, w, h, f) = Multimodal.decode(payload)
       assert(fmt == "stub", s"'$s' misparsed as $fmt")
