@@ -26,6 +26,7 @@ object SparkEntry {
     (sources.OrcSource.queries, sources.OrcSource.oracles),
     (sources.CsvJsonSource.queries, sources.CsvJsonSource.oracles),
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),
+    (text.CorpusOps.queries, text.CorpusOps.oracles),
     (dedup.Dedup.queries, dedup.Dedup.oracles),
     (similarity.Similarity.queries, similarity.Similarity.oracles),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracles))

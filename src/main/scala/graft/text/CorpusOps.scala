@@ -1,0 +1,184 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.Tables
+import graft.operators.WordCount
+
+/** Corpus-assembly operators — the steps between "cleaned documents"
+  * and "training batches" that every large-scale LM data pipeline runs
+  * after dedup/quality filtering:
+  *
+  *  - [[sequencePacking]]: concatenate-and-chunk packing of documents
+  *    into fixed-length training sequences (the GPT-style pre-training
+  *    layout: docs are concatenated in a deterministic order and cut
+  *    every `SeqLen` tokens, so a document may span sequences);
+  *  - [[sourceMixingWeights]]: temperature-scaled domain-mixing
+  *    weights (w_i ∝ n_i^α — the multilingual/multi-domain sampling
+  *    move that keeps big sources from drowning small ones);
+  *  - [[qualityDecileBins]]: corpus binning by exact decile cutoffs,
+  *    computed once and BROADCAST — the scale-safe alternative to a
+  *    globally-sorted ntile window.
+  *
+  * All three are declared, DuckDB-oracled queries on the `documents`
+  * table. */
+object CorpusOps {
+
+  /** Tokens per packed training sequence. */
+  val SeqLen = 2048L
+
+  /** Docs per packing shard — see [[sequencePacking]]'s scale note. */
+  val ShardDocs = 4096L
+
+  /** Concatenate-and-chunk sequence packing, per (source, shard).
+    *
+    * Within each shard, documents are laid end-to-end in doc_id order
+    * (the deterministic packing order) and the token stream is cut
+    * every [[SeqLen]] tokens: a doc whose token span crosses a cut
+    * belongs to several sequences — exactly how GPT-style pre-training
+    * batches are laid out (no padding waste; attention masking across
+    * doc boundaries is the trainer's concern, not the packer's).
+    *
+    * The layout is pure window algebra: a running token sum per
+    * partition gives each doc its [start, end) offset interval, and
+    * integer division by SeqLen turns offsets into sequence ids —
+    * no UDF, no iteration.
+    *
+    * Scale note — why the extra `shard` key: packing is inherently
+    * order-dependent, and a window partitioned ONLY by source would
+    * serialize each source's whole token stream through one task
+    * (sources are few and huge at 100 TB). Sharding by
+    * `doc_id div ShardDocs` makes every window partition a bounded
+    * unit that packs independently and in parallel; the cost is at
+    * most one partially-filled sequence per shard boundary (~0.02% of
+    * sequences at these sizes), the standard accepted waste. Sequence
+    * ids are shard-local for the same reason — a global id would need
+    * a cross-shard prefix sum; trainers key batches by
+    * (source, shard, seq) anyway. */
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame =
+    sequencePackingOf(Tables.load(spark, dir, "documents"))
+
+  /** [[sequencePacking]] over an explicit (doc_id, source, text, …)
+    * frame — split out so CorpusOpsSpec can pack a hand-built corpus
+    * with known spans. */
+  def sequencePackingOf(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), col("source"),
+        (col("doc_id") / ShardDocs).cast(LongType).as("shard"),
+        size(WordCount.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("end_off", sum("n_tokens").over(w))
+      .select(col("source"), col("shard"), col("doc_id"), col("n_tokens"),
+        expr(s"(end_off - n_tokens) div $SeqLen").as("start_seq"),
+        expr(s"(end_off - 1) div $SeqLen").as("end_seq"))
+      .withColumn("n_seqs", col("end_seq") - col("start_seq") + lit(1L))
+  }
+
+  /** Temperature-scaled source mixing: sampling weight w_i ∝ n_i^α
+    * with α = 0.5, beside the proportional (α = 1) weight it flattens.
+    *
+    * Shape: one partial-aggregating groupBy over the corpus, then a
+    * broadcast of the ONE-row total — never a second full pass. At
+    * 100 TB the per-source aggregate is the only data-volume work.
+    *
+    * Determinism (both engines, bit-equal): α = 0.5 is computed with
+    * `sqrt`, which IEEE 754 requires to be correctly rounded (unlike
+    * `pow(x, 0.7)`, whose last-ulp behavior is libm-specific — the
+    * reason this query pins the temperature at 0.5). The sqrt doubles
+    * are summed as DECIMAL(28,10) — exact and order-free where a
+    * double sum would depend on Spark's partition order — and the
+    * final weight is one double division of identical operands,
+    * rounded once. */
+  def sourceMixingWeights(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.load(spark, dir, "documents")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(WordCount.tokens(col("text"))).cast(LongType)).as("n_tokens"))
+      .withColumn("w",
+        sqrt(col("n_tokens").cast(DoubleType)).cast(DecimalType(28, 10)))
+    val tot = per.agg(
+      sum(col("w")).as("tw"), sum(col("n_tokens")).as("tt"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast(DoubleType)
+          / col("tt").cast(DoubleType), 6).as("weight_prop"),
+        round(col("w").cast(DoubleType)
+          / col("tw").cast(DoubleType), 6).as("weight_sqrt"))
+  }
+
+  /** Decile binning by `n_chars` WITHOUT a global sort: the nine exact
+    * decile cutoffs are one tiny aggregate row, broadcast back over
+    * the corpus, and each doc counts the cutoffs below it — a narrow
+    * second pass. The ntile() spelling every analyst reaches for first
+    * would range-partition and SORT the entire corpus to assign the
+    * same bins; at 100 TB that is the difference between one aggregate
+    * + one map and a full-corpus sort (the bin POPULATIONS can differ
+    * from ntile's only by tie handling at cutpoints — ties share a bin
+    * here, which is the statistically honest choice).
+    *
+    * Exact `percentile` (not approx) keeps the DuckDB oracle
+    * bit-comparable: both engines use the same (1−g)·a + g·b
+    * interpolation over integer inputs. The approx swap
+    * (`percentile_approx`) is a one-word change at 100 TB. */
+  def qualityDecileBins(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val cuts = docs.agg(percentile(col("n_chars"),
+      array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cuts"))
+    docs.join(broadcast(cuts))
+      .select(col("n_chars"),
+        (size(filter(col("cuts"), c => col("n_chars") > c)) + 1)
+          .cast(LongType).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sequence_packing" -> (sequencePacking _),
+    "source_mixing_weights" -> (sourceMixingWeights _),
+    "quality_decile_bins" -> (qualityDecileBins _))
+
+  val oracles: Map[String, String] = Map(
+    "sequence_packing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, doc_id // $ShardDocs AS shard,
+         |         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, shard, doc_id, n_tokens,
+         |         CAST(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+         |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+         |  FROM t WHERE n_tokens > 0)
+         |SELECT source, shard, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       (end_off - n_tokens) // $SeqLen AS start_seq,
+         |       (end_off - 1) // $SeqLen AS end_seq,
+         |       (end_off - 1) // $SeqLen - (end_off - n_tokens) // $SeqLen + 1 AS n_seqs
+         |FROM c""".stripMargin,
+    "source_mixing_weights" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,10)) AS w
+        |      FROM per),
+        |tot AS (SELECT SUM(w) AS tw, CAST(SUM(n_tokens) AS BIGINT) AS tt FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |       round(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS weight_prop,
+        |       round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS weight_sqrt
+        |FROM w, tot""".stripMargin,
+    "quality_decile_bins" ->
+      """WITH cuts AS (
+        |  SELECT quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts
+        |  FROM documents)
+        |SELECT CAST(1 + len(list_filter(cuts, c -> n_chars > c)) AS BIGINT) AS bin,
+        |       count(*) AS n_docs,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents, cuts
+        |GROUP BY 1""".stripMargin)
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.CorpusOps
+
+class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
+
+  test("sequence_packing: spans, boundaries, and shard-local ids on a hand-built corpus") {
+    import spark.implicits._
+    val L = CorpusOps.SeqLen.toInt
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      // shard 0, src a: 100 tokens → [0,100) → seq 0 only
+      (1L, "a", words(100)),
+      // next: L tokens → [100, 100+L) → crosses the seq-0/1 cut
+      (2L, "a", words(L)),
+      // a doc LONGER than one sequence: 2L+10 → spans ≥ 3 sequences
+      (3L, "a", words(2 * L + 10)),
+      // empty text is dropped, never a zero-token row
+      (4L, "a", ""),
+      // different source packs independently from offset 0
+      (5L, "b", words(L + 1)),
+      // different shard (doc_id ≥ ShardDocs) restarts offsets
+      (CorpusOps.ShardDocs + 1, "a", words(7))
+    ).toDF("doc_id", "source", "text")
+    val got = CorpusOps.sequencePackingOf(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map { case (src, sh, id, n, s0, s1, ns) => (src, sh, id) -> ((n, s0, s1, ns)) }
+      .toMap
+    assert(got(("a", 0L, 1L)) == ((100L, 0L, 0L, 1L)))
+    // doc 2: offsets [100, 100+L): starts in seq 0, ends in seq 1
+    assert(got(("a", 0L, 2L)) == ((CorpusOps.SeqLen, 0L, 1L, 2L)))
+    // doc 3: offsets [100+L, 100+3L+10): seqs 1..3
+    assert(got(("a", 0L, 3L)) == ((2 * CorpusOps.SeqLen + 10, 1L, 3L, 3L)))
+    assert(!got.contains(("a", 0L, 4L)), "empty doc must be dropped")
+    // source b restarts at offset 0 and crosses its own first cut
+    assert(got(("b", 0L, 5L)) == ((CorpusOps.SeqLen + 1, 0L, 1L, 2L)))
+    // the high-id doc lands in shard 1 with a fresh offset space
+    assert(got(("a", 1L, CorpusOps.ShardDocs + 1)) == ((7L, 0L, 0L, 1L)))
+  }
+
+  test("source_mixing_weights: weights normalize and sqrt flattens the mix") {
+    import spark.implicits._
+    val rows = CorpusOps.sourceMixingWeights(spark, sfDir)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, "prop weights must sum to 1")
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4, "sqrt weights must sum to 1")
+    // temperature flattening: the biggest source's share shrinks under
+    // sqrt, the smallest source's share grows
+    val big = rows.maxBy(_._3)
+    val small = rows.minBy(_._3)
+    if (big._3 > small._3) {
+      assert(big._5 <= big._4 + 1e-9, s"sqrt must not boost the biggest source: $big")
+      assert(small._5 >= small._4 - 1e-9, s"sqrt must not shrink the smallest source: $small")
+    }
+  }
+
+  test("quality_decile_bins: bins partition the corpus without a global sort") {
+    import spark.implicits._
+    val df = CorpusOps.qualityDecileBins(spark, sfDir)
+    val rows = df.as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val total = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_._2).sum == total, "bins must cover every doc exactly once")
+    assert(rows.forall { case (b, _, lo, hi) => b >= 1 && b <= 10 && lo <= hi })
+    // bins are ordered ranges: each bin's max ≤ the next bin's min
+    rows.sliding(2).foreach {
+      case Array((_, _, _, hi1), (_, _, lo2, _)) => assert(hi1 <= lo2)
+      case _ => ()
+    }
+    // plan: cutoffs broadcast back over a narrow pass — no range
+    // partitioning, no full-corpus sort
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort leaked in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"decile cutoffs must broadcast:\n$p")
+  }
+
+  test("sequence_packing plan: window partitioned by (source, shard), never global") {
+    val p = CorpusOps.sequencePacking(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Window"), s"expected a window:\n$p")
+    // the partition spec must carry both keys — a source-only (or
+    // empty) partition spec would serialize packing through one task
+    assert(p.contains("source") && p.contains("shard"),
+      s"window must partition by (source, shard):\n$p")
+  }
+}
