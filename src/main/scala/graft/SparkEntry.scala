@@ -23,6 +23,7 @@ object SparkEntry {
     (operators.Behavioral.queries, operators.Behavioral.oracles),
     (operators.Skew.queries, operators.Skew.oracles),
     (operators.Bucketed.queries, operators.Bucketed.oracles),
+    (operators.MergeUpsert.queries, operators.MergeUpsert.oracles),
     (sources.OrcSource.queries, sources.OrcSource.oracles),
     (sources.CsvJsonSource.queries, sources.CsvJsonSource.oracles),
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),

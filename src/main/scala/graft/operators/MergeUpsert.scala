@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+
+/** CDC MERGE / upsert — the lakehouse `MERGE INTO` semantics (update
+  * matched keys, insert unmatched keys) expressed in plain DataFrame
+  * algebra, no table format required: tag base rows version 0 and
+  * change rows version 1, union, and keep each key's max
+  * `struct(version, payload)` — one shuffle on the merge key, the
+  * minimum any merge pays. This is merge-ON-READ; the snapshot write
+  * that follows it is merge-on-write. At 100 TB both sides partition
+  * by the key; when the change batch is small (the usual CDC case)
+  * AQE broadcasts it and the base never shuffles at all.
+  *
+  * The lexicographic `max(struct(...))` idiom is the same
+  * deterministic survivor election the dedup family uses — version
+  * leads, so a change row always beats its base row; DuckDB's
+  * `max(struct_pack(...))` compares identically, which makes the whole
+  * merge oracle-able.
+  *
+  * The change batch is SYNTHESIZED from the base (updates: every 10th
+  * order key gets status 'U' and +10.00 price; inserts: every 100th
+  * key re-keyed past max(o_orderkey)) — the synthesize-then-process
+  * idiom that lets the oracle rebuild the identical batch from the
+  * raw table and replay the merge relationally. The output aggregates
+  * the merged snapshot per status, so a dropped insert, a duplicated
+  * key, or an unapplied update all shift the counts/sums. */
+object MergeUpsert {
+
+  def mergeUpsertOrders(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"))
+    val maxKey = base.agg(max("k").as("mk"))
+    val updates = base.filter(col("k") % 10 === 0)
+      .select(col("k"), lit("U").as("status"),
+        (col("price") + lit(10.0)).as("price"))
+    val inserts = base.filter(col("k") % 100 === 0)
+      .crossJoin(broadcast(maxKey))
+      // + mk + 1, not + mk: keys start at 0, so k=0 re-keyed to plain
+      // mk would COLLIDE with the base max key and the "insert" would
+      // silently overwrite an existing row (caught by MergeUpsertSpec)
+      .select((col("k") + col("mk") + lit(1)).as("k"), lit("I").as("status"),
+        lit(99.99).as("price"))
+    val changes = updates.unionByName(inserts)
+    val merged = base.withColumn("v", lit(0))
+      .unionByName(changes.withColumn("v", lit(1)))
+      .groupBy("k")
+      .agg(max(struct(col("v"), col("status"), col("price"))).as("top"))
+      .select(col("k"), col("top.status").as("status"), col("top.price").as("price"))
+    merged.groupBy("status")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "merge_upsert_orders" -> (mergeUpsertOrders _))
+
+  val oracles: Map[String, String] = Map(
+    "merge_upsert_orders" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+        |  FROM orders),
+        |mk AS (SELECT max(k) AS mk FROM base),
+        |changes AS (
+        |  SELECT k, 'U' AS status, price + 10.0 AS price
+        |  FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k + mk + 1 AS k, 'I' AS status, 99.99 AS price
+        |  FROM base, mk WHERE k % 100 = 0),
+        |tagged AS (
+        |  SELECT k, 0 AS v, status, price FROM base
+        |  UNION ALL
+        |  SELECT k, 1 AS v, status, price FROM changes),
+        |merged AS (
+        |  SELECT k, max(struct_pack(v := v, status := status, price := price)) AS top
+        |  FROM tagged GROUP BY k)
+        |SELECT top.status AS status, count(*) AS n_rows,
+        |       CAST(SUM(CAST(top.price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM merged
+        |GROUP BY top.status""".stripMargin)
+}

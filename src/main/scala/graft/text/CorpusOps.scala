@@ -139,10 +139,43 @@ object CorpusOps {
         min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
   }
 
+  /** One round of the BPE-training inner loop: adjacent-symbol pair
+    * frequencies over the word vocabulary, weighted by word count —
+    * the top pair is the next merge. The 100 TB insight this query
+    * encodes: pair counting runs on the VOCABULARY (distinct words +
+    * counts — tens of thousands of rows for any natural corpus), not
+    * the token stream. Only the word count touches corpus-scale data,
+    * and that is one map-side-combining shuffle; the pair explode,
+    * aggregate, and top-50 all run on vocab-sized frames (the top-k is
+    * a TakeOrderedAndProject, never a global sort). Full BPE training
+    * iterates this round with merges applied to the symbol sequences;
+    * each round is this same kernel, so certifying the round certifies
+    * the loop body.
+    *
+    * Determinism: ties at the top-50 boundary are broken by the pair
+    * string itself — a total order, so the selected SET is unique. */
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.load(spark, dir, "documents")
+      .select(explode(WordCount.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      // 1-char words have no pairs; Spark's sequence(1, 0) would step
+      // BACKWARD (not empty like generate_series), so filter first
+      .filter(length(col("word")) >= 2)
+    words
+      .select(col("wc"), explode(expr(
+        """transform(sequence(1, length(word) - 1),
+          |  i -> concat(substring(word, i, 1), ' ', substring(word, i + 1, 1)))"""
+          .stripMargin)).as("pair"))
+      .groupBy("pair").agg(sum("wc").as("n"))
+      .orderBy(desc("n"), asc("pair"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sequence_packing" -> (sequencePacking _),
     "source_mixing_weights" -> (sourceMixingWeights _),
-    "quality_decile_bins" -> (qualityDecileBins _))
+    "quality_decile_bins" -> (qualityDecileBins _),
+    "bpe_pair_counts" -> (bpePairCounts _))
 
   val oracles: Map[String, String] = Map(
     "sequence_packing" ->
@@ -172,6 +205,18 @@ object CorpusOps {
         |       round(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS weight_prop,
         |       round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS weight_sqrt
         |FROM w, tot""".stripMargin,
+    "bpe_pair_counts" ->
+      """WITH words AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, count(*) AS wcnt FROM words
+        |       WHERE length(word) >= 2 GROUP BY word),
+        |pairs AS (
+        |  SELECT substring(word, i, 1) || ' ' || substring(word, i + 1, 1) AS pair, wcnt
+        |  FROM wc, LATERAL unnest(generate_series(1, length(word) - 1)) t(i))
+        |SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "quality_decile_bins" ->
       """WITH cuts AS (
         |  SELECT quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts

