@@ -232,6 +232,34 @@ object SqlSurface {
     spark.sql(largeVolumeCustomerSql)
   }
 
+  /** TPC-H Q14 shape (promotion effect) — certifies CONDITIONAL
+    * aggregation composed with a join: one scan computes both the
+    * PROMO-only and the total revenue via CASE inside SUM (never two
+    * passes or a self-join), over lineitem ⋈ part with the one-month
+    * shipdate range pushed to the fact scan and the part dimension
+    * broadcast. The single-row percent output follows the decimal
+    * discipline: both sums exact in DECIMAL, ONE double division,
+    * rounded once. Identical SQL text is the oracle. */
+  val promoEffectSql: String =
+    """SELECT round(
+      |         CAST(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+      |                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                       CAST(1 - l_discount AS DECIMAL(18,2))
+      |                  ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                    CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE),
+      |         6) AS promo_revenue_pct
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin
+
+  def promoEffect(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(promoEffectSql)
+  }
+
   /** Sketch aggregates: HyperLogLog++ distinct-count per event type,
     * beside the exact count. No oracle (DuckDB's approx sketch differs
     * by construction); ScalaTest pins the relative error instead. */
@@ -250,6 +278,7 @@ object SqlSurface {
     "sql_local_supplier_volume" -> (localSupplierVolume _),
     "sql_shipping_priority" -> (shippingPriority _),
     "sql_large_volume_customer" -> (largeVolumeCustomer _),
+    "sql_promo_effect" -> (promoEffect _),
     "approx_distinct_users" -> (approxDistinctUsers _))
 
   val oracles: Map[String, String] = Map(
@@ -259,5 +288,6 @@ object SqlSurface {
     "sql_grouping_sets" -> groupingSetsSql,
     "sql_local_supplier_volume" -> localSupplierVolumeSql,
     "sql_shipping_priority" -> shippingPrioritySql,
-    "sql_large_volume_customer" -> largeVolumeCustomerSql)
+    "sql_large_volume_customer" -> largeVolumeCustomerSql,
+    "sql_promo_effect" -> promoEffectSql)
 }

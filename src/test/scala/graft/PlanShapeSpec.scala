@@ -198,6 +198,17 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"top-100 must plan bounded top-k:\n$p")
   }
 
+  test("sql_promo_effect: date range pushed to the fact scan, part broadcast, one pass") {
+    val p = plan("sql_promo_effect")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"shipdate range must reach the lineitem scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part side must broadcast:\n$p")
+    // CASE-in-SUM means ONE aggregate over ONE join — never a self-join
+    // or second scan of lineitem
+    assert("Scan parquet .*lineitem".r.findAllIn(p).length <= 1,
+      s"conditional aggregate must not rescan the fact side:\n$p")
+  }
+
   test("AQE splits a skewed fact-fact join (skew=true) with results unchanged") {
     // the join half of the skew story (skew_salted_sum covers the
     // aggregate half): one key owns 50% of the left fact's rows, both
