@@ -25,7 +25,16 @@ object PlanAudit {
       // round 3
       "neardup_clusters", "training_set_select_neardup",
       "similar_ann_multiprobe", "intersect_except_keys",
-      "eval_decontamination", "skew_salted_sum", "fuzzy_match_prefix")
+      "eval_decontamination", "skew_salted_sum", "fuzzy_match_prefix",
+      // round 4
+      "sql_exists_not_in", "sql_local_supplier_volume",
+      "bucketed_join_rollup", "substring_dup_stats", "locf_gap_fill",
+      // round 5
+      "substring_dup_stats_hashed", "sql_shipping_priority",
+      "sql_large_volume_customer", "sql_promo_effect",
+      "csv_roundtrip_agg", "json_roundtrip_agg", "sequence_packing",
+      "quality_decile_bins", "bpe_pair_counts", "merge_upsert_orders",
+      "eval_decontamination_bloom")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -22,6 +22,18 @@ object Scratch {
       println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
 
+    // with args: time the named declared queries (3 reps each) and exit
+    if (args.nonEmpty) {
+      args.foreach { n =>
+        (1 to 3).foreach { r =>
+          time(s"$n#$r")(
+            SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count())
+        }
+      }
+      spark.stop()
+      return
+    }
+
     val docs = dedup.Dedup.docShingles(spark, dir)
     time("shingles")(docs.count())
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
