@@ -32,7 +32,7 @@ object PlanAudit {
       // round 5
       "substring_dup_stats_hashed", "sql_shipping_priority",
       "sql_large_volume_customer", "sql_promo_effect",
-      "csv_roundtrip_agg", "json_roundtrip_agg", "sequence_packing",
+      "csv_roundtrip_agg", "json_roundtrip_agg", "partition_prune_agg", "sequence_packing",
       "quality_decile_bins", "bpe_pair_counts", "merge_upsert_orders",
       "eval_decontamination_bloom")
     names.foreach { n =>

@@ -26,6 +26,7 @@ object SparkEntry {
     (operators.MergeUpsert.queries, operators.MergeUpsert.oracles),
     (sources.OrcSource.queries, sources.OrcSource.oracles),
     (sources.CsvJsonSource.queries, sources.CsvJsonSource.oracles),
+    (sources.PartitionedParquetSource.queries, sources.PartitionedParquetSource.oracles),
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),
     (text.CorpusOps.queries, text.CorpusOps.oracles),
     (dedup.Dedup.queries, dedup.Dedup.oracles),

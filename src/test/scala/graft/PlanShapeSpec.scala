@@ -150,6 +150,17 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"unused columns not pruned from the ORC scan:\n$p")
   }
 
+  test("partition_prune_agg: lang filter lands in PartitionFilters, not a data filter") {
+    val p = plan("partition_prune_agg")
+    // planning-time directory pruning: the predicate must appear as a
+    // partition filter on the scan; a post-scan Filter(lang = en)
+    // would mean every partition's files were read
+    assert(p.contains("PartitionFilters") && p.contains("= en"),
+      s"lang predicate did not become a partition filter:\n$p")
+    assert(!"Filter .*lang".r.findFirstIn(p).isDefined,
+      s"lang must not survive as a data filter:\n$p")
+  }
+
   test("csv/json round-trip scans prune to the referenced columns") {
     // CSV/JSON readers parse only selected fields — the fidelity agg
     // touches text/lang/tricky, so source and n_chars must be pruned.
