@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.Tables
 
@@ -284,6 +284,59 @@ object Relational {
         last(col("v_sparse"), ignoreNulls = true).over(wFill).as("v_filled"))
   }
 
+  /** LINEAR-interpolation gap fill — [[locfGapFill]]'s smoother
+    * sibling: a gap is filled on the straight line between the
+    * bracketing observations, weighted by actual EVENT TIME (not row
+    * position). Four window functions over the same partition+order —
+    * the carried (value, ts) pair backward, the upcoming pair
+    * forward — share one exchange + one sort in two frame passes (the
+    * same mirror-frame shape as the as-of joins), so per-key history
+    * length never matters. Edges keep honest semantics: leading gaps
+    * stay null (nothing to anchor the line), trailing gaps fall back
+    * to LOCF.
+    *
+    * Determinism: `events.ts` is int64 NANOSECONDS in both engines
+    * (Spark reads the column as LONG), so the bracket deltas are exact
+    * longs far below 2^53, both long→double conversions are exact, and
+    * the fraction is one correctly-rounded IEEE division on identical
+    * operands, followed by one multiply-add in identical order — the
+    * doubles are bit-equal across engines. The OUTPUT is then
+    * floor-quantized to int64 micro-units rather than `round(., 6)`:
+    * interpolated values land on decimal half-boundaries (sf0.001 put
+    * one at ….1716385), where Spark's BigDecimal HALF_UP and DuckDB's
+    * multiply-then-round disagree by one ulp of the last digit —
+    * floor(x*1e6) runs the identical multiply and floor in both
+    * engines instead. Equal-timestamp brackets short-circuit to the
+    * carried value before the 0/0 division can arise. */
+  def interpGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wBack = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsTs = when(col("v_sparse").isNotNull, col("ts"))
+    val base = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        when(col("event_type") === "click", lit(null))
+          .otherwise(col("value")).as("v_sparse"))
+    val frac = (col("ts") - col("prev_ts")).cast(DoubleType) /
+      (col("next_ts") - col("prev_ts")).cast(DoubleType)
+    base
+      .select(col("user_id"), col("ts"), col("event_type"), col("v_sparse"),
+        row_number().over(w).cast(LongType).as("seq"),
+        last(col("v_sparse"), ignoreNulls = true).over(wBack).as("prev_v"),
+        last(obsTs, ignoreNulls = true).over(wBack).as("prev_ts"),
+        first(col("v_sparse"), ignoreNulls = true).over(wFwd).as("next_v"),
+        first(obsTs, ignoreNulls = true).over(wFwd).as("next_ts"))
+      .select(col("user_id"), col("seq"), col("event_type"),
+        floor(
+          when(col("v_sparse").isNotNull, col("v_sparse"))
+            .when(col("prev_v").isNull, lit(null))
+            .when(col("next_v").isNull || col("next_ts") === col("prev_ts"),
+              col("prev_v"))
+            .otherwise(col("prev_v") +
+              (col("next_v") - col("prev_v")) * frac) * lit(1e6))
+          .cast(LongType).as("v_interp_u"))
+  }
+
   /** Ranking-function coverage: rank / dense_rank / percent_rank /
     * ntile over a HIGH-cardinality partition key (per-customer order
     * ranking) — the shape where a window is the right tool, unlike the
@@ -463,6 +516,7 @@ object Relational {
     "lag_delta_per_user" -> (lagDeltaPerUser _),
     "nav_functions_per_user" -> (navFunctionsPerUser _),
     "locf_gap_fill" -> (locfGapFill _),
+    "interp_gap_fill" -> (interpGapFill _),
     "intersect_except_keys" -> (intersectExceptKeys _),
     "theta_join_regions" -> (thetaJoinRegions _),
     "pivot_events_by_day" -> (pivotEventsByDay _),
@@ -583,6 +637,37 @@ object Relational {
         |         OVER (PARTITION BY user_id ORDER BY ts, event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
         |FROM events""".stripMargin,
+    "interp_gap_fill" ->
+      """WITH sp AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v_sparse
+        |  FROM events),
+        |wv AS (
+        |  SELECT user_id, event_type, v_sparse,
+        |         epoch_us(ts) AS tns,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+        |         last_value(v_sparse IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        |         last_value(CASE WHEN v_sparse IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+        |         first_value(v_sparse IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        |         first_value(CASE WHEN v_sparse IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+        |  FROM sp)
+        |SELECT user_id, seq, event_type,
+        |       round(CASE WHEN v_sparse IS NOT NULL THEN v_sparse
+        |                  WHEN prev_v IS NULL THEN NULL
+        |                  WHEN next_v IS NULL OR next_ts = prev_ts THEN prev_v
+        |                  ELSE prev_v + (next_v - prev_v) *
+        |                       (CAST(tns - prev_ts AS DOUBLE)
+        |                        / CAST(next_ts - prev_ts AS DOUBLE))
+        |             END, 6) AS v_interp
+        |FROM wv""".stripMargin,
     "intersect_except_keys" ->
       """SELECT
         |  (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.Tables
 
@@ -133,6 +133,38 @@ object Scalars {
     ordersChecks.union(fkOrphans).union(ranges)
   }
 
+  /** Z-SCORE OUTLIER AUDIT — the distribution-drift gate beside
+    * [[profileOrders]]/[[constraintAudit]]: per event type, how many
+    * values sit more than 3σ from the mean. Deliberately TWO-pass
+    * (exact moments, then a broadcast of the 5-row stats frame over a
+    * second narrow pass) rather than single-pass Welford: streaming
+    * variance accumulates in partition order, which no cross-engine
+    * oracle can replay — whereas Σx and Σx² in DECIMAL are exact and
+    * order-free, and every double op after them (μ, σ, the 3σ
+    * comparison) runs on identical operands in both engines. At
+    * 100 TB both passes are full-scan-shaped but cheap: the first is
+    * one partial-aggregating shuffle of 3 columns, the second a
+    * broadcast join + aggregate that fuses with any other
+    * per-row audit riding the same scan. */
+  def outlierZscore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+    val d = col("value").cast(DecimalType(18, 2))
+    val moments = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(d).as("sx"), sum(d * d).as("sxx"))
+    val mu = col("sx").cast(DoubleType) / col("n")
+    val stats = moments.select(col("event_type"), mu.as("mu"),
+      sqrt(col("sxx").cast(DoubleType) / col("n") - mu * mu).as("sigma"))
+    ev.join(broadcast(stats), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(abs(col("value") - col("mu")) > lit(3.0) * col("sigma"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(max(col("mu")), 6).as("mean_value"),
+        round(max(col("sigma")), 6).as("std_value"))
+  }
+
   /** ARGMAX/ARGMIN (max_by/min_by family) with DETERMINISTIC ties:
     * expressed as min/max over (value, id) structs — lexicographic
     * struct comparison breaks value ties on the unique event_id, where
@@ -193,6 +225,7 @@ object Scalars {
     "scalar_math" -> (scalarMath _),
     "profile_orders" -> (profileOrders _),
     "constraint_audit" -> (constraintAudit _),
+    "outlier_zscore" -> (outlierZscore _),
     "arg_max_min_events" -> (argMaxMinEvents _),
     "events_per_day" -> (eventsPerDay _))
 
@@ -213,6 +246,25 @@ object Scalars {
         |       (SELECT CAST(SUM(CASE WHEN l_quantity <= 0 OR l_discount < 0
         |                                  OR l_discount > 1
         |                             THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)""".stripMargin,
+    "outlier_zscore" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |         SUM(CAST(value AS DECIMAL(18,2))) AS sx,
+        |         SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sxx
+        |  FROM events GROUP BY event_type),
+        |s AS (
+        |  SELECT event_type,
+        |         CAST(sx AS DOUBLE) / n AS mu,
+        |         sqrt(CAST(sxx AS DOUBLE) / n
+        |              - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) AS sigma
+        |  FROM m)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CASE WHEN abs(e.value - s.mu) > 3.0 * s.sigma
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       round(max(s.mu), 6) AS mean_value,
+        |       round(max(s.sigma), 6) AS std_value
+        |FROM events e JOIN s USING (event_type)
+        |GROUP BY event_type""".stripMargin,
     "profile_orders" ->
       """SELECT count(*) AS n_rows,
         |       count(*) - count(o_totalprice) AS n_null_price,

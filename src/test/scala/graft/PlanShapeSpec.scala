@@ -209,6 +209,20 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"top-100 must plan bounded top-k:\n$p")
   }
 
+  test("interp_gap_fill: four window fns over two frames share one exchange, no join") {
+    val p = plan("interp_gap_fill")
+    val nHash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nHash == 1, s"expected exactly 1 hash exchange, got $nHash:\n$p")
+    assert(!p.contains("Join"), s"interpolation must not plan a join:\n$p")
+  }
+
+  test("outlier_zscore: 5-row stats frame broadcasts over the second pass") {
+    val p = plan("outlier_zscore")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-type stats must broadcast back, never shuffle-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stats join fell to SMJ:\n$p")
+  }
+
   test("sql_promo_effect: date range pushed to the fact scan, part broadcast, one pass") {
     val p = plan("sql_promo_effect")
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
