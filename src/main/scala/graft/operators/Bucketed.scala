@@ -62,7 +62,12 @@ object Bucketed {
       def fingerprint(table: String, cols: Seq[String]): (Long, Long) =
         Tables.load(spark, dir, table)
           .agg(count(lit(1)),
-            sum(crc32(concat_ws("|", cols.map(c => col(c).cast("string")): _*))))
+            // concat_ws SKIPS nulls — ('a',NULL,'c') and ('a','c',NULL)
+            // would serialize identically, so a value moving between
+            // columns could reuse stale buckets; a NULL sentinel keeps
+            // placement in the fingerprint
+            sum(crc32(concat_ws("|", cols.map(c =>
+              coalesce(col(c).cast("string"), lit("\u0000NULL"))): _*))))
           .as[(Long, Long)].head()
       val (no, fpo) = fingerprint("orders",
         Seq("o_orderkey", "o_custkey", "o_totalprice"))

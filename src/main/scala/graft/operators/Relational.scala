@@ -295,8 +295,13 @@ object Relational {
     * stay null (nothing to anchor the line), trailing gaps fall back
     * to LOCF.
     *
-    * Determinism: `events.ts` is int64 NANOSECONDS in both engines
-    * (Spark reads the column as LONG), so the bracket deltas are exact
+    * Determinism: Spark reads `events.ts` as a raw int64 of
+    * NANOSECONDS, but DuckDB 1.0 truncates parquet timestamp[ns] to
+    * µs-precision TIMESTAMP at scan time — the sub-µs digits are
+    * unrecoverable on the oracle side (`epoch_ns` there is just
+    * `epoch_us * 1000`). So the bracket timestamps compare at µs:
+    * `ts div 1000` here, `epoch_us(ts)` in the oracle — the same
+    * truncation `sessionize_events` pins. The deltas are then exact
     * longs far below 2^53, both long→double conversions are exact, and
     * the fraction is one correctly-rounded IEEE division on identical
     * operands, followed by one multiply-add in identical order — the
@@ -306,21 +311,22 @@ object Relational {
     * one at ….1716385), where Spark's BigDecimal HALF_UP and DuckDB's
     * multiply-then-round disagree by one ulp of the last digit —
     * floor(x*1e6) runs the identical multiply and floor in both
-    * engines instead. Equal-timestamp brackets short-circuit to the
-    * carried value before the 0/0 division can arise. */
+    * engines instead. Equal-timestamp (same-µs) brackets short-circuit
+    * to the carried value before the 0/0 division can arise. */
   def interpGapFill(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val wBack = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val obsTs = when(col("v_sparse").isNotNull, col("ts"))
+    val obsTs = when(col("v_sparse").isNotNull, col("us"))
     val base = Tables.load(spark, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"),
         when(col("event_type") === "click", lit(null))
           .otherwise(col("value")).as("v_sparse"))
-    val frac = (col("ts") - col("prev_ts")).cast(DoubleType) /
+    val frac = (col("us") - col("prev_ts")).cast(DoubleType) /
       (col("next_ts") - col("prev_ts")).cast(DoubleType)
     base
-      .select(col("user_id"), col("ts"), col("event_type"), col("v_sparse"),
+      .select(col("user_id"), col("us"), col("event_type"), col("v_sparse"),
         row_number().over(w).cast(LongType).as("seq"),
         last(col("v_sparse"), ignoreNulls = true).over(wBack).as("prev_v"),
         last(obsTs, ignoreNulls = true).over(wBack).as("prev_ts"),
@@ -660,13 +666,13 @@ object Relational {
         |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
         |  FROM sp)
         |SELECT user_id, seq, event_type,
-        |       round(CASE WHEN v_sparse IS NOT NULL THEN v_sparse
-        |                  WHEN prev_v IS NULL THEN NULL
-        |                  WHEN next_v IS NULL OR next_ts = prev_ts THEN prev_v
-        |                  ELSE prev_v + (next_v - prev_v) *
-        |                       (CAST(tns - prev_ts AS DOUBLE)
-        |                        / CAST(next_ts - prev_ts AS DOUBLE))
-        |             END, 6) AS v_interp
+        |       CAST(FLOOR((CASE WHEN v_sparse IS NOT NULL THEN v_sparse
+        |                        WHEN prev_v IS NULL THEN NULL
+        |                        WHEN next_v IS NULL OR next_ts = prev_ts THEN prev_v
+        |                        ELSE prev_v + (next_v - prev_v) *
+        |                             (CAST(tns - prev_ts AS DOUBLE)
+        |                              / CAST(next_ts - prev_ts AS DOUBLE))
+        |                   END) * 1e6) AS BIGINT) AS v_interp_u
         |FROM wv""".stripMargin,
     "intersect_except_keys" ->
       """SELECT

@@ -67,7 +67,10 @@ object CorpusOps {
   def sequencePackingOf(documents: DataFrame): DataFrame = {
     val docs = documents
       .select(col("doc_id"), col("source"),
-        (col("doc_id") / ShardDocs).cast(LongType).as("shard"),
+        // integer `div`, matching the oracle's `//` floor division —
+        // double-divide-then-cast truncates toward zero (diverges for
+        // negative ids) and loses exactness above 2^53
+        expr(s"doc_id div $ShardDocs").as("shard"),
         size(WordCount.tokens(col("text"))).cast(LongType).as("n_tokens"))
       .filter(col("n_tokens") > 0)
     val w = Window.partitionBy("source", "shard").orderBy("doc_id")
