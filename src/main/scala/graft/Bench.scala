@@ -119,6 +119,11 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val records = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
     val firsts = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-query MIN across reps (round-5 verdict task #7): on a box
+    // with 110 sibling queries sharing the session, the median still
+    // absorbs external load spikes — the min is the least-loaded
+    // sample and clears load-artifact outliers without a judge re-run
+    val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       // record counters snapshot around the FIRST (cold) run only, so
       // `records` keeps meaning "what one execution moves"
@@ -139,11 +144,14 @@ object Bench {
       // if ANY rep fails, mark the cold sample -1 too — otherwise
       // total and total_first silently cover different query sets
       if (samples.contains(-1.0)) firsts(name) = -1.0
+      mins(name) = if (samples.contains(-1.0)) -1.0 else samples.min
       name -> (if (samples.contains(-1.0)) -1.0 else median(samples))
     }
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val fs = firsts.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val ms = mins.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val rs = records.map { case (k, (in, sh)) =>
       jstr(k) + s""":{"in":$in,"shuffle":$sh}""" }.mkString("{", ",", "}")
@@ -153,7 +161,7 @@ object Bench {
     val totalFirst = firsts.collect { case (_, v) if v >= 0 => v }.sum
     val baselineSubset = results.collect {
       case (k, v) if v >= 0 && BaselineQueries(k) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first":$fs,"records":$rs,"errors":$es,"baseline_subset_sec":$baselineSubset,"total_first_sec":$totalFirst,"reps":$reps,"n_queries":${results.size},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first":$fs,"queries_min":$ms,"records":$rs,"errors":$es,"baseline_subset_sec":$baselineSubset,"total_first_sec":$totalFirst,"reps":$reps,"n_queries":${results.size},"sf":"$sfDir"}"""
     println(line)
     // stdout tail gets truncated in transit two rounds running
     // (BENCH_r03/r04.json carried parsed:null) — persist the same line

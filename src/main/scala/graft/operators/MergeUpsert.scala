@@ -58,8 +58,62 @@ object MergeUpsert {
           .cast(DoubleType).as("sum_price"))
   }
 
+  /** Full-CDC survivor election over a versioned change feed with an
+    * `op` column (`U` upsert / `D` delete): per key, the
+    * highest-version row wins — base rows are version 0 upserts — and
+    * a winning delete removes the key entirely. Exposed on an explicit
+    * (base, feed) pair so MergeUpsertSpec can replay delete-then-
+    * reinsert and update-then-delete orderings on a hand-built feed.
+    *
+    * Shape: ONE shuffle on the merge key (the union is
+    * partition-local), same as [[mergeUpsertOrders]]; the tombstone
+    * filter is a post-aggregation narrow map. At 100 TB the delete is
+    * logical — the key drops out of the merged READ view here, and the
+    * physical rewrite happens whenever the snapshot is next compacted
+    * (retention policy), which is how delta/iceberg merge-on-read
+    * handles deletes too. */
+  def applyCdc(base: DataFrame, feed: DataFrame): DataFrame =
+    base.select(col("k"), lit(0L).as("v"), lit("U").as("op"),
+        col("status"), col("price"))
+      .unionByName(feed.select(col("k"), col("v"), col("op"),
+        col("status"), col("price")))
+      .groupBy("k")
+      .agg(max(struct(col("v"), col("op"), col("status"), col("price")))
+        .as("top"))
+      .filter(col("top.op") =!= "D")
+      .select(col("k"), col("top.status").as("status"),
+        col("top.price").as("price"))
+
+  /** Declared tombstone query: a three-version synthesized feed where
+    * every 10th key is updated (v1), every 20th then deleted (v2), and
+    * every 40th re-inserted after its delete (v3) — so the final state
+    * exercises update-survives, delete-drops, and the
+    * delete-then-reinsert ordering in one run. Aggregated per status so
+    * an undropped tombstone, a lost reinsert, or a misordered election
+    * all shift the counts. */
+  def mergeCdcOrders(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"))
+    val v1 = base.filter(col("k") % 10 === 0)
+      .select(col("k"), lit(1L).as("v"), lit("U").as("op"),
+        lit("U").as("status"), (col("price") + lit(10.0)).as("price"))
+    val v2 = base.filter(col("k") % 20 === 0)
+      .select(col("k"), lit(2L).as("v"), lit("D").as("op"),
+        lit("X").as("status"), lit(0.0).as("price"))
+    val v3 = base.filter(col("k") % 40 === 0)
+      .select(col("k"), lit(3L).as("v"), lit("U").as("op"),
+        lit("R").as("status"), lit(50.0).as("price"))
+    applyCdc(base, v1.unionByName(v2).unionByName(v3))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "merge_upsert_orders" -> (mergeUpsertOrders _))
+    "merge_upsert_orders" -> (mergeUpsertOrders _),
+    "merge_cdc_tombstones" -> (mergeCdcOrders _))
 
   val oracles: Map[String, String] = Map(
     "merge_upsert_orders" ->
@@ -83,5 +137,34 @@ object MergeUpsert {
         |SELECT top.status AS status, count(*) AS n_rows,
         |       CAST(SUM(CAST(top.price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM merged
+        |GROUP BY top.status""".stripMargin,
+    "merge_cdc_tombstones" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+        |  FROM orders),
+        |feed AS (
+        |  SELECT k, 1 AS v, 'U' AS op, 'U' AS status,
+        |         price + 10.0 AS price
+        |  FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k, 2 AS v, 'D' AS op, 'X' AS status,
+        |         CAST(0.0 AS DOUBLE) AS price
+        |  FROM base WHERE k % 20 = 0
+        |  UNION ALL
+        |  SELECT k, 3 AS v, 'U' AS op, 'R' AS status,
+        |         CAST(50.0 AS DOUBLE) AS price
+        |  FROM base WHERE k % 40 = 0),
+        |tagged AS (
+        |  SELECT k, 0 AS v, 'U' AS op, status, price FROM base
+        |  UNION ALL
+        |  SELECT k, v, op, status, price FROM feed),
+        |merged AS (
+        |  SELECT k, max(struct_pack(v := v, op := op, status := status,
+        |                            price := price)) AS top
+        |  FROM tagged GROUP BY k)
+        |SELECT top.status AS status, count(*) AS n_rows,
+        |       CAST(SUM(CAST(top.price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM merged
+        |WHERE top.op <> 'D'
         |GROUP BY top.status""".stripMargin)
 }

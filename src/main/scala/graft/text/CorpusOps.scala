@@ -174,13 +174,148 @@ object CorpusOps {
       .limit(50)
   }
 
+  /** Symbol separator for the BPE merge loop — a control char that
+    * cannot appear in whitespace-split tokens, so a symbol boundary is
+    * never ambiguous. The oracle spells it `chr(1)` to keep the SQL
+    * text printable. */
+  val BpeSep = "\u0001"
+
+  /** Static merge-round count — fixed so the DuckDB oracle can replay
+    * the identical loop as unrolled CTE blocks (the same fixed-loop
+    * contract as the IVF k-means trainer; DuckDB 1.0 cannot aggregate
+    * over a recursive CTE's working table, so the rounds are generated
+    * textually by [[bpeOracleSql]]). */
+  val BpeRounds = 6
+
+  /** Initial BPE vocabulary: distinct corpus words with counts, each
+    * word exploded to its character symbols with EVERY symbol
+    * individually [[BpeSep]]-bracketed — `<S>a<S><S>b<S>` for "ab"
+    * (equivalently: joined on a doubled sep, bracketed by single
+    * seps). The doubling is load-bearing: a merge site `<S>x<S><S>y<S>`
+    * then shares NO characters with its neighbor, so plain
+    * left-to-right `replace` applies merges greedily without eating
+    * the next site's boundary (single separators would turn `abab`
+    * under merge (a,b) into `[ab, a, b]` — CorpusOpsSpec pins
+    * `[ab, ab]`). The word count is the ONLY corpus-scale pass in the
+    * whole training loop — everything after runs on the vocabulary.
+    * `array_remove` guards the empty fragment Java's limit=-1 split
+    * appends after the final char. */
+  def bpeInitVocab(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(WordCount.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .select(
+        concat(lit(BpeSep),
+          concat_ws(BpeSep + BpeSep, array_remove(split(col("word"), ""), "")),
+          lit(BpeSep)).as("wstr"),
+        col("wc"))
+
+  /** Adjacent-pair counts over a symbol-string vocabulary: splitting
+    * the per-symbol-bracketed form on [[BpeSep]] yields
+    * `['', sym1, '', sym2, …, '']` — a word of n symbols has list
+    * length 2n+1 with symbols at even 1-based indices 2, 4, …, 2n —
+    * so pair i (1..n−1) is `(l[2i], l[2i+2])`; word counts sum per
+    * pair. Single-symbol words (list size 3) are filtered BEFORE the
+    * sequence() call — Spark's `sequence(1, 0)` steps backward where
+    * DuckDB's `generate_series(1, 0)` is empty. */
+  def bpePairsOf(vocab: DataFrame): DataFrame = {
+    val l = split(col("wstr"), BpeSep)
+    val nSyms = ((size(l) - 1) / 2).cast("int")
+    vocab.filter(size(l) >= 5)
+      .select(col("wc"),
+        explode(transform(sequence(lit(1), nSyms - 1),
+          i => concat(element_at(l, i * 2), lit(" "),
+            element_at(l, i * 2 + 2))))
+          .as("pair"))
+      .groupBy("pair").agg(sum("wc").as("n"))
+  }
+
+  /** Apply one merge (x, y) → xy to every word: a single literal
+    * string `replace`, which both engines run as a left-to-right
+    * NON-OVERLAPPING scan that resumes after each replacement — so
+    * `a a a` under merge (a,a) becomes `[aa, a]`, the standard BPE
+    * greedy application (CorpusOpsSpec pins this). Narrow map, no
+    * shuffle. */
+  def bpeApplyMerge(vocab: DataFrame, x: String, y: String): DataFrame =
+    vocab.select(
+      replace(col("wstr"),
+        lit(BpeSep + x + BpeSep + BpeSep + y + BpeSep),
+        lit(BpeSep + x + y + BpeSep)).as("wstr"),
+      col("wc"))
+
+  /** [[BpeRounds]] rounds of the full BPE-training recurrence: count
+    * pairs → elect the best (max count, pair string as the total-order
+    * tie-break) → apply the merge → repeat, emitting the merge table
+    * `(merge_round, pair, n)` — the artifact a tokenizer trainer
+    * actually ships.
+    *
+    * Scale shape: the corpus-scale word count runs ONCE and is cached
+    * at vocabulary size (the persist below); each round is then one
+    * vocabulary-scale aggregate plus a ONE-row collect of the elected
+    * pair (the bounded driver-state idiom the IVF trainer uses — the
+    * driver holds 6 pairs total, never data), and the merge
+    * application is a narrow distributed map. This is structurally the
+    * subword-nmt trainer with the pair statistics kept distributed. */
+  def bpeMergeRounds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab0 = bpeInitVocab(Tables.load(spark, dir, "documents")).persist()
+    try {
+      var vocab = vocab0
+      val merges = Seq.newBuilder[(Long, String, Long)]
+      for (r <- 1 to BpeRounds) {
+        val (pair, n) = bpePairsOf(vocab)
+          .orderBy(desc("n"), asc("pair")).limit(1)
+          .as[(String, Long)].head()
+        merges += ((r.toLong, pair, n))
+        val Array(x, y) = pair.split(' ')
+        vocab = bpeApplyMerge(vocab, x, y)
+      }
+      merges.result().toDF("merge_round", "pair", "n")
+    } finally vocab0.unpersist(false)
+  }
+
+  /** Unrolled-round oracle for [[bpeMergeRounds]]: one
+    * (pairs → counts → best → apply) CTE block per round, generated
+    * textually so the SQL replays the identical static loop. */
+  private def bpeOracleSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH words AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+        |  FROM documents),
+        |v0 AS (
+        |  SELECT chr(1) || array_to_string(string_split(word, ''), chr(1) || chr(1)) || chr(1) AS wstr,
+        |         count(*) AS wc
+        |  FROM words GROUP BY 1)""".stripMargin)
+    for (r <- 1 to BpeRounds) {
+      sb.append(s""",
+        |p$r AS (
+        |  SELECT t.l[2*u.i] || ' ' || t.l[2*u.i+2] AS pair, t.wc
+        |  FROM (SELECT string_split(wstr, chr(1)) AS l, wc FROM v${r - 1}) t,
+        |       LATERAL unnest(generate_series(1, (len(t.l) - 1) // 2 - 1)) u(i)),
+        |c$r AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM p$r GROUP BY pair),
+        |b$r AS (SELECT pair, n FROM c$r ORDER BY n DESC, pair LIMIT 1),
+        |v$r AS (
+        |  SELECT replace(v.wstr, chr(1) || replace(b.pair, ' ', chr(1) || chr(1)) || chr(1),
+        |                 chr(1) || replace(b.pair, ' ', '') || chr(1)) AS wstr, v.wc
+        |  FROM v${r - 1} v, b$r b)""".stripMargin)
+    }
+    sb.append("\n")
+    sb.append((1 to BpeRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_round, pair, n FROM b$r")
+      .mkString("\nUNION ALL\n"))
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sequence_packing" -> (sequencePacking _),
     "source_mixing_weights" -> (sourceMixingWeights _),
     "quality_decile_bins" -> (qualityDecileBins _),
-    "bpe_pair_counts" -> (bpePairCounts _))
+    "bpe_pair_counts" -> (bpePairCounts _),
+    "bpe_merge_rounds" -> (bpeMergeRounds _))
 
   val oracles: Map[String, String] = Map(
+    "bpe_merge_rounds" -> bpeOracleSql,
     "sequence_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, doc_id // $ShardDocs AS shard,

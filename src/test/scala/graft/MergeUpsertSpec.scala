@@ -22,4 +22,42 @@ class MergeUpsertSpec extends AnyFunSuite with SharedSpark {
     // inserts carry the synthesized price exactly
     assert(math.abs(rows("I")._3 - nIns * 99.99) < 1e-6)
   }
+
+  test("applyCdc: delete drops, delete-then-reinsert survives, update-then-delete drops") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "O", 10.0), // untouched
+      (2L, "O", 20.0), // update only
+      (3L, "O", 30.0), // update then delete -> gone
+      (4L, "O", 40.0), // delete then reinsert -> back with new payload
+      (5L, "O", 50.0)  // delete only -> gone
+    ).toDF("k", "status", "price")
+    val feed = Seq(
+      (2L, 1L, "U", "U", 21.0),
+      (3L, 1L, "U", "U", 31.0),
+      (3L, 2L, "D", "X", 0.0),
+      (4L, 1L, "D", "X", 0.0),
+      (4L, 2L, "U", "R", 44.0),
+      (5L, 1L, "D", "X", 0.0)
+    ).toDF("k", "v", "op", "status", "price")
+    val out = MergeUpsert.applyCdc(base, feed)
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "O", 10.0), (2L, "U", 21.0), (4L, "R", 44.0)))
+  }
+
+  test("merge_cdc_tombstones: status populations match the modular feed arithmetic") {
+    import spark.implicits._
+    val base = Tables.load(spark, sfDir, "orders")
+    val n = (m: Int) => base.filter($"o_orderkey" % m === 0).count()
+    val rows = MergeUpsert.mergeCdcOrders(spark, sfDir)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    // updated (v1) and not later deleted: k%10 minus k%20
+    assert(rows("U") == n(10) - n(20))
+    // reinserted after delete: k%40
+    assert(rows("R") == n(40))
+    // deleted for good: k%20 minus k%40 keys are absent
+    val total = rows.values.sum
+    assert(total == base.count() - (n(20) - n(40)))
+  }
 }
