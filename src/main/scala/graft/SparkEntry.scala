@@ -25,6 +25,7 @@ object SparkEntry {
     (operators.Bucketed.queries, operators.Bucketed.oracles),
     (operators.MergeUpsert.queries, operators.MergeUpsert.oracles),
     (sources.OrcSource.queries, sources.OrcSource.oracles),
+    (sources.AvroSource.queries, sources.AvroSource.oracles),
     (sources.CsvJsonSource.queries, sources.CsvJsonSource.oracles),
     (sources.PartitionedParquetSource.queries, sources.PartitionedParquetSource.oracles),
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),

