@@ -292,4 +292,25 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(nHash == 1, s"expected exactly 1 hash exchange, got $nHash:\n$p")
     assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
   }
+
+  test("merge_cdc_tombstones: survivor election on one key exchange, no join, no window") {
+    val p = plan("merge_cdc_tombstones")
+    // base + 3 feed versions union into ONE hashpartitioning(k)
+    // exchange for the max(struct) election; the status rollup adds
+    // its own small exchange — anything beyond that means the union
+    // re-shuffled per branch
+    val nHash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nHash <= 2, s"expected <=2 hash exchanges (election + rollup), got $nHash:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"merge must not SMJ — union + agg only:\n$p")
+    assert(!p.contains("Window"), s"survivor election must be agg, not window:\n$p")
+  }
+
+  test("bpe pair counting aggregates partially before the shuffle") {
+    val vocab = text.CorpusOps.bpeInitVocab(Tables.load(spark, sfDir, "documents"))
+    val p = text.CorpusOps.bpePairsOf(vocab)
+      .queryExecution.executedPlan.toString
+    // partial_sum before the exchange = map-side combine on the pair key
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      s"pair counts must partially aggregate before shuffling:\n$p")
+  }
 }
