@@ -13,13 +13,17 @@ import graft.functions.{DotProductExpr, LegacyPartitionExpr}
   *
   * {{{ SELECT legacy_partition(event_type, 4) FROM events }}}
   *
+  * and injects [[graft.plans.RangeJoinRewrite]] into the operator
+  * optimization batch (bounded-range joins upgraded to banded
+  * equi-joins — see its Scaladoc for the 100 TB rationale).
+  *
   * This is the deployment-grade registration path (cluster-wide via
-  * config, survives new sessions); no custom Rule or Strategy is
-  * injected because the capability surface needs none (SURVEY.md §4).
+  * config, survives new sessions).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     e.injectFunction((
       new FunctionIdentifier("legacy_partition"),
       new ExpressionInfo(classOf[LegacyPartitionExpr].getName, "legacy_partition"),

@@ -102,10 +102,28 @@ object TemporalJoins {
     pairs.groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** The SAME range join written the natural way — equi key plus raw
+    * range conjuncts, no hand-bucketing. [[graft.plans.RangeJoinRewrite]]
+    * (injected by GraftExtensions) detects the shape in the optimizer
+    * and applies the banded rewrite of [[rangeJoinPairs]] automatically,
+    * so the user-facing query stays declarative while the executed plan
+    * joins on (user, bucket). RangeJoinRewriteSpec pins plan + frame
+    * equality with the rule on and off. */
+  def rangeJoinAuto(spark: SparkSession, dir: String): DataFrame = {
+    val a = eventsUs(spark, dir)
+    val b = eventsUs(spark, dir).select(col("user_id").as("u2"),
+      col("event_id").as("id2"), expr("ts_us").as("t2"))
+    a.join(b,
+        col("user_id") === col("u2") && col("event_id") =!= col("id2") &&
+          col("t2") >= col("ts_us") && col("t2") - col("ts_us") <= lit(RangeUs))
+      .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_purchase_attribution" -> (asofPurchaseAttribution _),
     "asof_next_purchase" -> (asofNextPurchase _),
-    "range_join_pairs" -> (rangeJoinPairs _))
+    "range_join_pairs" -> (rangeJoinPairs _),
+    "range_join_auto" -> (rangeJoinAuto _))
 
   val oracles: Map[String, String] = Map(
     "asof_next_purchase" ->
@@ -123,6 +141,13 @@ object TemporalJoins {
         |        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS attributed_click
         |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
     "range_join_pairs" ->
+      """SELECT a.user_id, count(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id <> b.event_id
+        | AND b.ts >= a.ts
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+        |GROUP BY a.user_id""".stripMargin,
+    "range_join_auto" ->
       """SELECT a.user_id, count(*) AS n_pairs
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id AND a.event_id <> b.event_id
