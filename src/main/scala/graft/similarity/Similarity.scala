@@ -405,8 +405,57 @@ object Similarity {
       .select(col("vec_id"), col("q._1").as("q_sum"),
         round(col("q._2"), 6).as("scale"))
 
+  /** Bands for LSH near-dup: pair survives if ANY band's 6-bit bucket
+    * matches, so candidate recall is 1−(1−s^bits)^bands for cosine-
+    * similarity s (the standard banding amplification). 4 bands × 6
+    * bits reuses [[planeEntry]] hyperplanes 0–23. */
+  val NeardupBands = 4
+
+  private lazy val bandPlanes: Array[Array[Array[Double]]] =
+    Array.tabulate(NeardupBands, LshBits, Dim)((k, j, d) => planeEntry(k * LshBits + j, d))
+
+  /** All [[NeardupBands]] band buckets of a vector in one narrow pass —
+    * same [[dotA]] kernel as [[lshBucket]] (band 0 IS the ANN bucket). */
+  val bandBuckets: UserDefinedFunction = udf { (v: Seq[Double]) =>
+    val a = v.toArray
+    Array.tabulate(NeardupBands) { k =>
+      var b = 0L; var j = 0
+      while (j < LshBits) { if (dotA(a, bandPlanes(k)(j)) > 0) b |= 1L << j; j += 1 }
+      b
+    }
+  }
+
+  /** ALL-PAIRS near-dup at LSH scale — the declared production twin of
+    * [[graft.dedup.Dedup.embeddingNeardup]]'s exact O(n²) grid: each
+    * vector is replicated to [[NeardupBands]] (band, bucket) cells, a
+    * per-band bucket equi-join yields the candidates (rows only meet
+    * inside a 64-way bucket, never across the corpus), and the exact
+    * cosine filter keeps only true >= 0.35 pairs, so emitted pairs are
+    * always a SUBSET of the exact query's (SimilaritySpec pins subset +
+    * recall). A pair matching several bands collapses via distinct on
+    * the identically-computed row. At 100 TB you raise bits with corpus
+    * size (bucket occupancy ≈ n/2^bits) and bands with the recall
+    * target — the plumbing is this exact plan. */
+  def embeddingNeardupLsh(spark: SparkSession, dir: String): DataFrame = {
+    val banded = vectors(spark, dir)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(bandBuckets(col("v"))).as(Seq("band", "bucket")))
+    val lhs = banded.select(col("band"), col("bucket"),
+      col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val rhs = banded.select(col("band").as("band2"), col("bucket").as("bucket2"),
+      col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    lhs.join(rhs, col("band") === col("band2") && col("bucket") === col("bucket2") &&
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("sim"))
+      .filter(col("sim") >= 0.35)
+      .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similar_topk" -> (similarTopk _),
+    "embedding_neardup_lsh" -> (embeddingNeardupLsh _),
     "similar_ann_lsh" -> (similarAnnLsh _),
     "similar_ann_multiprobe" -> (similarAnnMultiprobe _),
     "similar_ann_ivf" -> (similarAnnIvf _),
@@ -444,6 +493,25 @@ object Similarity {
     }
 
   val oracles: Map[String, String] = Map(
+    // band = j div 6 over hyperplanes 0..23; bucket bit (j mod 6); the
+    // DISTINCT collapses pairs matching in several bands (their rows
+    // are identical: same inputs, same arithmetic)
+    "embedding_neardup_lsh" ->
+      s"""WITH bb AS (
+         |  SELECT vec_id, embedding, band,
+         |         SUM(CASE WHEN dj > 0 THEN (1::BIGINT << (j % $LshBits)) ELSE 0 END) AS bucket
+         |  FROM (
+         |    SELECT vec_id, embedding, j, j // $LshBits AS band,
+         |           SUM(embedding[d]::DOUBLE *
+         |               (CASE WHEN CAST(('0x' || substring(md5(j || '_' || (d-1)), 1, 15)) AS BIGINT) % 2 = 0
+         |                     THEN 1.0 ELSE -1.0 END)) AS dj
+         |    FROM embeddings, range(0, ${NeardupBands * LshBits}) rj(j), range(1, ${Dim + 1}) rd(d)
+         |    GROUP BY vec_id, embedding, j) s
+         |  GROUP BY vec_id, embedding, band)
+         |SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2, round($cosineSql, 6) AS sim
+         |FROM bb a JOIN bb b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE $cosineSql >= 0.35""".stripMargin,
     "embedding_quantize" ->
       """SELECT vec_id,
         |       CASE WHEN m = 0 THEN 0 ELSE CAST(list_sum(

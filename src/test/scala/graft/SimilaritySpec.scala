@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.dedup.Dedup
 import graft.similarity.{Neighbor, Similarity}
 
 class SimilaritySpec extends AnyFunSuite with SharedSpark {
@@ -95,6 +96,20 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     // production index tunes bits/probes to its similarity profile.)
     assert(multi >= single)
     assert(multi >= 0.2, s"multi-probe recall regressed: $multi")
+  }
+
+  test("embedding_neardup_lsh emits a subset of the exact pairs, with usable recall") {
+    val exact = Dedup.embeddingNeardup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.embeddingNeardupLsh(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact-cosine verify guarantees no false positives
+    assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${lsh -- exact}")
+    // recall is the banding knob (1-(1-s^bits)^bands); at this fixture's
+    // near-uniform ~0.35 similarity band it is intentionally partial —
+    // pin a floor so a hashing regression can't silently zero it
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.15, s"LSH near-dup recall collapsed: $recall (${lsh.size}/${exact.size})")
   }
 
   test("IVF k-means training converges and is deterministic") {
