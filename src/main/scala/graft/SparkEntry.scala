@@ -24,6 +24,7 @@ object SparkEntry {
     (operators.Skew.queries, operators.Skew.oracles),
     (operators.Bucketed.queries, operators.Bucketed.oracles),
     (operators.MergeUpsert.queries, operators.MergeUpsert.oracles),
+    (operators.PageRank.queries, operators.PageRank.oracles),
     (sources.OrcSource.queries, sources.OrcSource.oracles),
     (sources.AvroSource.queries, sources.AvroSource.oracles),
     (sources.CsvJsonSource.queries, sources.CsvJsonSource.oracles),

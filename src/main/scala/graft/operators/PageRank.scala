@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** PageRank over the customer–supplier trade network — the fourth
+  * iterative-algebra family in the engine (after connected components,
+  * Lloyd's k-means, and the BPE merge loop), and the canonical "many
+  * rounds over one big edge table" workload.
+  *
+  * Graph: nodes are customers (id·2) and suppliers (id·2+1); one
+  * directed edge each way per DISTINCT trading pair from
+  * orders ⋈ lineitem. Bidirectional edges mean no dangling nodes, so
+  * no mass-leak correction term is needed.
+  *
+  * Recurrence (GraphX's unnormalized form, rank = 0.15 + 0.85·inflow),
+  * in int64 MICRO-UNITS so the DuckDB oracle replays it exactly:
+  *
+  *   rank₀(v)   = 1_000_000
+  *   rankᵢ₊₁(v) = 150_000 + 85 · Σ_{u→v} (rankᵢ(u) div outdeg(u)) div 100
+  *
+  * Integer sums are aggregation-order-free and `div` is deterministic,
+  * so STATIC_ROUNDS unrolled CTEs hash-match — same replay contract as
+  * the IVF training loop (Similarity.scala) and bpe_merge_rounds.
+  *
+  * Scale shape: the edge+outdeg table is built ONCE and cached — each
+  * round is one equi-join on src (rank flows to edges) plus one
+  * aggregate on dst (inflow), both AQE-planned shuffles on graph keys;
+  * nothing ever collects to the driver and no per-round state grows.
+  * For unbounded rounds swap the static loop for the convergence loop
+  * + per-round lineage truncation of ConnectedComponents.scala:75 —
+  * the per-round algebra is identical.
+  */
+object PageRank {
+
+  val Rounds = 6
+  val RankInit = 1000000L
+  val Teleport = 150000L
+
+  def pagerankTradeGraph(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // one materialization feeds all rounds (the unrolled plan would
+    // otherwise recompute the orders ⋈ lineitem distinct per round)
+    val edgeDeg = edges.join(deg, "src").cache()
+    val nodes = edgeDeg.select(col("src").as("node")).distinct().cache()
+
+    var ranks = nodes.withColumn("rank_u", lit(RankInit))
+    for (_ <- 1 to Rounds) {
+      val inflow = edgeDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("rank_u div outdeg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("inflow"))
+      ranks = nodes.join(inflow, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(Teleport) + expr("85 * coalesce(inflow, 0L) div 100")).as("rank_u"))
+    }
+    ranks
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pagerank_trade_graph" -> (pagerankTradeGraph _))
+
+  /** Each CTE is one synchronous round over the same edge table —
+    * identical integer operations to the Spark loop. */
+  private def roundCtes: Seq[String] =
+    (1 to Rounds).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |         $Teleport + 85 * COALESCE(CAST(SUM(r.rank_u // e.outdeg) AS BIGINT), 0) // 100 AS rank_u
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.node
+         |  LEFT JOIN r${i - 1} r ON r.node = e.src
+         |  GROUP BY n.node)""".stripMargin
+    }
+
+  val oracles: Map[String, String] = Map(
+    "pagerank_trade_graph" ->
+      s"""WITH pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+         |               FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         |dedges AS (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+         |           UNION ALL
+         |           SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS outdeg FROM dedges GROUP BY src),
+         |edges AS (SELECT d.src, d.dst, g.outdeg FROM dedges d JOIN deg g ON g.src = d.src),
+         |nodes AS (SELECT DISTINCT src AS node FROM dedges),
+         |r0 AS (SELECT node, ${RankInit}::BIGINT AS rank_u FROM nodes),
+         |${roundCtes.mkString(",\n")}
+         |SELECT node, rank_u FROM r$Rounds""".stripMargin)
+}
