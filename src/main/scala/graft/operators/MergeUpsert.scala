@@ -111,11 +111,54 @@ object MergeUpsert {
           .cast(DoubleType).as("sum_price"))
   }
 
+  /** Incremental materialized-view maintenance: merge two PARTIAL
+    * aggregate states instead of re-aggregating raw data. The rollup
+    * (per day × event type: count, DECIMAL-exact sum, min, max) is
+    * computed as two independent partials — here split on event-id
+    * parity so every group genuinely has state on BOTH sides — and the
+    * merge is the aggregates' own combine algebra: counts add, DECIMAL
+    * sums add (associative, so the merged total is bit-equal to a full
+    * recompute — that is what makes it oracle-able), mins min, maxes
+    * max. This is THE 100 TB rollup-maintenance pattern: a daily ingest
+    * updates the materialized view at O(delta + view) cost — the
+    * petabyte of already-rolled-up history is never rescanned, only
+    * its partial states are re-combined. Same contract as Spark's own
+    * partial/final aggregation split, lifted to the storage layer. */
+  def incrementalRollupMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(expr("ts div 1000 div 86400000000").as("day"),
+        col("event_type"), col("event_id"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+    def partial(rows: DataFrame): DataFrame =
+      rows.groupBy("day", "event_type").agg(
+        count(lit(1)).as("n"), sum("v").as("total"),
+        min("v").as("min_v"), max("v").as("max_v"))
+    val view = partial(ev.filter(col("event_id") % 2 === 0)) // "history"
+    val delta = partial(ev.filter(col("event_id") % 2 === 1)) // "today"
+    view.unionByName(delta)
+      .groupBy("day", "event_type")
+      .agg(sum("n").as("n"),
+        sum("total").cast(DoubleType).as("total"),
+        min("min_v").cast(DoubleType).as("min_v"),
+        max("max_v").cast(DoubleType).as("max_v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert_orders" -> (mergeUpsertOrders _),
-    "merge_cdc_tombstones" -> (mergeCdcOrders _))
+    "merge_cdc_tombstones" -> (mergeCdcOrders _),
+    "incremental_rollup_merge" -> (incrementalRollupMerge _))
 
   val oracles: Map[String, String] = Map(
+    // the oracle is the FULL recompute — the merged partials must be
+    // indistinguishable from aggregating the raw table in one pass
+    "incremental_rollup_merge" ->
+      """SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, event_type,
+        |       count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+        |       CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
     "merge_upsert_orders" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price

@@ -39,19 +39,36 @@ object PageRank {
   val RankInit = 1000000L
   val Teleport = 150000L
 
+  /** (session, corpus)-memoized edge+outdeg table — the per-CALL
+    * `.cache()` alternative leaks one cached RDD per invocation for the
+    * session lifetime (the round-2 lesson recorded in Dedup.scala:90);
+    * the memo bounds it at one entry per corpus and repeated runs reuse
+    * the materialization. */
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def clearCaches(spark: SparkSession): Unit =
+    graft.SessionCaches.clear(spark, Seq(edgeCache))
+
+  private def cachedEdgeDeg(spark: SparkSession, dir: String): DataFrame =
+    edgeCache.computeIfAbsent((spark, dir), { _ =>
+      val pairs = Tables.load(spark, dir, "orders")
+        .join(Tables.load(spark, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      // one materialization feeds all rounds (the unrolled plan would
+      // otherwise recompute the orders ⋈ lineitem distinct per round)
+      edges.join(deg, "src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   def pagerankTradeGraph(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.load(spark, dir, "orders")
-      .join(Tables.load(spark, dir, "lineitem"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
-    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // one materialization feeds all rounds (the unrolled plan would
-    // otherwise recompute the orders ⋈ lineitem distinct per round)
-    val edgeDeg = edges.join(deg, "src").cache()
-    val nodes = edgeDeg.select(col("src").as("node")).distinct().cache()
+    val edgeDeg = cachedEdgeDeg(spark, dir)
+    val nodes = edgeDeg.select(col("src").as("node")).distinct()
 
     var ranks = nodes.withColumn("rank_u", lit(RankInit))
     for (_ <- 1 to Rounds) {
