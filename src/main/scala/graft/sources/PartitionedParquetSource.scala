@@ -60,8 +60,35 @@ object PartitionedParquetSource {
         count(lit(1)).as("n_docs"),
         sum(length(col("text"))).as("sum_chars"))
 
+  /** DYNAMIC partition pruning — the runtime sibling of
+    * [[partitionPruneAgg]]'s static prune, on the incremental-refresh
+    * shape: a small change batch (docs 0–4, the synthesize-from-base
+    * idiom) decides WHICH partitions of the corpus need reprocessing —
+    * its distinct langs are a proper data-dependent subset, so no
+    * literal partition filter exists at plan time. Catalyst injects a
+    * `dynamicpruningexpression` subquery into the fact scan's
+    * PartitionFilters, reusing the batch's broadcast — at 100 TB this
+    * is how "recompute only the partitions today's batch touched"
+    * skips every untouched directory without the user hand-propagating
+    * the filter (PlanShapeSpec pins the injected expression; the
+    * batch-side filter must be a literal comparison — Catalyst's
+    * selectivity heuristic ignores aggregate-derived dims). Oracle
+    * replays the batch selection and join on the original flat
+    * parquet. */
+  def dppJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") < 5)
+      .select("lang").distinct()
+    spark.read.parquet(partitionedDir(spark, dir))
+      .join(broadcast(dim), "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "partition_prune_agg" -> (partitionPruneAgg _))
+    "partition_prune_agg" -> (partitionPruneAgg _),
+    "dpp_join_agg" -> (dppJoinAgg _))
 
   val oracles: Map[String, String] = Map(
     // oracle reads the ORIGINAL flat parquet with a plain filter
@@ -70,5 +97,11 @@ object PartitionedParquetSource {
         |       CAST(SUM(length(text)) AS BIGINT) AS sum_chars
         |FROM documents
         |WHERE lang = 'en'
-        |GROUP BY source""".stripMargin)
+        |GROUP BY source""".stripMargin,
+    "dpp_join_agg" ->
+      """WITH d AS (SELECT DISTINCT lang FROM documents WHERE doc_id < 5)
+        |SELECT doc.lang, count(*) AS n_docs,
+        |       CAST(SUM(length(doc.text)) AS BIGINT) AS sum_chars
+        |FROM documents doc JOIN d ON d.lang = doc.lang
+        |GROUP BY doc.lang""".stripMargin)
 }

@@ -161,6 +161,16 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"lang must not survive as a data filter:\n$p")
   }
 
+  test("dpp_join_agg: runtime subquery prunes fact partitions via the batch broadcast") {
+    val p = plan("dpp_join_agg")
+    // the batch's langs are unknown at plan time — pruning must be the
+    // injected dynamic subquery on the scan's partition filters, fed by
+    // the reused broadcast, never a full-scan-then-join
+    assert(p.contains("dynamicpruningexpression"),
+      s"dynamic partition pruning not injected:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"batch dim must broadcast:\n$p")
+  }
+
   test("csv/json round-trip scans prune to the referenced columns") {
     // CSV/JSON readers parse only selected fields — the fidelity agg
     // touches text/lang/tricky, so source and n_chars must be pruned.
