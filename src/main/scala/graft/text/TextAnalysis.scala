@@ -73,6 +73,36 @@ object TextAnalysis {
       q.score.as("quality_score"))
   }
 
+  /** Gopher-style hard quality gates (Rae et al. 2021 §A1.1, the
+    * published rule bundle production corpora filter with) as ONE fused
+    * narrow pass. Every ratio rule is INTEGER CROSS-MULTIPLIED
+    * (3·n ≤ chars instead of chars/n ≥ 3) so the gates are exact in
+    * both engines — no double division anywhere, which is what lets a
+    * pass/fail bitmap be hash-oracled at all. Gates: word count in
+    * [50, 100k]; mean word length in [3, 10]; distinct-token fraction
+    * ≥ 0.3 (the repetition rule); ≥ 2 distinct stopwords (the zh docs
+    * fail this one by construction — gates are language-aware
+    * upstream, which is why lang-ID runs before gating in a real
+    * pipeline). `pass` is the product, so one flipped gate flips the
+    * census. */
+  def gopherQualityGates(spark: SparkSession, dir: String): DataFrame = {
+    val toks = WordCount.tokens(col("text"))
+    val n = size(toks).cast(LongType)
+    val c = length(expr("replace(text, ' ', '')")).cast(LongType)
+    val nd = size(array_distinct(toks)).cast(LongType)
+    val ns = size(array_intersect(
+      typedlit(stopwords), toks)).cast(LongType)
+    def gate(cond: Column): Column = when(cond, 1L).otherwise(0L)
+    Tables.load(spark, dir, "documents").select(
+        col("doc_id"),
+        gate(n >= 50 && n <= 100000).as("g_len"),
+        gate(n * 3 <= c && c <= n * 10).as("g_wordlen"),
+        gate(nd * 10 >= n * 3).as("g_repeat"),
+        gate(ns >= 2).as("g_stop"))
+      .withColumn("pass",
+        col("g_len") * col("g_wordlen") * col("g_repeat") * col("g_stop"))
+  }
+
   /** Marker-word language-ID heuristic. Scores each language by marker
     * hits in the token stream; argmax with alphabetical tie-break
     * (expressed as a fixed CASE priority, identical in the oracle). */
@@ -602,6 +632,7 @@ object TextAnalysis {
     "training_set_select_neardup" -> (trainingSetSelectNeardup _),
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
+    "gopher_quality_gates" -> (gopherQualityGates _),
     "text_langid" -> (textLangid _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_repetition" -> (textRepetition _),
@@ -739,6 +770,28 @@ object TextAnalysis {
         |       CAST(SUM(n_chars) AS DOUBLE)/count(*) AS avg_chars,
         |       count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang""".stripMargin,
+    // integer cross-multiplied gates; CASE arms cast to BIGINT to match
+    // Spark's long gate columns
+    "gopher_quality_gates" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split(text,' '), w -> w <> '')) AS n,
+         |    length(replace(text, ' ', '')) AS c,
+         |    len(list_distinct(list_filter(string_split(text,' '), w -> w <> ''))) AS nd,
+         |    len(list_intersect(
+         |      ['the','a','and','of','to','in','is','on','for','with'],
+         |      string_split(text,' '))) AS ns
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN n >= 50 AND n <= 100000 THEN 1::BIGINT ELSE 0::BIGINT END AS g_len,
+         |  CASE WHEN n * 3 <= c AND c <= n * 10 THEN 1::BIGINT ELSE 0::BIGINT END AS g_wordlen,
+         |  CASE WHEN nd * 10 >= n * 3 THEN 1::BIGINT ELSE 0::BIGINT END AS g_repeat,
+         |  CASE WHEN ns >= 2 THEN 1::BIGINT ELSE 0::BIGINT END AS g_stop,
+         |  (CASE WHEN n >= 50 AND n <= 100000 THEN 1::BIGINT ELSE 0::BIGINT END) *
+         |  (CASE WHEN n * 3 <= c AND c <= n * 10 THEN 1::BIGINT ELSE 0::BIGINT END) *
+         |  (CASE WHEN nd * 10 >= n * 3 THEN 1::BIGINT ELSE 0::BIGINT END) *
+         |  (CASE WHEN ns >= 2 THEN 1::BIGINT ELSE 0::BIGINT END) AS pass
+         |FROM m""".stripMargin,
     "text_quality" ->
       s"""WITH m AS (
          |  SELECT doc_id,
