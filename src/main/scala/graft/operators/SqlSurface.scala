@@ -260,6 +260,31 @@ object SqlSurface {
     spark.sql(promoEffectSql)
   }
 
+  /** TPC-H Q13 shape (customer distribution): how many customers have
+    * how many qualifying orders. The Q13 traps, both preserved: the
+    * order predicate lives in the LEFT JOIN's ON clause — moving it to
+    * WHERE silently drops zero-order customers from the histogram —
+    * and `count(o.o_orderkey)` (not count(*)) so unmatched customers
+    * count 0. Scale shape: the inner per-customer aggregate rides the
+    * join's custkey partitioning (no extra exchange); only the tiny
+    * c_count histogram re-shuffles. The schema has no o_comment, so
+    * the reference query's NOT LIKE lands on o_orderpriority —
+    * same predicate class, same plan shape. */
+  val customerDistributionSql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      |      FROM customer c LEFT OUTER JOIN orders o
+      |        ON c.c_custkey = o.o_custkey
+      |       AND o.o_orderpriority NOT LIKE '%LOW%'
+      |      GROUP BY c.c_custkey) t
+      |GROUP BY c_count""".stripMargin
+
+  def customerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(customerDistributionSql)
+  }
+
   /** Sketch aggregates: HyperLogLog++ distinct-count per event type,
     * beside the exact count. No oracle (DuckDB's approx sketch differs
     * by construction); ScalaTest pins the relative error instead. */
@@ -279,6 +304,7 @@ object SqlSurface {
     "sql_shipping_priority" -> (shippingPriority _),
     "sql_large_volume_customer" -> (largeVolumeCustomer _),
     "sql_promo_effect" -> (promoEffect _),
+    "sql_customer_distribution" -> (customerDistribution _),
     "approx_distinct_users" -> (approxDistinctUsers _))
 
   val oracles: Map[String, String] = Map(
@@ -289,5 +315,6 @@ object SqlSurface {
     "sql_local_supplier_volume" -> localSupplierVolumeSql,
     "sql_shipping_priority" -> shippingPrioritySql,
     "sql_large_volume_customer" -> largeVolumeCustomerSql,
-    "sql_promo_effect" -> promoEffectSql)
+    "sql_promo_effect" -> promoEffectSql,
+    "sql_customer_distribution" -> customerDistributionSql)
 }
