@@ -46,9 +46,11 @@ object PageRank {
     * the materialization. */
   private val edgeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val nodeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   def clearCaches(spark: SparkSession): Unit =
-    graft.SessionCaches.clear(spark, Seq(edgeCache))
+    graft.SessionCaches.clear(spark, Seq(edgeCache, nodeCache))
 
   private def cachedEdgeDeg(spark: SparkSession, dir: String): DataFrame =
     edgeCache.computeIfAbsent((spark, dir), { _ =>
@@ -66,9 +68,18 @@ object PageRank {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** The node set is referenced Rounds+1 times in the unrolled plan —
+    * memoized alongside the edges so each reference is an in-memory
+    * scan, not a recomputed distinct. */
+  private def cachedNodes(spark: SparkSession, dir: String): DataFrame =
+    nodeCache.computeIfAbsent((spark, dir), { _ =>
+      cachedEdgeDeg(spark, dir).select(col("src").as("node")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   def pagerankTradeGraph(spark: SparkSession, dir: String): DataFrame = {
     val edgeDeg = cachedEdgeDeg(spark, dir)
-    val nodes = edgeDeg.select(col("src").as("node")).distinct()
+    val nodes = cachedNodes(spark, dir)
 
     var ranks = nodes.withColumn("rank_u", lit(RankInit))
     for (_ <- 1 to Rounds) {
