@@ -187,6 +187,95 @@ object Multimodal {
     bb.array()
   }
 
+  /** Canonical 44-byte PCM WAV header (RIFF spec, public): "RIFF"
+    * size "WAVE", "fmt " chunk (16 bytes: PCM tag 1, channels,
+    * sample rate, byte rate, block align, bits), "data" chunk size.
+    * Header-only fixture like [[bmpBytes]]. */
+  def wavBytes(rate: Int, channels: Int, bits: Int, nSamples: Int): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val dataSize = nSamples * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort)
+      .putInt(rate).putInt(rate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    bb.array()
+  }
+
+  /** Sun AU header (public spec): ".snd" magic then five big-endian
+    * u32 fields — header size, data size, encoding (3 = 16-bit linear
+    * PCM), sample rate, channels. */
+  def auBytes(rate: Int, channels: Int, nSamples: Int): Array[Byte] = {
+    val dataSize = nSamples * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(".snd".getBytes("US-ASCII"))
+      .putInt(24).putInt(dataSize).putInt(3).putInt(rate).putInt(channels)
+    bb.array()
+  }
+
+  /** Real audio-container header parse — the audio twin of [[decode]]:
+    *  - WAV: canonical RIFF/WAVE PCM layout (guarded on the "fmt "
+    *    chunk at 12 with PCM tag 1 — non-canonical chunk orders fall
+    *    to the stub rather than misparse); channels le16@22, rate
+    *    le32@24, bits le16@34, data size le32@40.
+    *  - AU: ".snd" magic, encoding 3 (16-bit PCM) guarded, rate/
+    *    channels/data size from the big-endian header.
+    * Returns (fmt, rate, channels, n_samples, duration_ms) with
+    * duration an integer-division of exact longs (oracle-safe). */
+  def decodeAudio(payload: Array[Byte]): (String, Long, Long, Long, Long) = {
+    def s(off: Int, n: Int) = new String(payload, off, n, "US-ASCII")
+    if (payload.length >= 44 && s(0, 4) == "RIFF" && s(8, 4) == "WAVE" &&
+        s(12, 4) == "fmt " && leU16(payload, 20) == 1L) {
+      val channels = leU16(payload, 22)
+      val rate = leI32(payload, 24)
+      val bits = leU16(payload, 34)
+      val dataSize = leI32(payload, 40)
+      val nSamples = dataSize / (channels * bits / 8)
+      ("wav", rate, channels, nSamples, nSamples * 1000L / rate)
+    } else if (payload.length >= 24 && s(0, 4) == ".snd" &&
+        beU32(payload, 12) == 3L) {
+      val dataSize = beU32(payload, 8)
+      val rate = beU32(payload, 16)
+      val channels = beU32(payload, 20)
+      val nSamples = dataSize / (channels * 2L)
+      ("au", rate, channels, nSamples, nSamples * 1000L / rate)
+    } else {
+      val (w, h, _) = decodeStub(payload)
+      ("stub", w, h, 0L, 0L)
+    }
+  }
+
+  private val AudioRates = Array(8000, 16000, 22050, 44100, 48000)
+
+  /** Oracled audio round-trip on the [[multimodalBmpDecode]] pattern:
+    * synthesize a WAV (even doc_id) or AU (odd) container with
+    * rate/channels/length derived from doc_id, parse it back with the
+    * real header decoders, emit what the parser read; the oracle
+    * predicts the fields from doc_id — any endianness/offset/guard bug
+    * in either parser mismatches. Narrow, zero-shuffle. */
+  def multimodalAudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val rate = AudioRates((id % 5).toInt)
+          val channels = 1 + (id % 2).toInt
+          val nSamples = 1000 + (id % 9000).toInt
+          val payload =
+            if (id % 2 == 0) wavBytes(rate, channels, 16, nSamples)
+            else auBytes(rate, channels, nSamples)
+          val (fmt, r, c, n, ms) = decodeAudio(payload)
+          (id, fmt, r, c, n, ms)
+        }
+      }.toDF("doc_id", "fmt", "sample_rate", "channels", "n_samples", "duration_ms")
+  }
+
   /** Binary payload table: doc_id + the bytes. In production this is
     * `spark.read.format("binaryFile")` or a parquet BinaryType column. */
   def blobs(spark: SparkSession, dir: String): DataFrame =
@@ -330,9 +419,23 @@ object Multimodal {
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_binary_source" -> (multimodalBinaryFiles _),
-    "multimodal_bmp_decode" -> (multimodalBmpDecode _))
+    "multimodal_bmp_decode" -> (multimodalBmpDecode _),
+    "multimodal_audio_decode" -> (multimodalAudioDecode _))
 
   val oracles: Map[String, String] = Map(
+    "multimodal_audio_decode" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'au' END AS fmt,
+        |       CAST(CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |            WHEN 2 THEN 22050 WHEN 3 THEN 44100
+        |            ELSE 48000 END AS BIGINT) AS sample_rate,
+        |       1 + doc_id % 2 AS channels,
+        |       1000 + doc_id % 9000 AS n_samples,
+        |       (1000 + doc_id % 9000) * 1000
+        |         // CAST(CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |              WHEN 2 THEN 22050 WHEN 3 THEN 44100
+        |              ELSE 48000 END AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
     // round-trip: the oracle predicts the dims the synthesizer encoded;
     // the Spark side must PARSE them back out of the container bytes
     "multimodal_bmp_decode" ->

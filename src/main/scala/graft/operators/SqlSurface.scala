@@ -260,6 +260,33 @@ object SqlSurface {
     spark.sql(promoEffectSql)
   }
 
+  /** TPC-H Q4 shape (order priority checking): orders in a quarter
+    * with at least one late line — EXISTS whose correlated predicate is
+    * NOT a plain key equality but carries a non-equi comparison against
+    * the OUTER row's column (`l_shipdate > o_orderdate + 60 days`).
+    * Catalyst must decorrelate this into a semi join with the non-equi
+    * condition as a join filter — the shape `sql_exists_not_in` does
+    * not cover (its correlations are pure equalities). The schema has
+    * no commit/receipt dates, so "late" is ship-lag vs order date —
+    * same predicate class as the reference query. Identical SQL text
+    * both engines (INTERVAL 60 DAY parses in the dialect
+    * intersection). */
+  val orderPriorityCheckSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  def orderPriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(orderPriorityCheckSql)
+  }
+
   /** TPC-H Q13 shape (customer distribution): how many customers have
     * how many qualifying orders. The Q13 traps, both preserved: the
     * order predicate lives in the LEFT JOIN's ON clause — moving it to
@@ -305,6 +332,7 @@ object SqlSurface {
     "sql_large_volume_customer" -> (largeVolumeCustomer _),
     "sql_promo_effect" -> (promoEffect _),
     "sql_customer_distribution" -> (customerDistribution _),
+    "sql_order_priority_check" -> (orderPriorityCheck _),
     "approx_distinct_users" -> (approxDistinctUsers _))
 
   val oracles: Map[String, String] = Map(
@@ -316,5 +344,6 @@ object SqlSurface {
     "sql_shipping_priority" -> shippingPrioritySql,
     "sql_large_volume_customer" -> largeVolumeCustomerSql,
     "sql_promo_effect" -> promoEffectSql,
-    "sql_customer_distribution" -> customerDistributionSql)
+    "sql_customer_distribution" -> customerDistributionSql,
+    "sql_order_priority_check" -> orderPriorityCheckSql)
 }

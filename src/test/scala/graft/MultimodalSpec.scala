@@ -99,6 +99,27 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(Multimodal.decode(Multimodal.gifBytes(320, 200).take(12))._1 == "stub")
   }
 
+  test("audio decode parses WAV and AU headers exactly; guards fall to the stub") {
+    // WAV: 44.1 kHz stereo 16-bit, 4410 samples → 100 ms exactly
+    assert(Multimodal.decodeAudio(Multimodal.wavBytes(44100, 2, 16, 4410)) ==
+      (("wav", 44100L, 2L, 4410L, 100L)))
+    // AU: 8 kHz mono, 12000 samples → 1500 ms
+    assert(Multimodal.decodeAudio(Multimodal.auBytes(8000, 1, 12000)) ==
+      (("au", 8000L, 1L, 12000L, 1500L)))
+    // duration truncates (integer division): 999 samples at 48 kHz → 20 ms
+    assert(Multimodal.decodeAudio(Multimodal.wavBytes(48000, 1, 16, 999))._5 == 20L)
+    // non-PCM WAV (format tag != 1) → stub, never fabricated fields
+    val nonPcm = Multimodal.wavBytes(44100, 2, 16, 100)
+    nonPcm(20) = 3 // IEEE float tag
+    assert(Multimodal.decodeAudio(nonPcm)._1 == "stub")
+    // AU with a non-PCM encoding → stub; truncated headers → stub
+    val mulaw = Multimodal.auBytes(8000, 1, 100)
+    mulaw(15) = 1 // mu-law
+    assert(Multimodal.decodeAudio(mulaw)._1 == "stub")
+    assert(Multimodal.decodeAudio(Multimodal.auBytes(8000, 1, 100).take(20))._1 == "stub")
+    assert(Multimodal.decodeAudio("not audio at all".getBytes("UTF-8"))._1 == "stub")
+  }
+
   test("decode falls back to the md5 stub for text payloads — even BM/farbfeld prefixes") {
     for (s <- Seq("plain document text", "BM is a text prefix long enough to pass the length gate",
                   "farbfeld is also just a word in this sentence",
