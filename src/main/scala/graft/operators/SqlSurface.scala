@@ -260,6 +260,27 @@ object SqlSurface {
     spark.sql(promoEffectSql)
   }
 
+  /** LATERAL correlated subquery with per-outer-row ORDER BY + LIMIT —
+    * the SQL:2016 spelling of grouped top-k (the declarative
+    * counterpart of the `topk_per_group` bounded-heap Aggregator).
+    * Catalyst decorrelates the limit into a rank-window over the
+    * joined pairs, so nothing executes per outer row; at 100 TB the
+    * plan is one join + one bounded window, not N subquery scans.
+    * Identical SQL text both engines; c_acctbal passes through
+    * unmodified (no double arithmetic to drift). */
+  val lateralTopkSql: String =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin
+
+  def lateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    Seq("nation", "customer")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(lateralTopkSql)
+  }
+
   /** TPC-H Q4 shape (order priority checking): orders in a quarter
     * with at least one late line — EXISTS whose correlated predicate is
     * NOT a plain key equality but carries a non-equi comparison against
@@ -333,6 +354,7 @@ object SqlSurface {
     "sql_promo_effect" -> (promoEffect _),
     "sql_customer_distribution" -> (customerDistribution _),
     "sql_order_priority_check" -> (orderPriorityCheck _),
+    "sql_lateral_topk" -> (lateralTopk _),
     "approx_distinct_users" -> (approxDistinctUsers _))
 
   val oracles: Map[String, String] = Map(
@@ -345,5 +367,6 @@ object SqlSurface {
     "sql_large_volume_customer" -> largeVolumeCustomerSql,
     "sql_promo_effect" -> promoEffectSql,
     "sql_customer_distribution" -> customerDistributionSql,
-    "sql_order_priority_check" -> orderPriorityCheckSql)
+    "sql_order_priority_check" -> orderPriorityCheckSql,
+    "sql_lateral_topk" -> lateralTopkSql)
 }
