@@ -161,6 +161,23 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"lang must not survive as a data filter:\n$p")
   }
 
+  test("sql_order_priority_check: non-equi EXISTS decorrelates to a filtered semi join") {
+    val p = plan("sql_order_priority_check")
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+    // the non-equi correlation rides the join as a condition — never a
+    // per-outer-row subquery, never a nested loop
+    assert(p.contains("l_shipdate") && p.contains("INTERVAL"),
+      s"non-equi correlated predicate missing from the join:\n$p")
+    assert(!p.contains("NestedLoop"), s"decorrelation fell back to NLJ:\n$p")
+  }
+
+  test("sql_lateral_topk: correlated LIMIT decorrelates to a rank window, no per-row subquery") {
+    val p = plan("sql_lateral_topk")
+    assert(p.contains("row_number") && p.contains("rn"),
+      s"lateral limit did not become a rank window:\n$p")
+    assert(!p.contains("NestedLoop"), s"lateral planned as a nested loop:\n$p")
+  }
+
   test("dpp_join_agg: runtime subquery prunes fact partitions via the batch broadcast") {
     val p = plan("dpp_join_agg")
     // the batch's langs are unknown at plan time — pruning must be the
