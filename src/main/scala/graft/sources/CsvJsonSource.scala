@@ -80,6 +80,11 @@ object CsvJsonSource {
             .option("header", "true").csv(out.getAbsolutePath)
           case "json" => staged.write.mode("overwrite")
             .json(out.getAbsolutePath)
+          case "textgz" => docs
+            .select(concat_ws("\t",
+              col("doc_id"), col("lang"), col("text")).as("value"))
+            .write.mode("overwrite").option("compression", "gzip")
+            .text(out.getAbsolutePath)
         }
       }
       out.getAbsolutePath
@@ -114,9 +119,35 @@ object CsvJsonSource {
     fidelityAgg(spark.read.schema(readSchema)
       .json(stagedDir(spark, dir, "json")))
 
+  /** Gzip-compressed TSV text round-trip — the compressed-ingest
+    * certificate: lines written `doc_id\tlang\ttext` with gzip codec,
+    * transparently decompressed by the text source on read, parsed
+    * with a limit-3 split (the text itself is tab/newline-free by
+    * fixture contract — TSV without escaping is only honest under
+    * that precondition, which the CSV/JSON queries cover the negation
+    * of). Scale note: gzip is a NON-SPLITTABLE codec — one task per
+    * file, like multiLine CSV; at 100 TB compressed text arrives as
+    * many medium files (per-file parallelism) or re-codes to
+    * zstd/bzip2-style splittable storage on first touch. The oracle
+    * reads the original parquet. */
+  def gzipTextRoundtripAgg(spark: SparkSession, dir: String): DataFrame = {
+    def fp60(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10)
+        .cast(LongType) % 1000000007L
+    val parsed = spark.read.text(stagedDir(spark, dir, "textgz"))
+      .select(split(col("value"), "\t", 3).as("p"))
+      .select(col("p")(0).cast(LongType).as("doc_id"),
+        col("p")(1).as("lang"), col("p")(2).as("text"))
+    parsed.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        sum(fp60(col("text"))).as("text_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip_agg" -> (csvRoundtripAgg _),
-    "json_roundtrip_agg" -> (jsonRoundtripAgg _))
+    "json_roundtrip_agg" -> (jsonRoundtripAgg _),
+    "gzip_text_roundtrip_agg" -> (gzipTextRoundtripAgg _))
 
   /** Oracle never sees the staged copy — original parquet only, with
     * `tricky` rebuilt inline from doc_id/lang. */
@@ -133,5 +164,12 @@ object CsvJsonSource {
 
   val oracles: Map[String, String] = Map(
     "csv_roundtrip_agg" -> fidelitySql,
-    "json_roundtrip_agg" -> fidelitySql)
+    "json_roundtrip_agg" -> fidelitySql,
+    "gzip_text_roundtrip_agg" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+        |       CAST(SUM(CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT)
+        |                % 1000000007) AS BIGINT) AS text_fp
+        |FROM documents
+        |GROUP BY lang""".stripMargin)
 }

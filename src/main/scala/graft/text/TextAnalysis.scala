@@ -522,6 +522,32 @@ object TextAnalysis {
     * evaluate interpreted); `orderBy.limit` plans as
     * TakeOrderedAndProject — per-partition bounded top-k merged on one
     * reducer, NOT a global sort, so it survives an open vocabulary. */
+  /** N-gram novelty — the "unseen n-gram rate" quality signal: per
+    * doc, how many of its DISTINCT bigrams appear in no other document
+    * (corpus document-frequency 1). High novelty marks original text;
+    * near-zero marks boilerplate/template families — the cheap LM-free
+    * proxy for the perplexity filter. Deliberately emitted as two
+    * exact integers (numerator + denominator), never a ratio: the
+    * division belongs to the consumer, and integers are what hash-
+    * oracle. Shape: one (doc, bigram) distinct shuffle, one bigram-df
+    * aggregate, one bigram-keyed join back, one doc aggregate — all
+    * keys constant-width-hashable, nothing quadratic. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bg = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val ws = t.split(" ").filter(_.nonEmpty)
+        if (ws.length < 2) Iterator.empty
+        else ws.iterator.zip(ws.iterator.drop(1)).map(p => (id, p._1 + " " + p._2))
+      }.toDF("doc_id", "bigram").distinct()
+    val dfreq = bg.groupBy("bigram").agg(count(lit(1)).as("dfreq"))
+    bg.join(dfreq, "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("dfreq") === 1, 1L).otherwise(0L)).as("n_unique"))
+  }
+
   def ngramCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
@@ -627,6 +653,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_chunks" -> (docChunks _),
     "ngram_counts" -> (ngramCounts _),
+    "ngram_novelty" -> (ngramNovelty _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "training_set_select" -> (trainingSetSelect _),
     "training_set_select_neardup" -> (trainingSetSelectNeardup _),
@@ -720,6 +747,19 @@ object TextAnalysis {
         |  WHERE len(ws) >= 2)
         |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
         |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |bg AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+        |  FROM toks, LATERAL unnest(generate_series(1, len(ws)-1)) t(i)
+        |  WHERE len(ws) >= 2),
+        |df AS (SELECT bigram, count(*) AS dfreq FROM bg GROUP BY bigram)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |       CAST(SUM(CASE WHEN df.dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        |FROM bg b JOIN df ON df.bigram = b.bigram
+        |GROUP BY b.doc_id""".stripMargin,
     "tfidf_top_terms" ->
       """WITH toks AS (
         |  SELECT lang, unnest(list_filter(string_split(text,' '), w -> w <> '')) AS w
