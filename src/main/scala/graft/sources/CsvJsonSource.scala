@@ -85,6 +85,14 @@ object CsvJsonSource {
               col("doc_id"), col("lang"), col("text")).as("value"))
             .write.mode("overwrite").option("compression", "gzip")
             .text(out.getAbsolutePath)
+          case "jsondirty" => docs
+            .select(when(col("doc_id") % 10 === 7,
+              // truncate every 10th record mid-object: structurally
+              // invalid JSON, deterministic from doc_id
+              expr("substring(to_json(struct(doc_id, lang, text)), 1, 9)"))
+              .otherwise(to_json(struct(col("doc_id"), col("lang"), col("text"))))
+              .as("value"))
+            .write.mode("overwrite").text(out.getAbsolutePath)
         }
       }
       out.getAbsolutePath
@@ -144,10 +152,37 @@ object CsvJsonSource {
         sum(fp60(col("text"))).as("text_fp"))
   }
 
+  /** Dirty-ingest certificate — 100 TB feeds ALWAYS carry malformed
+    * records, and silently dropping them is the classic ingest bug.
+    * Every 10th record is truncated mid-object at the stage; the read
+    * runs PERMISSIVE with a corrupt-record column (the production
+    * posture: quarantine, don't crash, don't drop), and the audit
+    * counts both populations and checksums the survivors. The oracle
+    * predicts all four numbers from the doc_id rule — a reader that
+    * drops corrupt rows, or one that mangles a valid neighbor,
+    * mismatches. Per-lang so a parser bias against any subset shows. */
+  def jsonCorruptAudit(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(stagedDir(spark, dir, "jsondirty"))
+      .groupBy(coalesce(col("lang"), lit("_corrupt")).as("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(coalesce(col("doc_id"), lit(0L))).as("sum_ids"),
+        sum(coalesce(length(col("text")), lit(0L))).as("sum_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip_agg" -> (csvRoundtripAgg _),
     "json_roundtrip_agg" -> (jsonRoundtripAgg _),
-    "gzip_text_roundtrip_agg" -> (gzipTextRoundtripAgg _))
+    "gzip_text_roundtrip_agg" -> (gzipTextRoundtripAgg _),
+    "json_corrupt_audit" -> (jsonCorruptAudit _))
 
   /** Oracle never sees the staged copy — original parquet only, with
     * `tricky` rebuilt inline from doc_id/lang. */
@@ -171,5 +206,18 @@ object CsvJsonSource {
         |       CAST(SUM(CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT)
         |                % 1000000007) AS BIGINT) AS text_fp
         |FROM documents
-        |GROUP BY lang""".stripMargin)
+        |GROUP BY lang""".stripMargin,
+    // valid rows keep their lang; corrupted ones (every doc_id % 10 = 7,
+    // truncated mid-object at the stage) parse to all-null fields and
+    // land in the '_corrupt' quarantine group
+    "json_corrupt_audit" ->
+      """SELECT lang, count(*) AS n_rows, 0::BIGINT AS n_corrupt,
+        |       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |       CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 10 <> 7 GROUP BY lang
+        |UNION ALL
+        |SELECT '_corrupt' AS lang, count(*) AS n_rows,
+        |       count(*) AS n_corrupt, 0::BIGINT AS sum_ids,
+        |       0::BIGINT AS sum_chars
+        |FROM documents WHERE doc_id % 10 = 7""".stripMargin)
 }
