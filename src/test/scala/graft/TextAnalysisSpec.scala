@@ -96,6 +96,18 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
     assert(fpRate < 0.01, f"bloom FP rate $fpRate%.4f >= 1%%")
   }
 
+  test("bloom probe is a native expression (no UDF node) and the memoized repeat is bit-identical") {
+    import spark.implicits._
+    val first = TextAnalysis.evalDecontaminationBloom(spark, sfDir)
+    val plan = first.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_probe"), "native probe expression missing from plan")
+    assert(!plan.toLowerCase.contains("udf"), "boxed UDF survived in the probe plan")
+    val a = first.as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val b = TextAnalysis.evalDecontaminationBloom(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(a.sameElements(b), "memoized second invocation diverged from the first")
+  }
+
   test("winnowing: window bounds, short-doc truncation, dup detection by density") {
     import spark.implicits._
     // doc 1: 4 tokens -> 2 grams < w -> ONE truncated window -> 1 fp;
