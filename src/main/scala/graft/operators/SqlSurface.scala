@@ -333,6 +333,45 @@ object SqlSurface {
     spark.sql(customerDistributionSql)
   }
 
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    * planner stress — an EXISTS and a NOT EXISTS correlated to the SAME
+    * fact table (lineitem) from the same query block, each carrying a
+    * suppkey INEQUALITY beside the orderkey equality, on top of a
+    * four-way join (supplier ⋈ lineitem ⋈ orders ⋈ nation). Catalyst
+    * must decorrelate to one LeftSemi and one LeftAnti join whose
+    * conditions carry the `<>` as join filters — a per-outer-row
+    * subquery or a nested loop here is quadratic in lineitem. The
+    * schema has no commit/receipt dates, so the reference's "late
+    * line" predicate (`l_receiptdate > l_commitdate`,
+    * line-LOCAL like ours) lands on `l_returnflag = 'R'` — identical
+    * predicate class, identical plan shape. Scale shape: all three
+    * lineitem branches hash on l_orderkey, so the semi and anti joins
+    * reuse the fact shuffle partitioning; supplier and nation
+    * broadcast. Identical SQL text both engines. */
+  val waitingOrdersSql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND n.n_name LIKE 'NATION_1%'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name""".stripMargin
+
+  def waitingOrders(spark: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "lineitem", "orders", "nation")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(waitingOrdersSql)
+  }
+
   /** Sketch aggregates: HyperLogLog++ distinct-count per event type,
     * beside the exact count. No oracle (DuckDB's approx sketch differs
     * by construction); ScalaTest pins the relative error instead. */
@@ -355,6 +394,7 @@ object SqlSurface {
     "sql_customer_distribution" -> (customerDistribution _),
     "sql_order_priority_check" -> (orderPriorityCheck _),
     "sql_lateral_topk" -> (lateralTopk _),
+    "sql_waiting_orders" -> (waitingOrders _),
     "approx_distinct_users" -> (approxDistinctUsers _))
 
   val oracles: Map[String, String] = Map(
@@ -368,5 +408,6 @@ object SqlSurface {
     "sql_promo_effect" -> promoEffectSql,
     "sql_customer_distribution" -> customerDistributionSql,
     "sql_order_priority_check" -> orderPriorityCheckSql,
-    "sql_lateral_topk" -> lateralTopkSql)
+    "sql_lateral_topk" -> lateralTopkSql,
+    "sql_waiting_orders" -> waitingOrdersSql)
 }

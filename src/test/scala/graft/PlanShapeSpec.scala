@@ -171,6 +171,21 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("NestedLoop"), s"decorrelation fell back to NLJ:\n$p")
   }
 
+  test("sql_waiting_orders: EXISTS + NOT EXISTS on one fact decorrelate to semi + anti joins") {
+    val p = plan("sql_waiting_orders")
+    // Q21's signature: both subqueries correlate to the SAME lineitem
+    // fact with a suppkey inequality riding the orderkey equality —
+    // they must become one semi and one anti hash join, never a
+    // per-outer-row subquery or a nested loop (quadratic in lineitem)
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$p")
+    assert(!p.contains("NestedLoop"), s"decorrelation fell back to NLJ:\n$p")
+    // three lineitem branches (outer + two subqueries) is the required
+    // shape; more would mean a subquery was duplicated by the planner
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 6, s"unexpected scan duplication ($scans scans):\n$p")
+  }
+
   test("sql_lateral_topk: correlated LIMIT decorrelates to a rank window, no per-row subquery") {
     val p = plan("sql_lateral_topk")
     assert(p.contains("row_number") && p.contains("rn"),
@@ -259,6 +274,20 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     // or second scan of lineitem
     assert("Scan parquet .*lineitem".r.findAllIn(p).length <= 1,
       s"conditional aggregate must not rescan the fact side:\n$p")
+  }
+
+  test("skew_salted_join: the salt reaches the shuffle keys of a non-broadcast hash join") {
+    val p = plan("skew_salted_join")
+    // the production scenario is a dim above the broadcast threshold:
+    // the join must be a shuffled hash join whose keys carry _salt —
+    // a broadcast (salt pointless) or a salt-free shuffle (hot key
+    // still serialized onto one reducer) both void the mitigation
+    assert(p.contains("ShuffledHashJoin"), s"expected a shuffled hash join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"dim must not broadcast here:\n$p")
+    assert(p.contains("_salt"), s"salt column missing from the plan:\n$p")
+    assert(p.contains("pmod") && p.contains("SPARK_PARTITION_ID"),
+      s"fact salt must be the retry-stable partition-id mix:\n$p")
+    assert(p.contains("explode"), s"dim side must replicate via explode:\n$p")
   }
 
   test("AQE splits a skewed fact-fact join (skew=true) with results unchanged") {
