@@ -93,6 +93,55 @@ object PageRank {
     ranks
   }
 
+  /** Convergence-mode PageRank — the unbounded-rounds form the static
+    * loop's Scaladoc promises: iterate the identical integer recurrence
+    * until the largest per-node rank change is ≤ `tol` micro-units (or
+    * `maxRounds` as a backstop). Each round is eagerly
+    * `localCheckpoint`ed — the lineage-truncation move from
+    * ConnectedComponents.scala:75 — so the plan stays one-round deep no
+    * matter how many rounds convergence takes (the unrolled static form
+    * doubles its plan per round, fine for 6, fatal for 60), and the
+    * superseded round's blocks are unpersisted as soon as its successor
+    * is materialized, holding at most two round snapshots. The Δ check
+    * rides the SAME materialization as the round's update (prev and new
+    * rank live in one checkpointed frame), so convergence costs one
+    * cheap agg over cached blocks per round, not an extra join.
+    *
+    * With `tol = 0` and `maxRounds = n` this executes exactly the
+    * static n-round recurrence — PageRankSpec pins bit-equality against
+    * [[pagerankTradeGraph]] on the fixture graph. Caller owns the
+    * returned frame's unpersist (same contract as CC.resolve). */
+  def pagerankConverged(spark: SparkSession, dir: String,
+                        tol: Long = 1000L,
+                        maxRounds: Int = 50): DataFrame = {
+    val edgeDeg = cachedEdgeDeg(spark, dir)
+    val nodes = cachedNodes(spark, dir)
+
+    var ranks = nodes.withColumn("rank_u", lit(RankInit))
+    var lastCp: DataFrame = null
+    var delta = Long.MaxValue
+    var round = 0
+    while (round < maxRounds && delta > tol) {
+      val inflow = edgeDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("rank_u div outdeg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("inflow"))
+      // ranks carries the full node set every round (it starts as
+      // nodes and each step is a left join), so joining it directly
+      // keeps prev and new rank in one frame for the Δ check
+      val stepped = ranks.join(inflow, col("node") === col("dst"), "left")
+        .select(col("node"), col("rank_u").as("rank_prev"),
+          (lit(Teleport) + expr("85 * coalesce(inflow, 0L) div 100")).as("rank_u"))
+        .localCheckpoint(true)
+      delta = stepped.agg(max(abs(col("rank_u") - col("rank_prev"))))
+        .first().getLong(0)
+      if (lastCp != null) lastCp.unpersist()
+      lastCp = stepped
+      ranks = stepped.select("node", "rank_u")
+      round += 1
+    }
+    ranks
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank_trade_graph" -> (pagerankTradeGraph _))
 

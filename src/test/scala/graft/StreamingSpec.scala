@@ -218,6 +218,59 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(rows == Set((ts(0), "click", 2L), (ts(60), "view", 1L)))
   }
 
+  test("file source + torn commit: restart replays the emitting batch, output stays exactly-once") {
+    import spark.implicits._
+    // end-to-end: a REAL file source (not MemoryStream) driving the
+    // foreachBatch parquet sink through a crash-shaped restart. The
+    // crash window foreachBatch leaves open is "sink write done,
+    // checkpoint commit not yet recorded" — simulated deterministically
+    // by deleting the last commits/<N> marker after a clean stop. On
+    // restart Spark MUST re-run batch N from the offset WAL (same
+    // files, same state-store version, same watermark), and the sink's
+    // overwrite-own-batch-directory idempotence must absorb the replay.
+    val inDir = java.nio.file.Files.createTempDirectory("fs_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("fs_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("fs_out").toString
+    def addFile(rows: EventRow*): Unit =
+      rows.toSeq.toDF().coalesce(1).write.mode("append").json(inDir)
+    val schema = Seq.empty[EventRow].toDF().schema
+    // one file per trigger → file boundaries are batch boundaries
+    def start() = EventStreams.windowedCountsToParquet(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(inDir),
+      out, ckpt, "1 hour", "1 hour")
+
+    addFile(EventRow(ts(10), 1, "click", 1.0), EventRow(ts(20), 2, "click", 1.0))
+    addFile(EventRow(ts(70), 1, "view", 1.0))
+    addFile(EventRow(ts(300), 3, "click", 1.0)) // advances the watermark past both windows
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val expected = Set((ts(0), "click", 2L), (ts(60), "view", 1L))
+    def readOut() = spark.read.parquet(out)
+      .select("window_start", "event_type", "n")
+      .as[(Timestamp, String, Long)].collect().toSeq
+    assert(readOut().toSet == expected, "windows not emitted before the crash point")
+
+    // tear the final commit — the batch that emitted both windows is
+    // now write-complete but commit-missing, exactly the replay case
+    val commits = new java.io.File(s"$ckpt/commits")
+      .listFiles().filter(_.getName.forall(_.isDigit))
+    val torn = commits.maxBy(_.getName.toInt)
+    // the local checksum fs keeps a .N.crc sidecar beside each commit
+    // marker — tear both, or the rewrite trips FileAlreadyExists and
+    // Spark misreads it as a concurrent query on the checkpoint
+    val tornCrc = new java.io.File(torn.getParent, s".${torn.getName}.crc")
+    assert(torn.delete(), s"could not tear commit ${torn.getName}")
+    if (tornCrc.exists()) assert(tornCrc.delete())
+
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val rows = readOut()
+    assert(rows.size == rows.toSet.size,
+      s"replayed batch duplicated sink rows (sink not idempotent): $rows")
+    assert(rows.toSet == expected, s"post-restart output diverged: $rows")
+  }
+
   test("the same tumbling transform runs on a batch DataFrame") {
     import spark.implicits._
     val batch = Seq(
