@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Scale the driver-generated parquet tables by an integer factor M
+(default 10: sf0.1 -> sf1) for the scale-cliff audit (VERDICT r6 #1).
+
+Method: M disjoint key-shifted copies of every growing table — copy k
+offsets each key domain by k * <table cardinality>, so join fan-outs,
+group counts, and dup-family sizes scale LINEARLY like a real larger
+corpus, instead of multiplying duplicate keys (which would scale some
+joins quadratically). region/nation stay fixed (TPC-H holds these dims
+constant across SFs). Name columns that are 1:1 with a key (c_name,
+s_name) are regenerated from the shifted key so name-keyed GROUP BYs
+keep one group per entity. Document text gets a 3-char copy suffix so
+exact-dup families stay per-copy (linear) while cross-copy texts remain
+near-dups — the honest 10x stress for the MinHash/SimHash family.
+n_chars is kept consistent with the suffixed text. Everything is
+deterministic: no randomness, byte-stable reruns.
+
+Usage: gen_sf.py SRC_DIR DST_DIR [M]
+"""
+import os
+import sys
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC, DST = sys.argv[1], sys.argv[2]
+M = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+os.makedirs(DST, exist_ok=True)
+
+# per-table key columns and their cardinality-offset sources
+CARD = {}
+
+
+def card(table):
+    if table not in CARD:
+        CARD[table] = pq.read_metadata(f"{SRC}/{table}.parquet").num_rows
+    return CARD[table]
+
+
+def scale(table, mutate):
+    """Read SRC table, emit M key-shifted copies via `mutate(df, k)`,
+    write DST preserving the original arrow schema (incl. int32 cols
+    and timestamp[ns])."""
+    orig = pq.read_table(f"{SRC}/{table}.parquet")
+    df = orig.to_pandas()
+    copies = []
+    for k in range(M):
+        c = df.copy()
+        mutate(c, k)
+        copies.append(c)
+    out = pd.concat(copies, ignore_index=True)
+    tbl = pa.Table.from_pandas(out, schema=orig.schema, preserve_index=False)
+    pq.write_table(tbl, f"{DST}/{table}.parquet")
+    print(f"{table}: {orig.num_rows} -> {tbl.num_rows}")
+
+
+def copy_fixed(table):
+    pq.write_table(pq.read_table(f"{SRC}/{table}.parquet"),
+                   f"{DST}/{table}.parquet")
+    print(f"{table}: fixed dim, copied as-is")
+
+
+copy_fixed("region")
+copy_fixed("nation")
+
+nCust, nSupp, nPart = card("customer"), card("supplier"), card("part")
+nOrd, nEvt = card("orders"), card("events")
+nDoc, nVec = card("documents"), card("embeddings")
+
+
+def mut_customer(c, k):
+    c["c_custkey"] += k * nCust
+    c["c_name"] = c["c_custkey"].map(lambda i: f"Customer#{i:09d}")
+
+
+def mut_supplier(c, k):
+    c["s_suppkey"] += k * nSupp
+    c["s_name"] = c["s_suppkey"].map(lambda i: f"Supplier#{i:09d}")
+
+
+def mut_part(c, k):
+    c["p_partkey"] += k * nPart
+
+
+def mut_orders(c, k):
+    c["o_orderkey"] += k * nOrd
+    c["o_custkey"] += k * nCust
+
+
+def mut_lineitem(c, k):
+    c["l_orderkey"] += k * nOrd
+    c["l_partkey"] += k * nPart
+    c["l_suppkey"] += k * nSupp
+
+
+def mut_events(c, k):
+    c["event_id"] += k * nEvt
+    c["user_id"] += k * nCust  # stays inside copy-k's customer range
+
+
+def mut_documents(c, k):
+    c["doc_id"] += k * nDoc
+    if k > 0:
+        suffix = f" c{k}"
+        c["text"] = c["text"] + suffix
+        c["n_chars"] = c["n_chars"] + len(suffix)
+
+
+def mut_embeddings(c, k):
+    c["vec_id"] += k * nVec
+
+
+scale("customer", mut_customer)
+scale("supplier", mut_supplier)
+scale("part", mut_part)
+scale("orders", mut_orders)
+scale("lineitem", mut_lineitem)
+scale("events", mut_events)
+scale("documents", mut_documents)
+scale("embeddings", mut_embeddings)
+print(f"done: {DST} at {M}x {SRC}")
