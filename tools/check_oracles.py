@@ -14,7 +14,9 @@ HUGEINT→float64 typing failures the driver's pandas compare catches
 SUM(BIGINT) oracle lands as float64 (`3.0`) and correctly mismatches
 Spark's int64 (`3`). Array columns raise, as they do in the driver.
 
-Usage: python3 tools/check_oracles.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracles.py <sfDir> <verifyOutDir> [query ...]
+Optional trailing query names restrict the check to those queries
+(resume after a crash, or re-verify one oracle after an edit).
 """
 import sys, os, json, glob, math
 import duckdb
@@ -42,13 +44,19 @@ def canon(df):
     return sorted("|".join(norm_cell(c) for c in r) for r in rows)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
+    # bound DuckDB so a heavy oracle (sf1 near-dup joins) spills to
+    # disk instead of OOM-killing the gate at the box's 128 GB
+    con.sql("SET memory_limit='40GB'")
+    con.sql("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         qdir = os.path.join(out_dir, name)
@@ -94,4 +102,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3:]) or None))
