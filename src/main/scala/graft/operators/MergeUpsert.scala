@@ -159,6 +159,12 @@ object MergeUpsert {
         |       CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+    // both merge oracles elect the survivor with arg_max(col, v)
+    // rather than mirroring Spark's max(struct(v, …)): version tags
+    // are unique per key so the two are equivalent, and DuckDB 1.0's
+    // struct-max aggregate degenerates at sf1 row counts (>5 min and
+    // an unbounded-memory grouping that OOM'd the gate; arg_max runs
+    // the same merge in milliseconds)
     "merge_upsert_orders" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
@@ -175,12 +181,12 @@ object MergeUpsert {
         |  UNION ALL
         |  SELECT k, 1 AS v, status, price FROM changes),
         |merged AS (
-        |  SELECT k, max(struct_pack(v := v, status := status, price := price)) AS top
+        |  SELECT k, arg_max(status, v) AS status, arg_max(price, v) AS price
         |  FROM tagged GROUP BY k)
-        |SELECT top.status AS status, count(*) AS n_rows,
-        |       CAST(SUM(CAST(top.price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |SELECT status, count(*) AS n_rows,
+        |       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM merged
-        |GROUP BY top.status""".stripMargin,
+        |GROUP BY status""".stripMargin,
     "merge_cdc_tombstones" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
@@ -202,12 +208,12 @@ object MergeUpsert {
         |  UNION ALL
         |  SELECT k, v, op, status, price FROM feed),
         |merged AS (
-        |  SELECT k, max(struct_pack(v := v, op := op, status := status,
-        |                            price := price)) AS top
+        |  SELECT k, arg_max(op, v) AS op, arg_max(status, v) AS status,
+        |         arg_max(price, v) AS price
         |  FROM tagged GROUP BY k)
-        |SELECT top.status AS status, count(*) AS n_rows,
-        |       CAST(SUM(CAST(top.price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |SELECT status, count(*) AS n_rows,
+        |       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM merged
-        |WHERE top.op <> 'D'
-        |GROUP BY top.status""".stripMargin)
+        |WHERE op <> 'D'
+        |GROUP BY status""".stripMargin)
 }
