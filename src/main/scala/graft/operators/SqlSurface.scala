@@ -20,15 +20,28 @@ object SqlSurface {
       Tables.load(spark, dir, n).createOrReplaceTempView(n)
     }
 
+  /** Two determinism measures surfaced by the r7 sf1 run (invisible
+    * at sf0.1, real at 534 k rows/group):
+    *  - operand widths are DECIMAL(12,2), not (18,2) — at (18,2) the
+    *    charge term's exact (55,6) triple product overflows both
+    *    engines' 38-digit cap and each applies its OWN precision-loss
+    *    rule; at (12,2) the product is an exact (38,6) in both
+    *    (lineitem prices fit with four digits to spare);
+    *  - the product sums reach DOUBLE via CAST(… AS STRING) — the
+    *    scale-6 sum's scaled integer exceeds 2^53, and DuckDB's direct
+    *    decimal→double cast double-rounds (int→double, then /10^6),
+    *    landing 1 ulp off Spark's correctly-rounded BigDecimal
+    *    conversion. decimal→text is exact and text→double is one
+    *    correctly-rounded parse in BOTH engines, at any scale factor. */
   val pricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
-      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      |                CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      |                CAST(1 - l_discount AS DECIMAL(18,2)) *
-      |                CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |                     CAST(1 - l_discount AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_disc_price,
+      |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |                     CAST(1 - l_discount AS DECIMAL(12,2)) *
+      |                     CAST(1 + l_tax AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sum_charge,
       |       count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

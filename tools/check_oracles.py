@@ -47,8 +47,10 @@ def canon(df):
 def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     # bound DuckDB so a heavy oracle (sf1 near-dup joins) spills to
-    # disk instead of OOM-killing the gate at the box's 128 GB
-    con.sql("SET memory_limit='40GB'")
+    # disk instead of OOM-killing the gate at the box's 128 GB;
+    # GRAFT_DUCK_MEM overrides for single heavy oracles (the sf1 IVF
+    # replay needs ~2.5x the default)
+    con.sql(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '40GB')}'")
     con.sql("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
