@@ -672,6 +672,69 @@ object TextAnalysis {
           / col("n_tokens").cast(DoubleType), 6))
   }
 
+  /** Inverted index — THE canonical MapReduce job beside WordCount
+    * (the reference framework's map/sort/reduce pipeline,
+    * `job/WordCount.java:25-52`, is the textbook machinery for exactly
+    * this): term → document-frequency + posting list. Spark shape: one
+    * explode, one (term, doc) distinct, one term aggregate — every key
+    * constant-width, partial aggregation map-side, a single term-keyed
+    * shuffle at any corpus size. The posting list itself is emitted as
+    * an md5 over the numerically-sorted doc ids (`sort_array` before
+    * the join, `ORDER BY doc_id` in DuckDB) — the list is certified
+    * content-exactly without shipping an array column through the
+    * hash-compare (driver's row-sort cannot hash arrays). At 100 TB
+    * postings for stop-like terms are huge; a production index shards
+    * the posting list by (term, doc_id div B) — same aggregate,
+    * composite key — while df stays this exact shape. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("df"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string")))).as("postings_md5"))
+
+  /** Bigram collocation strength — the PMI inputs for phrase detection
+    * (word2vec-style "new_york" merging), emitted as EXACT INTEGERS:
+    * PMI = ln(c_ab·N / (c_a·c_b)) is monotone in c_ab·N / (c_a·c_b),
+    * so the numerator and denominator ship as two int64 columns and
+    * the log belongs to the consumer (same no-libm contract as
+    * ngram_novelty; integers are what hash-oracle). Top-[[PmiTopK]] by
+    * bigram count (ties term-lexicographic) bounds the output; the
+    * unigram side joins twice on constant-width token keys. N (total
+    * token count) rides a broadcast scalar, not a shuffle. */
+  val PmiTopK = 50
+
+  def cooccurrencePmi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val bigrams = docs.flatMap { case (_, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      if (ws.length < 2) Iterator.empty
+      else ws.iterator.zip(ws.iterator.drop(1))
+    }.toDF("w1", "w2")
+    val unigrams = docs.flatMap { case (_, t) =>
+      t.split(" ").filter(_.nonEmpty)
+    }.toDF("w")
+    val uniCounts = unigrams.groupBy("w").agg(count(lit(1)).as("c"))
+    val n = unigrams.count() // one job; the scalar broadcasts as a literal
+    bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .orderBy(col("c_ab").desc, col("w1").asc, col("w2").asc)
+      .limit(PmiTopK)
+      .join(uniCounts.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c", "c_a"), "w1")
+      .join(uniCounts.withColumnRenamed("w", "w2")
+        .withColumnRenamed("c", "c_b"), "w2")
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        (col("c_ab") * lit(n)).as("pmi_num"),
+        (col("c_a") * col("c_b")).as("pmi_den"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_chunks" -> (docChunks _),
     "ngram_counts" -> (ngramCounts _),
@@ -698,7 +761,9 @@ object TextAnalysis {
     "token_count" -> (tokenCount _),
     "vocab_coverage" -> (vocabCoverage _),
     "doc_fingerprint" -> (docFingerprint _),
-    "winnow_fingerprints" -> (winnowFingerprints _))
+    "winnow_fingerprints" -> (winnowFingerprints _),
+    "inverted_index" -> (invertedIndex _),
+    "cooccurrence_pmi" -> (cooccurrencePmi _))
 
   private val markersSql = langMarkers.map { case (lang, ms) =>
     lang -> ms.map(m => s"'$m'").mkString("(", ",", ")")
@@ -985,7 +1050,36 @@ object TextAnalysis {
         |    list_prepend(0::BIGINT,
         |      list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
         |    (a, b) -> (a * 31 + b) % 2147483647) AS roll_fp
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "inverted_index" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, t FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(string_split(text,' '), w -> w <> '')) AS t
+        |    FROM documents))
+        |SELECT t AS term, count(*) AS df,
+        |       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS postings_md5
+        |FROM toks GROUP BY t""".stripMargin,
+    "cooccurrence_pmi" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS ws
+         |  FROM documents),
+         |uni AS (SELECT unnest(ws) AS w FROM ws),
+         |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+         |n AS (SELECT count(*) AS n FROM uni),
+         |bg AS (
+         |  SELECT ws[i] AS w1, ws[i+1] AS w2
+         |  FROM ws, unnest(range(1, len(ws))) AS r(i)
+         |  WHERE len(ws) >= 2),
+         |top AS (
+         |  SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY w1, w2
+         |  ORDER BY c_ab DESC, w1 ASC, w2 ASC LIMIT $PmiTopK)
+         |SELECT t.w1, t.w2, t.c_ab, a.c AS c_a, b.c AS c_b,
+         |       t.c_ab * n.n AS pmi_num, a.c * b.c AS pmi_den
+         |FROM top t
+         |JOIN uc a ON a.w = t.w1
+         |JOIN uc b ON b.w = t.w2
+         |CROSS JOIN n""".stripMargin)
 }
 
 /** One (lang, term) tf-idf row — payload of the tf-idf

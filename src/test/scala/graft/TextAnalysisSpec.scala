@@ -108,6 +108,31 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
     assert(a.sameElements(b), "memoized second invocation diverged from the first")
   }
 
+  test("inverted index: df bounds, deterministic postings, PMI count inequalities") {
+    import spark.implicits._
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    val idx = TextAnalysis.invertedIndex(spark, sfDir)
+      .as[(String, Long, String)].collect()
+    assert(idx.nonEmpty)
+    idx.foreach { case (term, df, fp) =>
+      assert(term.nonEmpty && df >= 1 && df <= nDocs, s"df out of bounds for $term")
+      assert(fp.length == 32, s"postings fingerprint not md5-shaped for $term")
+    }
+    val again = TextAnalysis.invertedIndex(spark, sfDir)
+      .as[(String, Long, String)].collect()
+    assert(again.sorted.toSeq == idx.sorted.toSeq, "posting fingerprints not rerun-stable")
+
+    val pmi = TextAnalysis.cooccurrencePmi(spark, sfDir)
+      .select("c_ab", "c_a", "c_b", "pmi_num", "pmi_den")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(pmi.length == TextAnalysis.PmiTopK)
+    pmi.foreach { case (cab, ca, cb, num, den) =>
+      // every bigram occurrence is also an occurrence of each word
+      assert(cab <= ca && cab <= cb, "pair count exceeds a unigram count")
+      assert(num > 0 && den == ca * cb)
+    }
+  }
+
   test("winnowing: window bounds, short-doc truncation, dup detection by density") {
     import spark.implicits._
     // doc 1: 4 tokens -> 2 grams < w -> ONE truncated window -> 1 fp;
