@@ -34,7 +34,10 @@ object PlanAudit {
       "sql_large_volume_customer", "sql_promo_effect",
       "csv_roundtrip_agg", "json_roundtrip_agg", "partition_prune_agg", "sequence_packing",
       "quality_decile_bins", "bpe_pair_counts", "merge_upsert_orders",
-      "eval_decontamination_bloom")
+      "eval_decontamination_bloom",
+      // round 7
+      "sql_waiting_orders", "skew_salted_join",
+      "inverted_index", "cooccurrence_pmi")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

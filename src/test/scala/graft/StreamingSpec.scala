@@ -271,6 +271,40 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(rows.toSet == expected, s"post-restart output diverged: $rows")
   }
 
+  test("stateful aggregation runs on the RocksDB state store with identical results") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // SCALING.md claims "state lives in RocksDB on a real cluster" —
+    // prove the provider actually loads and serves a windowed agg in
+    // THIS build (the provider is per-query, captured at start), with
+    // output identical to the default HDFS-backed store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[EventRow]
+      val q = EventStreams.tumblingCounts(mem.toDF(), "1 hour", "1 hour")
+        .writeStream.format("memory").queryName("rocks_counts")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(
+          EventRow(ts(10), 1, "click", 1.0),
+          EventRow(ts(20), 2, "click", 1.0),
+          EventRow(ts(70), 1, "view", 1.0))
+        q.processAllAvailable()
+        mem.addData(EventRow(ts(300), 3, "click", 1.0))
+        q.processAllAvailable()
+        val got = spark.table("rocks_counts")
+          .as[(Timestamp, String, Long)].collect().toSet
+        assert(got == Set((ts(0), "click", 2L), (ts(60), "view", 1L)))
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("the same tumbling transform runs on a batch DataFrame") {
     import spark.implicits._
     val batch = Seq(
