@@ -62,9 +62,34 @@ object Behavioral {
         sum(when(col("last_day") - col("cohort_day") >= 7, 1L)
           .otherwise(0L)).as("n_retained_7d"))
 
+  /** Rolling 7-day active users (WAU) per observed day — the standard
+    * engagement rollup. Each (day, user) event contributes to the 7
+    * windows it falls in, via one `sequence` explode (×7 row growth,
+    * constant factor); a (window-day, user) DISTINCT collapses
+    * multiplicity, the semi-join against observed days drops windows
+    * that extend past the data, and one count per window day finishes.
+    * Two constant-width shuffles; no self-join of events against
+    * events (the naive 7-day range join) and no per-day window
+    * function over the whole event stream. At 100 TB the explode
+    * factor is the window length — WAU=7, MAU=30 — and the distinct
+    * is the dominant (linear) shuffle, exactly as at test scale. */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(spark, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+    val contrib = ev
+      .select(col("user_id"),
+        explode(expr("sequence(day, day + 6)")).as("wday"))
+      .distinct()
+    val days = ev.select(col("day").as("wday")).distinct()
+    contrib.join(days, "wday")
+      .groupBy("wday")
+      .agg(count(lit(1)).as("wau"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel_conversion" -> (funnelConversion _),
-    "cohort_retention" -> (cohortRetention _))
+    "cohort_retention" -> (cohortRetention _),
+    "rolling_active_users" -> (rollingActiveUsers _))
 
   val oracles: Map[String, String] = Map(
     "funnel_conversion" ->
@@ -87,5 +112,15 @@ object Behavioral {
         |SELECT cohort_day, count(*) AS n_users,
         |       CAST(SUM(CASE WHEN last_day - cohort_day >= 7 THEN 1 ELSE 0 END)
         |            AS BIGINT) AS n_retained_7d
-        |FROM u GROUP BY cohort_day""".stripMargin)
+        |FROM u GROUP BY cohort_day""".stripMargin,
+    "rolling_active_users" ->
+      """WITH d AS (SELECT user_id,
+        |                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        |           FROM events),
+        |contrib AS (SELECT DISTINCT user_id, day + o AS wday
+        |            FROM d, range(0, 7) r(o)),
+        |days AS (SELECT DISTINCT day AS wday FROM d)
+        |SELECT wday, count(*) AS wau
+        |FROM contrib JOIN days USING (wday)
+        |GROUP BY wday""".stripMargin)
 }
