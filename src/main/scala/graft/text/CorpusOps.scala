@@ -307,15 +307,121 @@ object CorpusOps {
     sb.toString
   }
 
+  /** APPLY the temperature weights: downsample over-represented
+    * sources to their sqrt-temperature token share, deterministically.
+    * Per source, keep probability = min(1, target share / actual
+    * share); a doc survives when its 60-bit content-hash mod 10^6
+    * falls under floor(10^6 · p) — the same content-hash selection as
+    * the train/eval split, so the sample is stable under
+    * recomputation, re-sharding, and duplicate texts. Sources at or
+    * below their target keep everything (upsampling is epoch
+    * repetition at training time, not row duplication here).
+    *
+    * Cross-engine determinism of the threshold: the sqrt weight is
+    * quantized to DECIMAL(28,10) (sqrt is IEEE-correctly-rounded,
+    * decimal quantization pins it), the sums are exact decimal/int64,
+    * and the final ratio is evaluated in doubles with an identical
+    * operation tree in both engines — every +,*,/ is correctly
+    * rounded, so the floor lands identically. The decimal→double
+    * casts stay under 2^53 scaled (documented sf1 lesson). Output is
+    * the per-source audit: docs/tokens kept vs total. */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("text"),
+        size(WordCount.tokens(col("text"))).cast(LongType).as("n_tok"),
+        (conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast(LongType) % 1000000L).as("h6"))
+    val per = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("t"))
+      .withColumn("w", sqrt(col("t").cast(DoubleType)).cast(DecimalType(28, 10)))
+    val tot = per.agg(sum(col("w")).as("tw"), sum(col("t")).as("tt"))
+    val thresholds = per.crossJoin(broadcast(tot))
+      .select(col("source"),
+        least(lit(1000000L), floor(lit(1000000.0) *
+          ((col("w").cast(DoubleType) * col("tt").cast(DoubleType))
+            / (col("tw").cast(DoubleType) * col("t").cast(DoubleType))))
+          .cast(LongType)).as("thr"))
+    docs.join(broadcast(thresholds), "source")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs_total"),
+        sum("n_tok").as("n_tokens_total"),
+        sum(when(col("h6") < col("thr"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(col("h6") < col("thr"), col("n_tok")).otherwise(0L))
+          .as("n_tokens_kept"))
+  }
+
+  /** Length-bucketed batch shaping audit: assign each doc to the next
+    * power-of-two token bucket (16 … 65536) and report per bucket the
+    * sequence count, real tokens, and PADDING tokens a fixed-shape
+    * batcher would burn (n_seqs · bucket − Σ tokens) — the metric that
+    * decides bucket granularity for inference/fine-tuning batching.
+    * Pure integer CASE laddering (no log2 — libm-free contract), one
+    * narrow pass + one aggregate on a ≤13-value key. */
+  val PadBuckets: Seq[Long] = (4 to 16).map(1L << _) // 16 … 65536
+
+  def lengthBucketPadding(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(WordCount.tokens(col("text"))).cast(LongType)
+    val bucket = PadBuckets.reverse.tail.foldLeft(
+      lit(PadBuckets.last): org.apache.spark.sql.Column) { (acc, b) =>
+      when(n <= b, b).otherwise(acc)
+    }
+    Tables.load(spark, dir, "documents")
+      .select(n.as("n_tok"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_seqs"),
+        sum("n_tok").as("n_tokens"),
+        (sum(col("bucket")) - sum(col("n_tok"))).as("n_padding"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sequence_packing" -> (sequencePacking _),
     "source_mixing_weights" -> (sourceMixingWeights _),
     "quality_decile_bins" -> (qualityDecileBins _),
     "bpe_pair_counts" -> (bpePairCounts _),
-    "bpe_merge_rounds" -> (bpeMergeRounds _))
+    "bpe_merge_rounds" -> (bpeMergeRounds _),
+    "temperature_sample" -> (temperatureSample _),
+    "length_bucket_padding" -> (lengthBucketPadding _))
 
   val oracles: Map[String, String] = Map(
     "bpe_merge_rounds" -> bpeOracleSql,
+    "temperature_sample" ->
+      """WITH d AS (
+        |  SELECT source,
+        |         CAST(len(list_filter(string_split(text,' '), w -> w <> '')) AS BIGINT) AS n_tok,
+        |         CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) % 1000000 AS h6
+        |  FROM documents),
+        |per AS (SELECT source, SUM(n_tok) AS t,
+        |               CAST(sqrt(CAST(SUM(n_tok) AS DOUBLE)) AS DECIMAL(28,10)) AS w
+        |        FROM d GROUP BY source),
+        |tot AS (SELECT SUM(w) AS tw, CAST(SUM(t) AS BIGINT) AS tt FROM per),
+        |thr AS (SELECT source,
+        |               least(1000000, CAST(floor(1000000.0 *
+        |                 ((CAST(w AS DOUBLE) * CAST(tt AS DOUBLE))
+        |                  / (CAST(tw AS DOUBLE) * CAST(t AS DOUBLE)))) AS BIGINT)) AS thr
+        |        FROM per, tot)
+        |SELECT d.source, count(*) AS n_docs_total,
+        |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens_total,
+        |       CAST(SUM(CASE WHEN h6 < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+        |       CAST(SUM(CASE WHEN h6 < thr THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens_kept
+        |FROM d JOIN thr USING (source)
+        |GROUP BY d.source""".stripMargin,
+    "length_bucket_padding" -> {
+      val ladder = PadBuckets.init
+        .map(b => s"WHEN n_tok <= $b THEN $b")
+        .mkString(" ")
+      s"""WITH d AS (
+         |  SELECT CAST(len(list_filter(string_split(text,' '), w -> w <> '')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |b AS (SELECT n_tok,
+         |             CAST(CASE $ladder ELSE ${PadBuckets.last} END AS BIGINT) AS bucket
+         |      FROM d)
+         |SELECT bucket, count(*) AS n_seqs,
+         |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(bucket) - SUM(n_tok) AS BIGINT) AS n_padding
+         |FROM b GROUP BY bucket""".stripMargin
+    },
     "sequence_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, doc_id // $ShardDocs AS shard,

@@ -57,6 +57,41 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("temperature_sample downsamples only over-represented sources, rerun-stable") {
+    import spark.implicits._
+    val rows = CorpusOps.temperatureSample(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.length > 1)
+    rows.foreach { case (src, nd, nt, kd, kt) =>
+      assert(kd <= nd && kt <= nt, s"kept exceeds total for $src")
+      assert(kd > 0, s"source $src sampled to nothing")
+    }
+    // the sqrt target only DOWNsamples: total kept tokens <= total
+    val keptFrac = rows.map(_._5).sum.toDouble / rows.map(_._3).sum
+    assert(keptFrac <= 1.0 + 1e-12)
+    // at least one over-represented source actually lost tokens
+    // (sf corpora have unequal sources), and small sources keep all
+    assert(rows.exists { case (_, nd, _, kd, _) => kd < nd },
+      "no source was downsampled — threshold logic vacuous")
+    val again = CorpusOps.temperatureSample(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+  }
+
+  test("length_bucket_padding: buckets are powers of two covering every doc, padding consistent") {
+    import spark.implicits._
+    val rows = CorpusOps.lengthBucketPadding(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_._2).sum == nDocs, "every doc must land in exactly one bucket")
+    rows.foreach { case (bucket, nSeqs, nTok, nPad) =>
+      assert(CorpusOps.PadBuckets.contains(bucket), s"non-ladder bucket $bucket")
+      assert(nPad == nSeqs * bucket - nTok, s"padding identity broken for $bucket")
+      assert(nPad >= 0, s"negative padding in $bucket (doc over top bucket?)")
+    }
+  }
+
   test("quality_decile_bins: bins partition the corpus without a global sort") {
     import spark.implicits._
     val df = CorpusOps.qualityDecileBins(spark, sfDir)
