@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -143,12 +143,64 @@ object MergeUpsert {
         max("max_v").cast(DoubleType).as("max_v"))
   }
 
+  /** RETRACTION — the hard half of incremental view maintenance:
+    * apply a GDPR-style user-delete batch to a materialized rollup by
+    * SUBTRACTING the deleted users' partial states, never rescanning
+    * history. Only works for additive aggregates (counts and DECIMAL
+    * sums form a group under +/−; min/max do NOT retract — a deleted
+    * row that held the min forces a recompute of that group, which is
+    * why this view carries no min/max and
+    * [[incrementalRollupMerge]]'s does). The deleted set here is
+    * `user_id % 50 = 0` (a synthetic erasure request batch); the
+    * oracle recomputes from scratch WITHOUT those users — the
+    * subtracted view must be indistinguishable from it, including the
+    * disappearance of groups whose count reaches zero. Scale shape:
+    * O(view + deleted-users' partials), the petabyte of history is
+    * untouched — the same contract as the merge twin, extended to
+    * deletes. */
+  def retractionRollup(spark: SparkSession, dir: String): DataFrame =
+    retractionRollupOf(
+      Tables.load(spark, dir, "events")
+        .select(col("event_type"), col("user_id"), col("value")),
+      col("user_id") % 50 === 0)
+
+  /** [[retractionRollup]] over an explicit (event_type, user_id,
+    * value) frame and erasure predicate — split out so the spec can
+    * delete an entire group and watch it vanish at count zero. */
+  def retractionRollupOf(events: DataFrame, erased: Column): DataFrame = {
+    val ev = events.select(col("event_type"), col("user_id"),
+      col("value").cast(DecimalType(18, 2)).as("v"))
+    def partial(rows: DataFrame): DataFrame =
+      rows.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("v").as("total"))
+    val view = partial(ev)                  // materialized
+    val gone = partial(ev.filter(erased))   // erasure batch
+      .select(col("event_type"),
+        (-col("n")).as("n"), (-col("total")).as("total"))
+    view.unionByName(gone)
+      .groupBy("event_type")
+      .agg(sum("n").as("n"), sum("total").as("t"))
+      .filter(col("n") > 0)
+      .select(col("event_type"), col("n"),
+        col("t").cast(DoubleType).as("total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert_orders" -> (mergeUpsertOrders _),
     "merge_cdc_tombstones" -> (mergeCdcOrders _),
-    "incremental_rollup_merge" -> (incrementalRollupMerge _))
+    "incremental_rollup_merge" -> (incrementalRollupMerge _),
+    "retraction_rollup" -> (retractionRollup _))
 
   val oracles: Map[String, String] = Map(
+    // the oracle is the FULL recompute WITHOUT the erased users — the
+    // subtracted view must be indistinguishable from it, including
+    // groups that vanish at count zero
+    "retraction_rollup" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE user_id % 50 <> 0
+        |GROUP BY event_type""".stripMargin,
     // the oracle is the FULL recompute — the merged partials must be
     // indistinguishable from aggregating the raw table in one pass
     "incremental_rollup_merge" ->

@@ -60,4 +60,22 @@ class MergeUpsertSpec extends AnyFunSuite with SharedSpark {
     val total = rows.values.sum
     assert(total == base.count() - (n(20) - n(40)))
   }
+
+  test("retraction: subtracted view equals recompute; fully-erased groups vanish at count zero") {
+    import spark.implicits._
+    import graft.operators.MergeUpsert
+    import org.apache.spark.sql.functions.col
+    val ev = Seq(
+      ("click", 1L, 10.0), ("click", 2L, 20.0), ("click", 50L, 5.0),
+      ("view", 50L, 7.0), ("view", 100L, 3.0), // view held ONLY by erased users
+      ("buy", 3L, 9.5)).toDF("event_type", "user_id", "value")
+    val got = MergeUpsert.retractionRollupOf(ev, col("user_id") % 50 === 0)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // view's only rows belonged to erased users -> the group VANISHES,
+    // it does not linger as a zero-count tombstone row
+    assert(!got.contains("view"), s"fully-erased group survived: $got")
+    assert(got("click") == ((2L, 30.0)), s"click retraction wrong: $got")
+    assert(got("buy") == ((1L, 9.5)))
+  }
 }
