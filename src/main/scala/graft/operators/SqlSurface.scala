@@ -385,6 +385,153 @@ object SqlSurface {
     spark.sql(waitingOrdersSql)
   }
 
+  /** TPC-H Q6 shape (forecasting revenue change) — the pure
+    * scan-filter-aggregate every engine uses to certify PREDICATE
+    * PUSHDOWN: three range predicates (date, discount band, quantity
+    * cap) on one fact table, no join, one scalar output. All three
+    * must reach the parquet scan as PushedFilters — a plan that
+    * filters post-scan reads 16× the rows at 100 TB (the date range
+    * alone keeps ~1/6 of lineitem; partition pruning takes this to
+    * ~1/6 of FILES when the table is shipdate-partitioned). The
+    * revenue term (price × discount) follows the decimal-exact-
+    * then-string-cast discipline. Identical SQL text is the oracle. */
+  val forecastRevenueSql: String =
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |                     CAST(l_discount AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(forecastRevenueSql)
+  }
+
+  /** TPC-H Q7 shape (volume shipping) — the SAME dimension table
+    * joined TWICE under different roles: nation n1 keys the supplier
+    * side, nation n2 the customer side, with the Q7 signature
+    * disjunctive pair predicate `(n1=A AND n2=B) OR (n1=B AND n2=A)`
+    * that cannot be pushed to either scan alone. The planner must
+    * alias the two nation scans independently, broadcast both (and
+    * supplier/customer), and leave orders ⋈ lineitem as the only
+    * big-big shuffle; the pair predicate evaluates post-join. YEAR
+    * extraction rides the dialect intersection via EXTRACT, cast to
+    * BIGINT so both engines agree on the integer type. Volume is a
+    * per-row exact DECIMAL product summed exactly, string-cast to
+    * DOUBLE last. Identical SQL text is the oracle. */
+  val nationVolumeShippingSql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |       CAST(CAST(SUM(volume) AS STRING) AS DOUBLE) AS revenue
+      |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |             CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+      |             CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |             CAST(1 - l_discount AS DECIMAL(12,2)) AS volume
+      |      FROM supplier s, lineitem l, orders o, customer c, nation n1, nation n2
+      |      WHERE s.s_suppkey = l.l_suppkey
+      |        AND o.o_orderkey = l.l_orderkey
+      |        AND c.c_custkey = o.o_custkey
+      |        AND s.s_nationkey = n1.n_nationkey
+      |        AND c.c_nationkey = n2.n_nationkey
+      |        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+      |GROUP BY supp_nation, cust_nation, l_year""".stripMargin
+
+  def nationVolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "lineitem", "orders", "customer", "nation")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(nationVolumeShippingSql)
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue) — the correlated
+    * SCALAR AGGREGATE subquery classic: each lineitem row compares its
+    * quantity against 0.2× the average quantity OF ITS OWN PART.
+    * Catalyst must decorrelate to one per-partkey aggregate over
+    * lineitem joined back to the filtered fact — executed per GROUP,
+    * never per outer row (a per-row subquery is quadratic in lineitem).
+    * Determinism: l_quantity is integer-valued, so the per-part AVG is
+    * an exact double at any partition order, and 0.2×avg is one IEEE
+    * multiply — bit-identical both engines. The final sum follows the
+    * decimal discipline; ÷7.0 is one IEEE division. The schema has no
+    * p_container, so the reference's container filter lands on p_type —
+    * same predicate class. Identical SQL text is the oracle. */
+  val smallQuantityRevenueSql: String =
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand = 'Brand#23'
+      |  AND p_type = 'MEDIUM'
+      |  AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(smallQuantityRevenueSql)
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive brackets) — the
+    * OR-of-ANDs join query: three (brand, size-range, quantity-range)
+    * brackets OR'd together across the lineitem ⋈ part boundary. The
+    * planner stress is CONJUNCT EXTRACTION: `p_partkey = l_partkey` is
+    * a top-level conjunct, so the join must stay a hashed equi-join
+    * with the disjunction as a post-join filter — naive handling of
+    * the OR (join condition = the whole disjunction) degrades to a
+    * nested loop, quadratic at scale. Catalyst additionally derives
+    * the per-side implied disjunctions (brand∈{12,23,24} onto the part
+    * scan, quantity∈[1,30] onto lineitem) so both scans prune.
+    * Brands run 1–25 in this testdata, so the reference's Brand#34
+    * lands on Brand#24. Identical SQL text is the oracle. */
+  val disjunctiveRevenueSql: String =
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |                     CAST(1 - l_discount AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS revenue
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+      |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |    OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))""".stripMargin
+
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(disjunctiveRevenueSql)
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity) — composes the two
+    * remaining subquery families in one block: an UNCORRELATED scalar
+    * aggregate (the global positive-balance average, computed once and
+    * broadcast as a literal-like filter) and a correlated NOT EXISTS
+    * against orders (planned as a left-anti hash join). "Dormant" is
+    * no order since 1999 — every synthetic customer has SOME order, so
+    * the reference's no-orders-at-all predicate would certify an empty
+    * result; the date-qualified form keeps the identical anti-join
+    * shape with a non-degenerate output. The country code is the last
+    * two digits of c_name (the schema has no c_phone; leading digits
+    * are all '0' below 10M customers). The scalar threshold and the
+    * per-group sum both follow the decimal-exact-then-string-cast
+    * discipline, so the `>` comparison sees a bit-identical double in
+    * both engines. Identical SQL text is the oracle. */
+  val dormantCustomerBalanceSql: String =
+    """SELECT cntrycode, count(*) AS numcust,
+      |       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS totacctbal
+      |FROM (SELECT SUBSTRING(c_name, 17, 2) AS cntrycode, c_acctbal
+      |      FROM customer
+      |      WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS STRING) AS DOUBLE) / count(*)
+      |                         FROM customer c2 WHERE c2.c_acctbal > 0.00)
+      |        AND NOT EXISTS (SELECT 1 FROM orders o
+      |                        WHERE o.o_custkey = c_custkey
+      |                          AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')) t
+      |GROUP BY cntrycode""".stripMargin
+
+  def dormantCustomerBalance(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(dormantCustomerBalanceSql)
+  }
+
   /** Sketch aggregates: HyperLogLog++ distinct-count per event type,
     * beside the exact count. No oracle (DuckDB's approx sketch differs
     * by construction); ScalaTest pins the relative error instead. */
@@ -408,6 +555,11 @@ object SqlSurface {
     "sql_order_priority_check" -> (orderPriorityCheck _),
     "sql_lateral_topk" -> (lateralTopk _),
     "sql_waiting_orders" -> (waitingOrders _),
+    "sql_forecast_revenue" -> (forecastRevenue _),
+    "sql_nation_volume_shipping" -> (nationVolumeShipping _),
+    "sql_small_quantity_revenue" -> (smallQuantityRevenue _),
+    "sql_disjunctive_revenue" -> (disjunctiveRevenue _),
+    "sql_dormant_customer_balance" -> (dormantCustomerBalance _),
     "approx_distinct_users" -> (approxDistinctUsers _))
 
   val oracles: Map[String, String] = Map(
@@ -422,5 +574,10 @@ object SqlSurface {
     "sql_customer_distribution" -> customerDistributionSql,
     "sql_order_priority_check" -> orderPriorityCheckSql,
     "sql_lateral_topk" -> lateralTopkSql,
-    "sql_waiting_orders" -> waitingOrdersSql)
+    "sql_waiting_orders" -> waitingOrdersSql,
+    "sql_forecast_revenue" -> forecastRevenueSql,
+    "sql_nation_volume_shipping" -> nationVolumeShippingSql,
+    "sql_small_quantity_revenue" -> smallQuantityRevenueSql,
+    "sql_disjunctive_revenue" -> disjunctiveRevenueSql,
+    "sql_dormant_customer_balance" -> dormantCustomerBalanceSql)
 }

@@ -225,6 +225,64 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"scan did not report bucketed read:\n$p")
   }
 
+  test("sql_forecast_revenue: all three range predicates reach the scan, no join") {
+    val p = plan("sql_forecast_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"),
+      s"range predicates not pushed to the scan:\n$p")
+    assert(!p.contains("Join"), s"scan-filter-aggregate must not plan a join:\n$p")
+  }
+
+  test("sql_nation_volume_shipping: dimension chain broadcasts, nation pair filter pushes per side") {
+    val p = plan("sql_nation_volume_shipping")
+    // five broadcasts (supplier, orders, customer, nation×2) — lineitem
+    // is the only unbroadcast side, so nothing big-big shuffles here
+    val nBhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBhj == 5, s"expected 5 broadcast joins, got $nBhj:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"),
+      s"dimension chain fell off the broadcast path:\n$p")
+    // the Q7 pair disjunction cannot pick a nation per side, but its
+    // per-side implication (n_name ∈ {N1,N2}) must reach BOTH scans
+    val nOr = "Or\\(EqualTo\\(n_name".r.findAllIn(p).length
+    assert(nOr >= 2, s"per-side nation disjunction not pushed to both scans:\n$p")
+  }
+
+  test("sql_small_quantity_revenue: correlated scalar AVG decorrelates to one aggregate") {
+    val p = plan("sql_small_quantity_revenue")
+    // the per-part average must be ONE per-partkey hash aggregate
+    // joined back (executed per group), never a per-outer-row subquery
+    assert(p.contains("avg(l_quantity)"),
+      s"decorrelated per-part aggregate missing:\n$p")
+    assert(p.contains("HashAggregate(keys=[l_partkey"),
+      s"average not grouped by partkey:\n$p")
+    assert(!p.contains("NestedLoop"), s"decorrelation fell back to NLJ:\n$p")
+  }
+
+  test("sql_disjunctive_revenue: OR-of-ANDs keeps the hashed join, implied filters push per side") {
+    val p = plan("sql_disjunctive_revenue")
+    // the partkey equality is a top-level conjunct: the join must stay
+    // hashed with the disjunction as a post-join condition — a plan
+    // that folds the OR into the join condition degrades to NLJ
+    assert(p.contains("BroadcastHashJoin"), s"equi-join not hashed:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"disjunction broke the hashed join:\n$p")
+    // Catalyst's derived per-side disjunctions must reach both scans
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"implied quantity disjunction not pushed to lineitem:\n$p")
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"),
+      s"implied brand/size disjunction not pushed to part:\n$p")
+  }
+
+  test("sql_dormant_customer_balance: NOT EXISTS anti-joins, scalar threshold pushes to the scan") {
+    val p = plan("sql_dormant_customer_balance")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$p")
+    assert(!p.contains("NestedLoop"), s"anti join fell back to NLJ:\n$p")
+    // the uncorrelated scalar average is computed once and pushed into
+    // the customer scan as a runtime filter — the strongest shape: the
+    // scan itself skips below-threshold row groups
+    assert(p.contains("GreaterThan(c_acctbal,ScalarSubquery"),
+      s"scalar threshold not pushed to the parquet scan:\n$p")
+  }
+
   test("sql_exists_not_in plans NOT IN as a hashed anti join, not a nested loop") {
     val p = plan("sql_exists_not_in")
     // without the IS NOT NULL guard in the subquery, three-valued NOT IN
