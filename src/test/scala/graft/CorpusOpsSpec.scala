@@ -178,6 +178,38 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(rows.map(_._2).distinct.length == rows.length)
   }
 
+  test("bpe_encode_stats: counts bracket correctly and match an independent recount") {
+    import org.apache.spark.sql.functions._
+    val rows = CorpusOps.bpeEncodeStats(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (words, chars, bpe) =
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_char_syms"), r.getAs[Long]("n_bpe_tokens"))
+      // every word is at least one token; merging only shrinks
+      assert(words <= bpe && bpe <= chars, s"bracket violated: $r")
+    }
+    // n_words / n_char_syms recomputed independently of the BPE path
+    val truth = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("source"),
+        explode(graft.operators.WordCount.tokens(col("text"))).as("word"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("w"), sum(length(col("word"))).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (r <- rows)
+      assert(truth(r.getAs[String]("source")) ==
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_char_syms")),
+        s"recount mismatch for $r")
+  }
+
+  test("bpeLearnMerges memoizes per (session, corpus)") {
+    val a = CorpusOps.bpeLearnMerges(spark, sfDir)
+    val b = CorpusOps.bpeLearnMerges(spark, sfDir)
+    assert(a eq b, "second call must hit the memo")
+    CorpusOps.clearCaches(spark)
+    val c = CorpusOps.bpeLearnMerges(spark, sfDir)
+    assert(!(a eq c) && a == c, "post-clear retrain must rebuild equal merges")
+  }
+
   test("sequence_packing plan: window partitioned by (source, shard), never global") {
     val p = CorpusOps.sequencePacking(spark, sfDir)
       .queryExecution.executedPlan.toString

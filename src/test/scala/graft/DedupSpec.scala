@@ -237,9 +237,11 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     Dedup.clearCaches(spark)
     graft.similarity.Similarity.clearCaches(spark)
     graft.operators.PageRank.clearCaches(spark)
+    graft.text.CorpusOps.clearCaches(spark)
     assert(Dedup.neardupClusters(spark, sfDir).count() > 0)
     assert(graft.similarity.Similarity.similarAnnIvf(spark, sfDir).count() > 0)
     assert(graft.operators.PageRank.pagerankTradeGraph(spark, sfDir).count() > 0)
+    assert(graft.text.CorpusOps.bpeEncodeStats(spark, sfDir).count() > 0)
   }
 
   test("dedup_incremental: survivors are odd-id, batch-unique, absent from corpus") {
