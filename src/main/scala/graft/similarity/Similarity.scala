@@ -383,6 +383,49 @@ object Similarity {
         round(col("n.sim"), 6).as("sim"))
   }
 
+  /** Cosine threshold for semantic pruning — matches the near-dup
+    * queries' 0.35 band (the synthetic embeddings are near-orthogonal
+    * outside their cluster structure; real text embeddings would sit
+    * near 0.95). */
+  val SemThreshold = 0.35
+
+  /** SemDeDup-style semantic pruning (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the trained
+    * coarse quantizer, then WITHIN each cluster drop every vector that
+    * has an above-threshold cosine neighbor with a lower vec_id — the
+    * deterministic keep-min-id survivor election every dedup query in
+    * this repo uses. Output is the per-cluster audit (members, pruned,
+    * kept) a curation pipeline reviews before committing the prune.
+    *
+    * Scale shape: the pairwise work is confined to clusters — n·cell
+    * pairs total, never the n² global cross — and rides the memoized
+    * assignment pass ([[ivfSims]]), so repeat invocations pay only the
+    * cluster-local join. With the testdata's fixed C=16 cells the
+    * cid join has 16 keys; the production setting C ≈ n/4096 keeps
+    * cell size (and the per-key pair count) CONSTANT as n grows, so
+    * the join parallelizes and the total work stays linear in n — the
+    * same C-scaling the SemDeDup paper uses. The oracle replays
+    * k-means training (shared CTEs), assignment, and the in-cluster
+    * election. */
+  def semdedupPrune(spark: SparkSession, dir: String): DataFrame = {
+    val av = ivfAssign(spark, dir).join(vectors(spark, dir), "vec_id")
+    val lhs = av.select(col("cid"), col("vec_id").as("id1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val rhs = av.select(col("cid").as("cid2"), col("vec_id").as("id2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    val dropped = lhs.join(rhs,
+        col("cid") === col("cid2") && col("id1") < col("id2"))
+      .filter(dot(col("v1"), col("v2")) / (col("n1") * col("n2"))
+        >= SemThreshold)
+      .select(col("cid"), col("id2").as("vec_id")).distinct()
+    av.groupBy("cid").agg(count(lit(1)).as("n_vectors"))
+      .join(dropped.groupBy("cid").agg(count(lit(1)).as("p")),
+        Seq("cid"), "left_outer")
+      .select(col("cid"), col("n_vectors"),
+        coalesce(col("p"), lit(0L)).as("n_pruned"),
+        (col("n_vectors") - coalesce(col("p"), lit(0L))).as("n_kept"))
+  }
+
   /** Int8 quantization (training-prep staple): symmetric per-vector
     * scale q_i = floor(v_i·127/max|v|). Output is the quantized sum +
     * the scale so the result is one checksum row per vector. Narrow
@@ -460,6 +503,7 @@ object Similarity {
     "similar_ann_multiprobe" -> (similarAnnMultiprobe _),
     "similar_ann_ivf" -> (similarAnnIvf _),
     "embedding_cluster_balance" -> (embeddingClusterBalance _),
+    "semdedup_prune" -> (semdedupPrune _),
     "embedding_quantize" -> (embeddingQuantize _))
 
   private val cosineSql =
@@ -568,6 +612,35 @@ object Similarity {
          |  JOIN v pv ON pv.vec_id = p.probe_id
          |  JOIN v av ON av.vec_id = a.vec_id) t
          |WHERE rn <= $K""".stripMargin,
+    // training replay + assignment, then the in-cluster keep-min-id
+    // election: a vector is pruned iff some SAME-cluster vector with a
+    // lower id sits at or above the cosine threshold
+    "semdedup_prune" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+         |           WHERE vec_id < $IvfCells),
+         |${ivfTrainingCtes.mkString(",\n")},
+         |sims AS (SELECT vec_id, c.cid,
+         |           list_dot_product(v.v, c.cv) /
+         |           (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+         |         FROM v, cents$IvfIters c),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |    FROM sims) t
+         |  WHERE rn = 1),
+         |av AS (SELECT a.cid, a.vec_id, v.v FROM assign a JOIN v ON v.vec_id = a.vec_id),
+         |dropped AS (
+         |  SELECT DISTINCT b.cid, b.vec_id
+         |  FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.v, b.v) /
+         |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         |        >= $SemThreshold)
+         |SELECT t.cid, CAST(count(*) AS BIGINT) AS n_vectors,
+         |       CAST(count(d.vec_id) AS BIGINT) AS n_pruned,
+         |       CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+         |FROM av t LEFT JOIN dropped d ON d.cid = t.cid AND d.vec_id = t.vec_id
+         |GROUP BY t.cid""".stripMargin,
     // same training replay, reduced to the final per-cell census
     "embedding_cluster_balance" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

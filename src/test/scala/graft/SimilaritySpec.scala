@@ -112,6 +112,22 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.15, s"LSH near-dup recall collapsed: $recall (${lsh.size}/${exact.size})")
   }
 
+  test("semdedup_prune: per-cluster accounting closes and min-id members survive") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.semdedupPrune(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getAs[Long]("n_pruned") + r.getAs[Long]("n_kept")
+        == r.getAs[Long]("n_vectors"), s"accounting broken: $r")
+    // cluster membership totals must cover every vector exactly once
+    val total = graft.Tables.load(spark, sfDir, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == total)
+    // the keep-min-id election can never prune an entire cluster: the
+    // lowest-id member has no lower-id witness, so every cluster keeps
+    // at least one vector
+    assert(rows.forall(_.getAs[Long]("n_kept") >= 1L))
+  }
+
   test("IVF k-means training converges and is deterministic") {
     val (cents, moves) = Similarity.trainIvfCentroidsWithTrace(spark, sfDir)
     assert(cents.length == Similarity.IvfCells)
