@@ -532,6 +532,75 @@ object SqlSurface {
     spark.sql(dormantCustomerBalanceSql)
   }
 
+  /** TPC-H Q8 shape (national market share) — the deepest join chain
+    * on the board (part, supplier, lineitem, orders, customer, nation
+    * ×2, region: 8 relations) under a CONDITIONAL-share aggregate:
+    * one nation role scopes the CUSTOMER region membership, the other
+    * tags the SUPPLIER nation whose share is measured, and the share
+    * is a CASE-sum over the same rows as the total — one pass, never
+    * a self-join. Catalyst must thread the chain starting from the
+    * 1-row region filter, broadcast every dimension, and leave
+    * orders ⋈ lineitem as the only big-big shuffle. The ELSE branch
+    * is a DECIMAL product of zeros so both CASE branches carry the
+    * identical exact type in both engines; the share division is one
+    * IEEE op over string-cast-exact sums, rounded once. The schema
+    * has no p_mfgr two-level grouping, so the year axis alone remains
+    * — same aggregate class. Identical SQL text is the oracle. */
+  val marketShareSql: String =
+    """SELECT o_year,
+      |       round(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+      |                     ELSE CAST(0.00 AS DECIMAL(12,2)) * CAST(0.00 AS DECIMAL(12,2)) END) AS STRING) AS DOUBLE)
+      |             / CAST(CAST(SUM(volume) AS STRING) AS DOUBLE), 6) AS mkt_share
+      |FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |             CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |             CAST(1 - l_discount AS DECIMAL(12,2)) AS volume,
+      |             n2.n_name AS supp_nation
+      |      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      |      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |        AND r_name = 'ASIA'
+      |        AND s_nationkey = n2.n_nationkey
+      |        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |        AND p_type = 'ECONOMY') all_nations
+      |GROUP BY o_year""".stripMargin
+
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem", "orders", "customer", "nation", "region")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(marketShareSql)
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting) — the revenue-at-risk
+    * top-k: customers ranked by revenue of their RETURNED lines in a
+    * quarter, over customer ⋈ orders ⋈ lineitem ⋈ nation. Certifies
+    * the same bounded top-k discipline as Q3/Q18 on a grouped 4-way
+    * join with a fact-side selective filter (returnflag + date window
+    * both reach the scans). The LIMIT-boundary set is unique: revenue
+    * is DECIMAL-exact (ties are EXACT ties, identical in both
+    * engines) and c_custkey completes the total order. Identical SQL
+    * text is the oracle. */
+  val returnedItemSql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |                     CAST(1 - l_discount AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |  AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  def returnedItem(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "nation")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(returnedItemSql)
+  }
+
   /** Sketch aggregates: HyperLogLog++ distinct-count per event type,
     * beside the exact count. No oracle (DuckDB's approx sketch differs
     * by construction); ScalaTest pins the relative error instead. */
@@ -560,6 +629,8 @@ object SqlSurface {
     "sql_small_quantity_revenue" -> (smallQuantityRevenue _),
     "sql_disjunctive_revenue" -> (disjunctiveRevenue _),
     "sql_dormant_customer_balance" -> (dormantCustomerBalance _),
+    "sql_market_share" -> (marketShare _),
+    "sql_returned_item" -> (returnedItem _),
     "approx_distinct_users" -> (approxDistinctUsers _))
 
   val oracles: Map[String, String] = Map(
@@ -579,5 +650,7 @@ object SqlSurface {
     "sql_nation_volume_shipping" -> nationVolumeShippingSql,
     "sql_small_quantity_revenue" -> smallQuantityRevenueSql,
     "sql_disjunctive_revenue" -> disjunctiveRevenueSql,
-    "sql_dormant_customer_balance" -> dormantCustomerBalanceSql)
+    "sql_dormant_customer_balance" -> dormantCustomerBalanceSql,
+    "sql_market_share" -> marketShareSql,
+    "sql_returned_item" -> returnedItemSql)
 }

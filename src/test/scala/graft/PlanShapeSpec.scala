@@ -283,6 +283,27 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"scalar threshold not pushed to the parquet scan:\n$p")
   }
 
+  test("sql_market_share: 8-relation chain stays hashed, share is one pass") {
+    val p = plan("sql_market_share")
+    // the deepest chain on the board must never fall off the hashed
+    // path, and the share must be CASE-in-SUM — one aggregate over one
+    // join tree, no self-join of the chain
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"join chain fell off the hashed path:\n$p")
+    val nAgg = "HashAggregate".r.findAllIn(p).length
+    assert(nAgg == 2, s"share must be one partial+final aggregate pair, got $nAgg:\n$p")
+  }
+
+  test("sql_returned_item: top-20 via TakeOrderedAndProject, filters reach the scans") {
+    val p = plan("sql_returned_item")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ORDER BY + LIMIT must plan bounded top-k:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"top-20 must not globally sort:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed to the lineitem scan:\n$p")
+  }
+
   test("sql_exists_not_in plans NOT IN as a hashed anti join, not a nested loop") {
     val p = plan("sql_exists_not_in")
     // without the IS NOT NULL guard in the subquery, three-valued NOT IN
