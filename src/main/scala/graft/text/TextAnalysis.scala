@@ -85,6 +85,51 @@ object TextAnalysis {
     * upstream, which is why lang-ID runs before gating in a real
     * pipeline). `pass` is the product, so one flipped gate flips the
     * census. */
+  /** Classifier-based quality filtering — the MODEL-inference stage
+    * (the CCNet / FineWeb-style fastText-classifier analog) that runs
+    * after the rule gates: a linear scorer over exact integer features
+    * (stopword ratio, mean word length, distinct-token ratio), with
+    * the weight vector carried as a one-row broadcast MODEL frame —
+    * the "model artifact joined to corpus" shape a real inference
+    * pass has at 100 TB (weights ship to executors; the corpus never
+    * moves). One narrow pass, one per-source aggregate.
+    *
+    * Cross-engine determinism: every feature is an exact int64; each
+    * ratio is ONE IEEE division; the score is a fixed left-associated
+    * multiply-add tree, spelled identically in the oracle — so the
+    * accept threshold compares bit-identical doubles. Per-source
+    * outputs are counts plus min/max score (order-free), never a mean
+    * of doubles (partition-order-dependent). Docs with zero tokens
+    * are excluded in both engines (no 0/0 surface). */
+  val classifierWeights: (Double, Double, Double, Double, Double) =
+    (-3.0, 10.0, 0.5, 2.0, 1.0) // w0, w_stop, w_wordlen, w_distinct, tau
+
+  def qualityClassifierScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = WordCount.tokens(col("text"))
+    val L = size(toks).cast(LongType)
+    val C = length(expr("replace(text, ' ', '')")).cast(LongType)
+    val S = size(filter(toks, w => w.isin(stopwords: _*))).cast(LongType)
+    val D = size(array_distinct(toks)).cast(LongType)
+    val (w0, ws, wl, wr, tau) = classifierWeights
+    val model = spark.createDataFrame(Seq((w0, ws, wl, wr, tau)))
+      .toDF("w0", "ws", "wl", "wr", "tau")
+    val score = col("w0") +
+      col("ws") * (col("s").cast(DoubleType) / col("l")) +
+      col("wl") * (col("c").cast(DoubleType) / col("l")) +
+      col("wr") * (col("d").cast(DoubleType) / col("l"))
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), L.as("l"), C.as("c"), S.as("s"), D.as("d"))
+      .filter(col("l") > 0)
+      .crossJoin(broadcast(model))
+      .select(col("source"), score.as("score"), col("tau"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= col("tau"), 1L).otherwise(0L)).as("n_accepted"),
+        round(min(col("score")), 6).as("min_score"),
+        round(max(col("score")), 6).as("max_score"))
+  }
+
   def gopherQualityGates(spark: SparkSession, dir: String): DataFrame = {
     val toks = WordCount.tokens(col("text"))
     val n = size(toks).cast(LongType)
@@ -745,6 +790,7 @@ object TextAnalysis {
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "gopher_quality_gates" -> (gopherQualityGates _),
+    "quality_classifier_score" -> (qualityClassifierScore _),
     "text_langid" -> (textLangid _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_repetition" -> (textRepetition _),
@@ -897,6 +943,30 @@ object TextAnalysis {
         |       CAST(SUM(n_chars) AS DOUBLE)/count(*) AS avg_chars,
         |       count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang""".stripMargin,
+    // the score tree is spelled with the same left association as the
+    // Spark column expression — bit-identical doubles at the threshold
+    "quality_classifier_score" -> {
+      val (w0, ws, wl, wr, tau) = classifierWeights
+      val stop = stopwords.map(s => s"'$s'").mkString("(", ",", ")")
+      s"""WITH f AS (
+         |  SELECT source,
+         |    CAST(len(list_filter(string_split(text,' '), w -> w <> '')) AS BIGINT) AS l,
+         |    CAST(len(replace(text,' ','')) AS BIGINT) AS c,
+         |    CAST(len(list_filter(string_split(text,' '), w -> w IN $stop)) AS BIGINT) AS s,
+         |    CAST(len(list_distinct(list_filter(string_split(text,' '), w -> w <> ''))) AS BIGINT) AS d
+         |  FROM documents),
+         |sc AS (
+         |  SELECT source,
+         |         $w0 + $ws * (CAST(s AS DOUBLE) / l)
+         |             + $wl * (CAST(c AS DOUBLE) / l)
+         |             + $wr * (CAST(d AS DOUBLE) / l) AS score
+         |  FROM f WHERE l > 0)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(SUM(CASE WHEN score >= $tau THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+         |       round(min(score), 6) AS min_score,
+         |       round(max(score), 6) AS max_score
+         |FROM sc GROUP BY source""".stripMargin
+    },
     // integer cross-multiplied gates; CASE arms cast to BIGINT to match
     // Spark's long gate columns
     "gopher_quality_gates" ->

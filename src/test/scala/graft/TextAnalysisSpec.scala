@@ -172,4 +172,27 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
       }
     }
   }
+
+  test("quality_classifier_score: bounds hold and the model broadcast stays broadcast") {
+    // plan string from an unexecuted frame — post-collect, AQE's
+    // toString repeats the pre-/post-adaptive plans and double-counts
+    val p = TextAnalysis.qualityClassifierScore(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val rows = TextAnalysis.qualityClassifierScore(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_accepted") <= r.getAs[Long]("n_docs"),
+        s"accepted exceeds docs: $r")
+      assert(r.getAs[Double]("min_score") <= r.getAs[Double]("max_score"),
+        s"score bracket inverted: $r")
+    }
+    // the full corpus must be covered (no doc in this testdata is empty)
+    val total = graft.Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    // the model joins as a broadcast, never an exchange of the corpus
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"model frame must broadcast:\n$p")
+    val nHash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nHash == 1, s"expected only the final per-source exchange, got $nHash:\n$p")
+  }
 }
