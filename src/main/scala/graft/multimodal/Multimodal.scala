@@ -161,6 +161,75 @@ object Multimodal {
     bb.array()
   }
 
+  /** Farbfeld with REAL pixel data: the 16-byte header followed by
+    * w·h big-endian RGBA16 pixels, each channel a deterministic
+    * function of (doc_id, x, y) — the same synthesize-then-parse
+    * honesty contract as the header fixtures, extended to the pixel
+    * array so the resample kernel has real bytes to chew. 8-bit
+    * channel values ride farbfeld's 16-bit lanes as v·257 (the
+    * canonical 8→16 widening). */
+  def farbfeldPixelBytes(id: Long, width: Int, height: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 + width * height * 8)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(FarbfeldMagic).putInt(width).putInt(height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = ((id + 7L * x + 13L * y) % 256L).toInt
+        val g = ((3L * id + 5L * x + 11L * y) % 256L).toInt
+        val b = ((7L * id + 3L * x + 17L * y) % 256L).toInt
+        bb.putShort((r * 257).toShort).putShort((g * 257).toShort)
+          .putShort((b * 257).toShort).putShort(0xFFFF.toShort)
+        x += 1
+      }
+      y += 1
+    }
+    bb.array()
+  }
+
+  /** REAL pixel decode + 2×2 box downsample: parse the farbfeld
+    * header AND pixel array from the bytes, average each 2×2 block
+    * per channel with integer division (odd edge rows/columns drop —
+    * floor semantics, mirrored by the oracle), and return the output
+    * dims plus exact per-channel sums of the downsampled image. All
+    * integer math end to end: any byte-offset, endianness, or
+    * stride bug shifts a sum and mismatches the oracle. */
+  def decodeFarbfeldResize(payload: Array[Byte]): (Long, Long, Long, Long, Long, Long, Long) = {
+    require(payload.length >= 16 && payload.startsWith(FarbfeldMagic),
+      "not a farbfeld payload")
+    val w = beU32(payload, 8).toInt
+    val h = beU32(payload, 12).toInt
+    def ch(x: Int, y: Int, c: Int): Long = {
+      val off = 16 + (y.toLong * w + x).toInt * 8 + c * 2
+      (((payload(off) & 0xFF) << 8) | (payload(off + 1) & 0xFF)).toLong / 257L
+    }
+    val ow = w / 2
+    val oh = h / 2
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        val x = ox * 2; val y = oy * 2
+        var c = 0
+        while (c < 3) {
+          val m = (ch(x, y, c) + ch(x + 1, y, c) +
+            ch(x, y + 1, c) + ch(x + 1, y + 1, c)) / 4L
+          c match {
+            case 0 => sr += m
+            case 1 => sg += m
+            case 2 => sb += m
+          }
+          c += 1
+        }
+        ox += 1
+      }
+      oy += 1
+    }
+    (w.toLong, h.toLong, ow.toLong, oh.toLong, sr, sg, sb)
+  }
+
   /** Minimal valid PNG prefix: signature + full IHDR chunk (length,
     * type, 13 data bytes — w, h, bit depth 8, color type 2/truecolor,
     * compression 0, filter 0, interlace 0 — and the 4-byte CRC slot;
@@ -415,11 +484,36 @@ object Multimodal {
       }.toDF("doc_id", "fmt", "width", "height", "n_frames")
   }
 
+  /** The RESIZE step with real pixel math (upgrades the dimension-only
+    * [[resizeFit]] audit): per document, synthesize a pixel-carrying
+    * farbfeld image, parse it back byte-by-byte, and 2×2 box-downsample
+    * in the same executor batch — narrow, zero-shuffle, the per-row
+    * image kernel shape of a production thumbnailing pass. The oracle
+    * re-derives the downsampled channel sums from the synthesis
+    * arithmetic alone, so it certifies header offsets, the RGBA16
+    * stride, the 8↔16-bit widening, AND the box-average rounding. */
+  def multimodalPixelResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8L + id % 9L).toInt
+          val h = (6L + id % 7L).toInt
+          val payload = farbfeldPixelBytes(id, w, h)
+          val (dw, dh, ow, oh, sr, sg, sb) = decodeFarbfeldResize(payload)
+          (id, dw, dh, ow, oh, sr, sg, sb)
+        }
+      }.toDF("doc_id", "width", "height", "out_w", "out_h",
+        "sum_r", "sum_g", "sum_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_binary_source" -> (multimodalBinaryFiles _),
     "multimodal_bmp_decode" -> (multimodalBmpDecode _),
+    "multimodal_pixel_resize" -> (multimodalPixelResize _),
     "multimodal_audio_decode" -> (multimodalAudioDecode _))
 
   val oracles: Map[String, String] = Map(
@@ -438,6 +532,36 @@ object Multimodal {
         |FROM documents""".stripMargin,
     // round-trip: the oracle predicts the dims the synthesizer encoded;
     // the Spark side must PARSE them back out of the container bytes
+    // re-derives the downsampled sums from the synthesis arithmetic:
+    // channel(x,y) formulas mod 256, 2x2 block integer mean, floor
+    // edge-drop — any byte/stride/rounding bug in the decoder mismatches
+    "multimodal_pixel_resize" ->
+      """WITH g AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh, ox.i AS ox, oy.i AS oy
+        |  FROM g, LATERAL unnest(generate_series(0, w // 2 - 1)) ox(i),
+        |       LATERAL unnest(generate_series(0, h // 2 - 1)) oy(i)),
+        |s AS (
+        |  SELECT doc_id, w, h, ow, oh,
+        |    (  (doc_id + 7*(2*ox)   + 13*(2*oy))   % 256
+        |     + (doc_id + 7*(2*ox+1) + 13*(2*oy))   % 256
+        |     + (doc_id + 7*(2*ox)   + 13*(2*oy+1)) % 256
+        |     + (doc_id + 7*(2*ox+1) + 13*(2*oy+1)) % 256) // 4 AS r,
+        |    (  (3*doc_id + 5*(2*ox)   + 11*(2*oy))   % 256
+        |     + (3*doc_id + 5*(2*ox+1) + 11*(2*oy))   % 256
+        |     + (3*doc_id + 5*(2*ox)   + 11*(2*oy+1)) % 256
+        |     + (3*doc_id + 5*(2*ox+1) + 11*(2*oy+1)) % 256) // 4 AS gg,
+        |    (  (7*doc_id + 3*(2*ox)   + 17*(2*oy))   % 256
+        |     + (7*doc_id + 3*(2*ox+1) + 17*(2*oy))   % 256
+        |     + (7*doc_id + 3*(2*ox)   + 17*(2*oy+1)) % 256
+        |     + (7*doc_id + 3*(2*ox+1) + 17*(2*oy+1)) % 256) // 4 AS b
+        |  FROM px)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(ow AS BIGINT) AS out_w, CAST(oh AS BIGINT) AS out_h,
+        |       CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(gg) AS BIGINT) AS sum_g,
+        |       CAST(SUM(b) AS BIGINT) AS sum_b
+        |FROM s GROUP BY doc_id, w, h, ow, oh""".stripMargin,
     "multimodal_bmp_decode" ->
       """SELECT doc_id,
         |       CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'farbfeld'

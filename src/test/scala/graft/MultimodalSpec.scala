@@ -120,6 +120,22 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(Multimodal.decodeAudio("not audio at all".getBytes("UTF-8"))._1 == "stub")
   }
 
+  test("farbfeld pixel resize: hand-checked 4x2 box means and odd-edge drop") {
+    // id=0, 4x2: channel r(x,y) = (7x + 13y) % 256. Output 2x1:
+    //   block (0,0): r over {(0,0)=0,(1,0)=7,(0,1)=13,(1,1)=20} -> 40/4 = 10
+    //   block (1,0): r over {(2,0)=14,(3,0)=21,(2,1)=27,(3,1)=34} -> 96/4 = 24
+    val p = Multimodal.farbfeldPixelBytes(0L, 4, 2)
+    val (w, h, ow, oh, sr, _, _) = Multimodal.decodeFarbfeldResize(p)
+    assert((w, h, ow, oh) == (4L, 2L, 2L, 1L))
+    assert(sr == 10L + 24L, s"hand-computed red sum mismatch: $sr")
+    // odd dims: 5x3 -> 2x1 (floor), the edge row/column must not leak
+    // into any block sum
+    val podd = Multimodal.farbfeldPixelBytes(0L, 5, 3)
+    val (_, _, ow2, oh2, sr2, _, _) = Multimodal.decodeFarbfeldResize(podd)
+    assert((ow2, oh2) == (2L, 1L))
+    assert(sr2 == sr, "edge pixels leaked into the downsample")
+  }
+
   test("decode falls back to the md5 stub for text payloads — even BM/farbfeld prefixes") {
     for (s <- Seq("plain document text", "BM is a text prefix long enough to pass the length gate",
                   "farbfeld is also just a word in this sentence",
