@@ -601,6 +601,241 @@ object SqlSurface {
     spark.sql(returnedItemSql)
   }
 
+  /** TPC-H Q15 shape (top supplier) — the MAX-OVER-AGGREGATE subquery:
+    * a derived revenue-per-supplier aggregate (the reference's VIEW,
+    * spelled as a CTE) is consumed TWICE in one query — once joined to
+    * supplier, once reduced to its max inside a scalar subquery — and
+    * the planner must not recompute lineitem twice naively nor fall
+    * off the hashed path for the `= (SELECT max(...))` filter. The
+    * tie semantics are the reference's: EVERY supplier at the max
+    * survives (no LIMIT), which is why the scalar-subquery form
+    * exists at all. Revenue is DECIMAL-exact → string-cast → double,
+    * so max and the equality compare see bit-identical values in
+    * both engines. Identical SQL text is the oracle. */
+  val topSupplierSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |                       CAST(1 - l_discount AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin
+
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "supplier")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(topSupplierSql)
+  }
+
+  /** TPC-H Q2 shape (minimum-cost supplier) — the CORRELATED-MIN
+    * EQUALITY classic: each (part, supplier) pair survives only if its
+    * cost equals the minimum cost for that part AMONG THE SAME
+    * REGION-FILTERED candidate set, so the subquery repeats the outer
+    * query's whole join chain (partsupp ⋈ supplier ⋈ nation ⋈ region)
+    * under correlation. Catalyst must decorrelate this to ONE
+    * per-partkey min-aggregate over the re-joined chain — a per-outer-
+    * row execution re-runs a 4-way join per part and is quadratic.
+    * The schema has no partsupp table, so the reference's relation is
+    * derived: lineitem's observed (l_partkey, l_suppkey) pairs with
+    * MIN(l_extendedprice) as the supply cost — exact DECIMAL, so the
+    * min and the equality compare are bit-identical in both engines,
+    * and ties (several suppliers at the part's min) ALL survive, same
+    * as Q2's spec. Identical SQL text is the oracle. */
+  val minCostSupplierSql: String =
+    """WITH partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT s_name, n_name, p_partkey, p_name,
+      |       CAST(CAST(ps_supplycost AS STRING) AS DOUBLE) AS supplycost
+      |FROM part, partsupp, supplier, nation, region
+      |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND p_size = 5 AND r_name = 'EUROPE'
+      |  AND ps_supplycost = (
+      |    SELECT MIN(ps2.ps_supplycost)
+      |    FROM partsupp ps2, supplier s2, nation n2, region r2
+      |    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      |      AND r2.r_name = 'EUROPE')""".stripMargin
+
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part", "supplier", "nation", "region")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(minCostSupplierSql)
+  }
+
+  /** TPC-H Q9 shape (product-type profit) — the LIKE-pushdown profit
+    * rollup: a 5-way join (part ⋈ supplier ⋈ lineitem ⋈ orders ⋈
+    * nation) where the ONLY selective predicate is a substring match
+    * on p_name, so the plan lives or dies on pushing the LIKE into
+    * the part scan (PushedFilters StringContains) and broadcasting the
+    * surviving slice of part — at 100 TB, part is the small side and
+    * lineitem must be probed once, never shuffled twice. Profit per
+    * row is revenue minus cost as ONE exact DECIMAL expression (the
+    * schema has no ps_supplycost; p_retailprice × quantity stands in —
+    * same expression class), summed per (nation, order-year).
+    * Identical SQL text is the oracle. */
+  val productProfitSql: String =
+    """SELECT nation, o_year,
+      |       CAST(CAST(SUM(amount) AS STRING) AS DOUBLE) AS sum_profit
+      |FROM (SELECT n_name AS nation,
+      |             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |             CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |             CAST(1 - l_discount AS DECIMAL(12,2)) -
+      |             CAST(p_retailprice AS DECIMAL(12,2)) *
+      |             CAST(l_quantity AS DECIMAL(12,2)) AS amount
+      |      FROM part, supplier, lineitem, orders, nation
+      |      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |        AND p_name LIKE '%red%') profit
+      |GROUP BY nation, o_year""".stripMargin
+
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem", "orders", "nation")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(productProfitSql)
+  }
+
+  /** TPC-H Q11 shape (important stock) — the SAME aggregate at TWO
+    * granularities: per-part value totals filtered against a scalar
+    * threshold derived from the GLOBAL total of the identical
+    * join+filter chain. The planner computes the chain twice (once
+    * grouped, once global) — both hashed, never nested-loop — and the
+    * threshold arrives as one scalar broadcast into the HAVING filter.
+    * Q11's literal fraction (0.0001/SF) is scale-DEPENDENT by spec —
+    * at 10× the parts the same fraction selects nothing — so this
+    * shape uses the scale-FREE form: parts whose value exceeds 2× the
+    * mean per-part value (threshold = 2·total/count(DISTINCT part)).
+    * Both compare operands ride the exact-DECIMAL → string-cast →
+    * DOUBLE discipline (decimal DIVISION rounding rules differ across
+    * engines, so the ÷count happens in doubles: ×2 is exact, ÷int is
+    * one correctly-rounded IEEE op from identical operands — the
+    * compare is bit-deterministic). Identical SQL text is the oracle. */
+  val importantStockSql: String =
+    """SELECT ps_partkey, value
+      |FROM (SELECT l_partkey AS ps_partkey,
+      |             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS value
+      |      FROM lineitem, supplier, nation
+      |      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |        AND n_name = 'NATION_3'
+      |      GROUP BY l_partkey) agg
+      |WHERE value > (SELECT 2 * CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
+      |                     / COUNT(DISTINCT l_partkey)
+      |               FROM lineitem, supplier, nation
+      |               WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |                 AND n_name = 'NATION_3')""".stripMargin
+
+  def importantStock(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "supplier", "nation")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(importantStockSql)
+  }
+
+  /** TPC-H Q12 shape (shipping-mode priority) — the dual CASE-count
+    * pivot: one orders ⋈ lineitem pass where BOTH output columns are
+    * conditional counts over the same rows (urgent-vs-not priority),
+    * grouped by a line attribute. The date window pushes to the fact
+    * scan; orders joins once and the CASE pair evaluates post-join in
+    * the same aggregate — two passes here doubles the biggest scan at
+    * 100 TB. The schema has no l_shipmode/commitdate/receiptdate, so
+    * the group key is l_linestatus and the window rides l_shipdate —
+    * same shape, same predicate classes. Counts are integers: exact
+    * in any engine, but SUM-of-int is BIGINT in Spark vs HUGEINT in
+    * DuckDB (which pandas floats), so both casts are explicit.
+    * Identical SQL text is the oracle. */
+  val shipmodePrioritySql: String =
+    """SELECT l_linestatus,
+      |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_linestatus""".stripMargin
+
+  def shipmodePriority(spark: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(shipmodePrioritySql)
+  }
+
+  /** TPC-H Q16 shape (parts/supplier relationship) — COUNT(DISTINCT)
+    * under a NOT-IN exclusion: supplier counts per (brand, type, size)
+    * bucket where the counted key is itself filtered by an
+    * uncorrelated NOT IN subquery (complaint suppliers — here the
+    * negative-balance set, same predicate class as the reference's
+    * LIKE-on-comment). The planner composes a null-aware anti join
+    * INTO the distinct-aggregate pipeline — the distinct dedup and
+    * the exclusion must share one shuffle, not two. partsupp is the
+    * lineitem-derived DISTINCT (partkey, suppkey) relation. NOT LIKE
+    * and IN-list predicates push to the part scan. Counts are exact.
+    * Identical SQL text is the oracle. */
+  val partsSupplierCountSql: String =
+    """WITH partsupp AS (
+      |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      |  FROM lineitem)
+      |SELECT p_brand, p_type, p_size,
+      |       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+      |FROM partsupp, part
+      |WHERE p_partkey = ps_partkey
+      |  AND p_brand <> 'Brand#23'
+      |  AND p_type NOT LIKE 'MEDIUM%'
+      |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                         WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size""".stripMargin
+
+  def partsSupplierCount(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part", "supplier")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(partsSupplierCountSql)
+  }
+
+  /** TPC-H Q20 shape (potential part promotion) — the NESTED-IN
+    * chain: suppliers selected by an IN over a derived relation that
+    * is itself filtered by (a) an inner IN over a LIKE-filtered part
+    * set and (b) a CORRELATED half-sum threshold re-reading the fact
+    * with extra predicates (`availqty > 0.5 × that part+supplier's
+    * shipped quantity in 1996`). Three nesting levels deep, two of
+    * them decorrelated to hashed semi joins and one to a per-(part,
+    * supplier) aggregate — the classic "most-nested query in the
+    * suite" planner stress. availqty is the lineitem-derived total
+    * quantity per (part, supplier) in exact DECIMAL; 0.5× a DECIMAL
+    * is exact in both engines (scale grows by one). Identical SQL
+    * text is the oracle. */
+  val potentialPromotionSql: String =
+    """WITH partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS ps_availqty
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT s_name, n_name
+      |FROM supplier, nation
+      |WHERE s_suppkey IN (
+      |    SELECT ps_suppkey FROM partsupp
+      |    WHERE ps_partkey IN (SELECT p_partkey FROM part
+      |                         WHERE p_name LIKE 'red%')
+      |      AND ps_availqty > (
+      |        SELECT 0.5 * SUM(CAST(l_quantity AS DECIMAL(12,2)))
+      |        FROM lineitem
+      |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      |          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+      |  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'""".stripMargin
+
+  def potentialPromotion(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part", "supplier", "nation")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(potentialPromotionSql)
+  }
+
   /** Sketch aggregates: HyperLogLog++ distinct-count per event type,
     * beside the exact count. No oracle (DuckDB's approx sketch differs
     * by construction); ScalaTest pins the relative error instead. */
@@ -631,6 +866,13 @@ object SqlSurface {
     "sql_dormant_customer_balance" -> (dormantCustomerBalance _),
     "sql_market_share" -> (marketShare _),
     "sql_returned_item" -> (returnedItem _),
+    "sql_top_supplier" -> (topSupplier _),
+    "sql_min_cost_supplier" -> (minCostSupplier _),
+    "sql_product_profit" -> (productProfit _),
+    "sql_important_stock" -> (importantStock _),
+    "sql_shipmode_priority" -> (shipmodePriority _),
+    "sql_parts_supplier_count" -> (partsSupplierCount _),
+    "sql_potential_promotion" -> (potentialPromotion _),
     "approx_distinct_users" -> (approxDistinctUsers _))
 
   val oracles: Map[String, String] = Map(
@@ -652,5 +894,12 @@ object SqlSurface {
     "sql_disjunctive_revenue" -> disjunctiveRevenueSql,
     "sql_dormant_customer_balance" -> dormantCustomerBalanceSql,
     "sql_market_share" -> marketShareSql,
-    "sql_returned_item" -> returnedItemSql)
+    "sql_returned_item" -> returnedItemSql,
+    "sql_top_supplier" -> topSupplierSql,
+    "sql_min_cost_supplier" -> minCostSupplierSql,
+    "sql_product_profit" -> productProfitSql,
+    "sql_important_stock" -> importantStockSql,
+    "sql_shipmode_priority" -> shipmodePrioritySql,
+    "sql_parts_supplier_count" -> partsSupplierCountSql,
+    "sql_potential_promotion" -> potentialPromotionSql)
 }

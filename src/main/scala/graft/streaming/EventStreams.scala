@@ -87,6 +87,29 @@ object EventStreams {
       .select(col("user_id"), col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the attribution query
+    * that must ALSO emit unmatched purchases (organic conversions).
+    * This is a different state-machine than the inner join: Spark
+    * buffers each outer-side row until the watermark passes its join
+    * bound, and only THEN emits the (purchase, null) row — so the
+    * nulls are late by construction, exactly one per unmatched
+    * purchase, and state is still bounded by the same watermark
+    * eviction. Without the time bound in the condition an outer
+    * stream-stream join is unplannable (state could never evict). */
+  def clickAttributionOuter(clicks: DataFrame, purchases: DataFrame,
+                            watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("value"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $attributionWindow"),
+      "left_outer")
+      .select(col("user_id"), col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** The one end-to-end runnable sink path: finalized tumbling-window
     * counts written to a parquet directory via `foreachBatch`, with
     * restart-safety from the checkpoint WAL (StreamingSpec pins the

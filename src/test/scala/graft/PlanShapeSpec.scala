@@ -304,6 +304,70 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"returnflag filter not pushed to the lineitem scan:\n$p")
   }
 
+  test("sql_top_supplier: max-over-aggregate stays hashed, lineitem scanned at most twice") {
+    val p = plan("sql_top_supplier")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"scalar-subquery filter fell off the hashed path:\n$p")
+    // the revenue aggregate feeds both the join and its own max: the
+    // fact may be scanned once per consumer, never more
+    val li = "lineitem\\.parquet".r.findAllIn(p).length
+    assert(li <= 2, s"lineitem scanned $li times:\n$p")
+  }
+
+  test("sql_min_cost_supplier decorrelates the min-cost subquery to a hashed aggregate") {
+    val p = plan("sql_min_cost_supplier")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"correlated min subquery executed per outer row:\n$p")
+    // the correlated chain decorrelates to ONE per-partkey min
+    // aggregate joined back — never a subquery launch per part
+    assert(!p.toLowerCase.contains("subqueryexec"),
+      s"min-cost subquery survived decorrelation:\n$p")
+  }
+
+  test("sql_product_profit pushes the LIKE into the part scan and broadcasts part") {
+    val p = plan("sql_product_profit")
+    assert(p.contains("StringContains(p_name,red)"),
+      s"LIKE not pushed to the part scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part slice not broadcast:\n$p")
+    // lineitem is the only big table: it must be scanned exactly once
+    val li = "lineitem\\.parquet".r.findAllIn(p).length
+    assert(li == 1, s"lineitem scanned $li times:\n$p")
+  }
+
+  test("sql_important_stock: both granularities hashed, threshold a scalar broadcast") {
+    val p = plan("sql_important_stock")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"global-total threshold fell off the hashed path:\n$p")
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 2, s"expected grouped + global aggregates, got $aggs:\n$p")
+  }
+
+  test("sql_shipmode_priority: one join pass, date window pushed to the fact scan") {
+    val p = plan("sql_shipmode_priority")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"date window not pushed to the lineitem scan:\n$p")
+    val li = "lineitem\\.parquet".r.findAllIn(p).length
+    assert(li == 1, s"the dual CASE pivot must scan lineitem once, got $li:\n$p")
+  }
+
+  test("sql_parts_supplier_count: NOT IN hashed into the distinct pipeline, part filters pushed") {
+    val p = plan("sql_parts_supplier_count")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"supplier exclusion fell off the hashed path:\n$p")
+    assert(p.contains("Not(EqualTo(p_brand,Brand#23))"),
+      s"brand exclusion not pushed to the part scan:\n$p")
+  }
+
+  test("sql_potential_promotion: three nesting levels, all hashed") {
+    val p = plan("sql_potential_promotion")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"nested-IN chain fell off the hashed path:\n$p")
+    // the correlated half-sum threshold decorrelates to an aggregate,
+    // never a per-outer-row subquery launch
+    assert(!p.toLowerCase.contains("subqueryexec"),
+      s"correlated threshold survived decorrelation:\n$p")
+  }
+
   test("sql_exists_not_in plans NOT IN as a hashed anti join, not a nested loop") {
     val p = plan("sql_exists_not_in")
     // without the IS NOT NULL guard in the subquery, three-valued NOT IN

@@ -195,6 +195,38 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched purchases as nulls after watermark eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventRow]
+    val purchases = MemoryStream[EventRow]
+    val q = EventStreams.clickAttributionOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attributed_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(EventRow(ts(10), 1, "click", 1.0))
+      purchases.addData(
+        EventRow(ts(14), 1, "purchase", 9.0),  // matched within 5 min
+        EventRow(ts(14), 3, "purchase", 7.0))  // no click at all
+      q.processAllAvailable()
+      // the matched row emits immediately; the unmatched one is held
+      // in state until the watermark passes its join bound
+      val early = spark.table("attributed_outer")
+        .select("user_id").as[Long].collect().toSet
+      assert(early == Set(1L), s"unmatched row emitted before eviction: $early")
+      // advance event time on BOTH inputs so the global watermark
+      // (min across inputs, minus the 10 min delay) passes 14+5 min
+      clicks.addData(EventRow(ts(60), 9, "click", 1.0))
+      purchases.addData(EventRow(ts(60), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attributed_outer")
+        .select("user_id", "click_ts").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(rows.contains((1L, Some(ts(10)))), s"matched row lost: $rows")
+      assert(rows.contains((3L, None)), s"unmatched purchase never emitted: $rows")
+    } finally q.stop()
+  }
+
   test("windowedCountsToParquet writes each closed window exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
