@@ -15,7 +15,9 @@ import graft.functions.{DotProductExpr, LegacyPartitionExpr}
   *
   * and injects [[graft.plans.RangeJoinRewrite]] into the operator
   * optimization batch (bounded-range joins upgraded to banded
-  * equi-joins — see its Scaladoc for the 100 TB rationale).
+  * equi-joins — see its Scaladoc for the 100 TB rationale) plus
+  * [[graft.plans.TopKPerKeyStrategy]] into the planner (the bounded
+  * top-k-per-key physical operator).
   *
   * This is the deployment-grade registration path (cluster-wide via
   * config, survives new sessions).
@@ -24,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     e.injectFunction((
       new FunctionIdentifier("legacy_partition"),
       new ExpressionInfo(classOf[LegacyPartitionExpr].getName, "legacy_partition"),

@@ -6,20 +6,38 @@ import org.apache.spark.sql.functions._
 /** Ad-hoc profiling main (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the canonical config — extensions included, so queries that need
+    // an injected strategy/rule (topk_per_key_exec, range_join_auto)
+    // profile the same plans the driver sees
+    val spark = Sessions.local(32)
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    // "topk-compare": the custom physical operator vs the window
+    // spelling of the same top-3-per-user query (the sort the
+    // operator exists to delete)
+    if (args.sameElements(Array("topk-compare"))) {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(spark, dir, "events")
+        .select("user_id", "event_id", "value")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id"))
+      (1 to 3).foreach { r =>
+        time(s"window-rank#$r")(
+          ev.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+            .drop("rn").queryExecution.toRdd.count())
+        time(s"topk-exec#$r")(
+          plans.TopKPerKey.topkPerKeyExec(spark, dir)
+            .queryExecution.toRdd.count())
+      }
+      spark.stop()
+      return
     }
 
     // with args: time the named declared queries (3 reps each) and exit

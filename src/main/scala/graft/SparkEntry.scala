@@ -26,6 +26,7 @@ object SparkEntry {
     (operators.MergeUpsert.queries, operators.MergeUpsert.oracles),
     (operators.PageRank.queries, operators.PageRank.oracles),
     (operators.ZOrder.queries, operators.ZOrder.oracles),
+    (plans.TopKPerKey.queries, plans.TopKPerKey.oracles),
     (sources.OrcSource.queries, sources.OrcSource.oracles),
     (sources.AvroSource.queries, sources.AvroSource.oracles),
     (sources.CsvJsonSource.queries, sources.CsvJsonSource.oracles),

@@ -1,0 +1,157 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftDatasetBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BaseOrdering, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator extension, preference (c) of the survey's custom-op
+  * ladder: a logical node + planner strategy + physical operator for
+  * BOUNDED TOP-K PER KEY, registered through `SparkSessionExtensions`
+  * (see [[graft.GraftExtensions]]).
+  *
+  * Why a physical operator and not the built-ins: the declarative
+  * spelling (`row_number() OVER (PARTITION BY k ORDER BY v) <= K`)
+  * plans as Exchange → Sort → Window → Filter — the sort materializes
+  * and orders EVERY row of every partition before the filter throws
+  * all but K·|keys| of them away. At 100 TB that sort (and its spill)
+  * is the whole cost of the query. The typed-Aggregator form
+  * (`operators.BoundedTopK`) fixes the asymptotics but carries its
+  * rows through an object-typed aggregation buffer. This operator
+  * keeps the exchange and replaces sort+window+filter with one
+  * streaming pass holding a K-bounded binary heap per key: memory
+  * O(|keys in partition| · K) rows, time O(n log K), no sort, no
+  * spill, rows stay `UnsafeRow` end to end.
+  *
+  * Determinism contract: `order` must be a TOTAL order (callers pass a
+  * unique tiebreak column last) — then the retained set is unique and
+  * engine-independent, which is what lets a SQL window oracle certify
+  * the operator.
+  */
+case class TopKPerKeyNode(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"top-k needs k > 0, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+/** Plans [[TopKPerKeyNode]] to [[TopKPerKeyExec]]; injected via
+  * `SparkSessionExtensions.injectPlannerStrategy` so it composes with
+  * Catalyst's own strategies (everything below the node is planned by
+  * `planLater`, i.e. by the full built-in planner). */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** One streaming pass per partition over hash-clustered input: a
+  * K-bounded max-heap per key (heap head = worst retained row; a new
+  * row replaces it iff it sorts strictly earlier). `ClusteredDistribution`
+  * makes `EnsureRequirements` insert the key exchange — the same
+  * shuffle the window form pays — so the saving is exactly the sort. */
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val sortOrder = order
+    val kBound = k
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // codegen'd comparator (interpreted fallback) over the sort exprs
+      val ord: BaseOrdering = RowOrdering.create(sortOrder, childOutput)
+      // max-heap: dequeue()/head give the row sorting LAST among the
+      // retained — the eviction candidate
+      val heapOrd: Ordering[InternalRow] =
+        (a: InternalRow, b: InternalRow) => ord.compare(a, b)
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        heaps.get(key) match {
+          case Some(heap) =>
+            if (heap.size < kBound) heap += row.copy()
+            else if (ord.compare(row, heap.head) < 0) {
+              heap.dequeue()
+              heap += row.copy()
+            }
+          case None =>
+            val heap = mutable.PriorityQueue.empty[InternalRow](heapOrd)
+            heap += row.copy()
+            heaps.put(key.copy(), heap)
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }, preservesPartitioning = true)
+  }
+}
+
+/** User-facing surface + the census query certifying the operator. */
+object TopKPerKey {
+
+  /** Top `k` rows per `keys` group under `order` — `order` is a list of
+    * (column, ascending) pairs and MUST end in a unique tiebreak for a
+    * deterministic result set. */
+  def topKPerKey(df: DataFrame, keys: Seq[String],
+                 order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String): Attribute = analyzed.output
+      .find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $name not in ${analyzed.output.map(_.name).mkString(", ")}"))
+    val sortOrders = order.map { case (name, asc) =>
+      SortOrder(attr(name), if (asc) Ascending else Descending)
+    }
+    GraftDatasetBridge.ofRows(df.sparkSession,
+      TopKPerKeyNode(keys.map(attr), sortOrders, k, analyzed))
+  }
+
+  import org.apache.spark.sql.SparkSession
+  import graft.Tables
+
+  /** Per-user top-3 events by value — the ~10⁴-key twin of the 5-key
+    * `topk_per_group` Aggregator query, run through the custom
+    * physical operator. Same window-SQL oracle form as that query. */
+  def topkPerKeyExec(spark: SparkSession, dir: String): DataFrame =
+    topKPerKey(
+      Tables.load(spark, dir, "events")
+        .select("user_id", "event_id", "value"),
+      keys = Seq("user_id"),
+      order = Seq("value" -> false, "event_id" -> true),
+      k = 3)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "topk_per_key_exec" -> (topkPerKeyExec _))
+
+  val oracles: Map[String, String] = Map(
+    "topk_per_key_exec" ->
+      """SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY value DESC, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3""".stripMargin)
+}

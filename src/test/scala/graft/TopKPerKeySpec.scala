@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TopKPerKey
+
+/** The custom physical operator (logical node + strategy + exec,
+  * `plans/TopKPerKey.scala`): result parity with the window form,
+  * plan shape (no sort, no window, one key exchange), and the
+  * eviction logic on crafted ties. */
+class TopKPerKeySpec extends AnyFunSuite with SharedSpark {
+
+  test("topk_per_key_exec equals the row_number window form on events") {
+    val df = TopKPerKey.topkPerKeyExec(spark, sfDir)
+    val mine = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Tables.load(spark, sfDir, "events").createOrReplaceTempView("events")
+    val oracle = spark.sql(TopKPerKey.oracles("topk_per_key_exec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(mine.nonEmpty, "operator returned no rows")
+    assert(mine == oracle,
+      s"mismatch: only-mine=${(mine -- oracle).take(3)} only-oracle=${(oracle -- mine).take(3)}")
+  }
+
+  test("plan: TopKPerKeyExec after one key exchange, no sort, no window") {
+    val p = TopKPerKey.topkPerKeyExec(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert(p.contains("TopKPerKey "), s"custom operator not planned:\n$p")
+    assert(!p.contains("Window"), s"fell back to a window:\n$p")
+    assert(!p.contains("Sort"), s"the whole point is no sort:\n$p")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nEx == 1, s"expected exactly the key exchange, got $nEx:\n$p")
+  }
+
+  test("k-bounded eviction keeps exactly the first k under the total order") {
+    import spark.implicits._
+    // key "a": values 5,5,3,1 with ids breaking the 5-tie; k=2 keeps
+    // both 5s (ids 2 then 7 — id ascends within equal values)
+    val df = Seq(
+      ("a", 7L, 5.0), ("a", 2L, 5.0), ("a", 9L, 3.0), ("a", 1L, 1.0),
+      ("b", 4L, 2.0)
+    ).toDF("k", "id", "v")
+    val got = TopKPerKey.topKPerKey(df, Seq("k"),
+        Seq("v" -> false, "id" -> true), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a", 2L), ("a", 7L), ("b", 4L)), s"got $got")
+  }
+
+  test("operator composes with downstream transforms") {
+    val df = TopKPerKey.topkPerKeyExec(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val bad = df.filter(col("n") > 3).count()
+    assert(bad == 0, s"$bad users retained more than k rows")
+  }
+}
