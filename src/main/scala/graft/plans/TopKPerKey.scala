@@ -39,6 +39,9 @@ case class TopKPerKeyNode(
     k: Int,
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"top-k needs k > 0, got $k")
+  require(keys.nonEmpty,
+    "grouping keys must be non-empty (for a GLOBAL top-k use orderBy + " +
+      "limit, which Spark already plans as TakeOrderedAndProject)")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =

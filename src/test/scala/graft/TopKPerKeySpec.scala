@@ -49,6 +49,28 @@ class TopKPerKeySpec extends AnyFunSuite with SharedSpark {
     assert(got == Set(("a", 2L), ("a", 7L), ("b", 4L)), s"got $got")
   }
 
+  test("randomized parity with the window form (tie-heavy, several k)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // value domain of 8 forces heavy ties; ids unique -> total order
+    val rows = (0 until 2000).map { id =>
+      (rnd.nextInt(53).toString, id.toLong, (rnd.nextInt(8) * 0.5))
+    }
+    val df = rows.toDF("k", "id", "v").repartition(5)
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+    Seq(1, 3, 10).foreach { k =>
+      val mine = TopKPerKey.topKPerKey(df, Seq("k"),
+          Seq("v" -> false, "id" -> true), k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val ref = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(mine == ref, s"k=$k: only-mine=${(mine -- ref).take(3)} " +
+        s"only-ref=${(ref -- mine).take(3)}")
+    }
+  }
+
   test("operator composes with downstream transforms") {
     val df = TopKPerKey.topkPerKeyExec(spark, sfDir)
       .groupBy("user_id").agg(count(lit(1)).as("n"))
