@@ -13,11 +13,12 @@ import graft.functions.{DotProductExpr, LegacyPartitionExpr}
   *
   * {{{ SELECT legacy_partition(event_type, 4) FROM events }}}
   *
-  * and injects [[graft.plans.RangeJoinRewrite]] into the operator
-  * optimization batch (bounded-range joins upgraded to banded
-  * equi-joins — see its Scaladoc for the 100 TB rationale) plus
+  * and injects [[graft.plans.RangeJoinRewrite]] and
+  * [[graft.plans.TopKWindowRewrite]] into the operator optimization
+  * batch (bounded-range joins upgraded to banded equi-joins; the
+  * row_number-≤-k window idiom upgraded onto the heap operator) plus
   * [[graft.plans.TopKPerKeyStrategy]] into the planner (the bounded
-  * top-k-per-key physical operator).
+  * top-k-per-key physical operator both rewrites target).
   *
   * This is the deployment-grade registration path (cluster-wide via
   * config, survives new sessions).
@@ -26,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    e.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     e.injectFunction((
       new FunctionIdentifier("legacy_partition"),

@@ -146,8 +146,27 @@ object TopKPerKey {
       order = Seq("value" -> false, "event_id" -> true),
       k = 3)
 
+  /** The SAME query written the way a SQL user writes it — the
+    * row_number window idiom, verbatim. [[TopKWindowRewrite]] detects
+    * the shape in the optimizer and swaps in [[TopKPerKeyNode]], so
+    * the DECLARATIVE text executes on the heap operator (plan-pinned
+    * in TopKPerKeySpec) while the oracle runs the identical SQL. */
+  val topkWindowSql: String =
+    """SELECT user_id, event_id, value FROM (
+      |  SELECT user_id, event_id, value,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY value DESC, event_id) AS rn
+      |  FROM events) t
+      |WHERE rn <= 3""".stripMargin
+
+  def topkWindowAuto(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(topkWindowSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "topk_per_key_exec" -> (topkPerKeyExec _))
+    "topk_per_key_exec" -> (topkPerKeyExec _),
+    "topk_window_auto" -> (topkWindowAuto _))
 
   val oracles: Map[String, String] = Map(
     "topk_per_key_exec" ->
@@ -156,5 +175,6 @@ object TopKPerKey {
         |         row_number() OVER (PARTITION BY user_id
         |                            ORDER BY value DESC, event_id) AS rn
         |  FROM events) t
-        |WHERE rn <= 3""".stripMargin)
+        |WHERE rn <= 3""".stripMargin,
+    "topk_window_auto" -> topkWindowSql)
 }

@@ -186,11 +186,16 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(scans <= 6, s"unexpected scan duplication ($scans scans):\n$p")
   }
 
-  test("sql_lateral_topk: correlated LIMIT decorrelates to a rank window, no per-row subquery") {
+  test("sql_lateral_topk: correlated LIMIT decorrelates, then runs on the heap operator") {
+    // Catalyst decorrelates the per-customer LIMIT into a row_number
+    // window; since r7 TopKWindowRewrite picks THAT shape up too, so
+    // the LATERAL query chains decorrelation -> rewrite -> custom exec
+    // (sort+window deleted, never a per-row subquery)
     val p = plan("sql_lateral_topk")
-    assert(p.contains("row_number") && p.contains("rn"),
-      s"lateral limit did not become a rank window:\n$p")
-    assert(!p.contains("NestedLoop"), s"lateral planned as a nested loop:\n$p")
+    assert(p.contains("TopKPerKey "),
+      s"decorrelated rank window not rewritten onto the heap operator:\n$p")
+    assert(!p.contains("Window") && !p.contains("NestedLoop"),
+      s"window machinery or nested loop survived:\n$p")
   }
 
   test("dpp_join_agg: runtime subquery prunes fact partitions via the batch broadcast") {

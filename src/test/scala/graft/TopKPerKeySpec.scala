@@ -16,9 +16,13 @@ class TopKPerKeySpec extends AnyFunSuite with SharedSpark {
     val mine = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     Tables.load(spark, sfDir, "events").createOrReplaceTempView("events")
-    val oracle = spark.sql(TopKPerKey.oracles("topk_per_key_exec"))
+    // rule off, or the reference window query would itself be
+    // rewritten onto the operator under test
+    spark.conf.set(plans.TopKWindowRewrite.EnabledKey, "false")
+    val oracle = try spark.sql(TopKPerKey.oracles("topk_per_key_exec"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    finally spark.conf.set(plans.TopKWindowRewrite.EnabledKey, "true")
     assert(mine.nonEmpty, "operator returned no rows")
     assert(mine == oracle,
       s"mismatch: only-mine=${(mine -- oracle).take(3)} only-oracle=${(oracle -- mine).take(3)}")
@@ -69,6 +73,48 @@ class TopKPerKeySpec extends AnyFunSuite with SharedSpark {
       assert(mine == ref, s"k=$k: only-mine=${(mine -- ref).take(3)} " +
         s"only-ref=${(ref -- mine).take(3)}")
     }
+  }
+
+  test("TopKWindowRewrite: the declarative window idiom runs on the heap operator") {
+    val p = TopKPerKey.topkWindowAuto(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey "), s"rewrite did not fire:\n$p")
+    assert(!p.contains("Window") && !p.contains("Sort"),
+      s"window machinery survived the rewrite:\n$p")
+  }
+
+  test("TopKWindowRewrite preserves semantics: equals the rule-off run") {
+    val on = TopKPerKey.topkWindowAuto(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    spark.conf.set(plans.TopKWindowRewrite.EnabledKey, "false")
+    try {
+      val off = TopKPerKey.topkWindowAuto(spark, sfDir)
+      val offPlan = off.queryExecution.executedPlan.toString
+      assert(!offPlan.contains("TopKPerKey "), s"rule fired while disabled:\n$offPlan")
+      assert(off.collect().map(_.toString).sorted.toSeq == on,
+        "rule-off result differs")
+    } finally spark.conf.set(plans.TopKWindowRewrite.EnabledKey, "true")
+  }
+
+  test("TopKWindowRewrite leaves rank() and kept-rn queries alone") {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "events").createOrReplaceTempView("events")
+    // rank() keeps ALL tied rows at the boundary — not heap semantics
+    val rankPlan = spark.sql(
+      """SELECT user_id, event_id FROM (
+        |  SELECT user_id, event_id,
+        |         rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS rn
+        |  FROM events) t WHERE rn <= 3""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(!rankPlan.contains("TopKPerKey "), s"fired on rank():\n$rankPlan")
+    // rn survives the projection -> the window must actually run
+    val keptPlan = spark.sql(
+      """SELECT user_id, event_id, rn FROM (
+        |  SELECT user_id, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events) t WHERE rn <= 3""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(!keptPlan.contains("TopKPerKey "), s"fired with rn in output:\n$keptPlan")
   }
 
   test("operator composes with downstream transforms") {
