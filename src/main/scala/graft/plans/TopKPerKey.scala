@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BaseOrde
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Whole-operator extension, preference (c) of the survey's custom-op
   * ladder: a logical node + planner strategy + physical operator for
@@ -78,11 +79,17 @@ case class TopKPerKeyExec(
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> SQLMetrics.createMetric(sparkContext, "number of groups"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys
     val sortOrder = order
     val kBound = k
+    val outRows = longMetric("numOutputRows")
+    val groups = longMetric("numGroups")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // codegen'd comparator (interpreted fallback) over the sort exprs
@@ -107,7 +114,8 @@ case class TopKPerKeyExec(
             heaps.put(key.copy(), heap)
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      groups += heaps.size
+      heaps.valuesIterator.flatMap { h => outRows += h.size; h.iterator }
     }, preservesPartitioning = true)
   }
 }
