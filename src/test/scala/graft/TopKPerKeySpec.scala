@@ -117,6 +117,25 @@ class TopKPerKeySpec extends AnyFunSuite with SharedSpark {
     assert(!keptPlan.contains("TopKPerKey "), s"fired with rn in output:\n$keptPlan")
   }
 
+  test("TopKWindowRewrite handles every supported comparison spelling") {
+    Tables.load(spark, sfDir, "events").createOrReplaceTempView("events")
+    def planOf(pred: String): String = spark.sql(
+      s"""SELECT user_id, event_id FROM (
+         |  SELECT user_id, event_id,
+         |         row_number() OVER (PARTITION BY user_id
+         |                            ORDER BY value DESC, event_id) AS rn
+         |  FROM events) t WHERE $pred""".stripMargin)
+      .queryExecution.executedPlan.toString
+    Seq("rn <= 3", "rn < 4", "rn = 1", "4 > rn", "3 >= rn").foreach { pred =>
+      assert(planOf(pred).contains("TopKPerKey "), s"did not fire on: $pred")
+    }
+    // a zero/negative limit must not reach the operator (Spark folds
+    // the always-false filter away first; either way, no fire)
+    Seq("rn <= 0", "rn < 1").foreach { pred =>
+      assert(!planOf(pred).contains("TopKPerKey "), s"fired on: $pred")
+    }
+  }
+
   test("operator composes with downstream transforms") {
     val df = TopKPerKey.topkPerKeyExec(spark, sfDir)
       .groupBy("user_id").agg(count(lit(1)).as("n"))
