@@ -37,7 +37,9 @@ object PlanAudit {
       "eval_decontamination_bloom",
       // round 7
       "sql_waiting_orders", "skew_salted_join",
-      "inverted_index", "cooccurrence_pmi")
+      "inverted_index", "cooccurrence_pmi",
+      "sql_min_cost_supplier", "sql_potential_promotion",
+      "topk_per_key_exec", "topk_window_auto")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

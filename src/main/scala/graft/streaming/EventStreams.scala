@@ -110,6 +110,29 @@ object EventStreams {
       .select(col("user_id"), col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** FULL OUTER stream-stream interval join — completes the family:
+    * unmatched rows from BOTH sides survive (purchases with no click
+    * AND clicks that never converted), each emitted with nulls for
+    * the other side once the watermark passes its join bound. Both
+    * sides therefore need the time bound against the other (a side
+    * with no bound could never evict, and Spark rejects the plan).
+    * The click side keeps its own user column so an unmatched click
+    * still carries its user id; the output coalesces the two. */
+  def clickAttributionFull(clicks: DataFrame, purchases: DataFrame,
+                           watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("value"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $attributionWindow"),
+      "full_outer")
+      .select(coalesce(col("user_id"), col("c_user")).as("user_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** The one end-to-end runnable sink path: finalized tumbling-window
     * counts written to a parquet directory via `foreachBatch`, with
     * restart-safety from the checkpoint WAL (StreamingSpec pins the

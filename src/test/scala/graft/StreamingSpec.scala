@@ -227,6 +227,35 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("full-outer interval join emits unmatched rows from BOTH sides after eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventRow]
+    val purchases = MemoryStream[EventRow]
+    val q = EventStreams.clickAttributionFull(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attributed_full")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        EventRow(ts(10), 1, "click", 1.0),   // converts (purchase at 14)
+        EventRow(ts(12), 5, "click", 1.0))   // never converts
+      purchases.addData(
+        EventRow(ts(14), 1, "purchase", 9.0),
+        EventRow(ts(14), 3, "purchase", 7.0)) // organic, no click
+      q.processAllAvailable()
+      // advance event time on both inputs so the watermark evicts
+      clicks.addData(EventRow(ts(60), 9, "click", 1.0))
+      purchases.addData(EventRow(ts(60), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attributed_full")
+        .select("user_id", "purchase_ts", "click_ts").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+      assert(rows.contains((1L, Some(ts(14)), Some(ts(10)))), s"matched pair lost: $rows")
+      assert(rows.contains((3L, Some(ts(14)), None)), s"organic purchase missing: $rows")
+      assert(rows.contains((5L, None, Some(ts(12)))), s"non-converting click missing: $rows")
+    } finally q.stop()
+  }
+
   test("windowedCountsToParquet writes each closed window exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
