@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured-Streaming operators over an event stream.
   *
@@ -184,6 +185,40 @@ object EventStreams {
           state.update(next)
           next
       }
+  }
+
+  /** The SAME running totals on Spark 4's arbitrary-state API —
+    * `transformWithState` supersedes mapGroupsWithState with named,
+    * individually-encoded state handles (value/list/map), per-state
+    * TTL, and event/processing-time timers, and requires the RocksDB
+    * state store (the 100 TB posture baked into the API). One
+    * `ValueState[UserTotal]` here; StreamingSpec pins emission parity
+    * with [[runningTotals]] on the same input. */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, EventRow, UserTotal] {
+    @transient private var totals: ValueState[UserTotal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotal](
+        "totals", Encoders.product[UserTotal], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+                                 timerValues: TimerValues): Iterator[UserTotal] = {
+      val prev = if (totals.exists()) totals.get() else UserTotal(key, 0L, 0.0)
+      val next = rows.foldLeft(prev) { (acc, r) =>
+        UserTotal(key, acc.n + 1, acc.total + r.value)
+      }
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningTotalsTws(events: Dataset[EventRow]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   case class Crossing(user_id: Long, threshold: Double, total: Double)

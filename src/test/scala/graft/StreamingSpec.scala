@@ -332,6 +332,44 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(rows.toSet == expected, s"post-restart output diverged: $rows")
   }
 
+  test("transformWithState matches the mapGroupsWithState totals (RocksDB-backed)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the new arbitrary-state API refuses non-RocksDB providers —
+    // the same provider swap the windowed-agg RocksDB test proves
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[EventRow]
+      val q = EventStreams.runningTotalsTws(mem.toDS())
+        .writeStream.format("memory").queryName("totals_tws")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        mem.addData(
+          EventRow(ts(1), 1, "click", 2.0),
+          EventRow(ts(2), 1, "click", 3.0),
+          EventRow(ts(3), 2, "view", 7.0))
+        q.processAllAvailable()
+        mem.addData(EventRow(ts(4), 1, "view", 5.0))
+        q.processAllAvailable()
+        val emissions = spark.table("totals_tws")
+          .as[EventStreams.UserTotal].collect().toSet
+        // batch 1 emits (1, 2, 5.0) and (2, 1, 7.0); batch 2 folds the
+        // restored ValueState forward to (1, 3, 10.0)
+        val expected = Set(
+          EventStreams.UserTotal(1L, 2L, 5.0),
+          EventStreams.UserTotal(2L, 1L, 7.0),
+          EventStreams.UserTotal(1L, 3L, 10.0))
+        assert(emissions == expected, s"got $emissions")
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateful aggregation runs on the RocksDB state store with identical results") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
