@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured-Streaming operators over an event stream.
   *
@@ -219,6 +219,61 @@ object EventStreams {
       .groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  case class SessionSummary(user_id: Long, n: Long, last_ts_ms: Long)
+
+  /** EVENT-TIME TIMERS — the transformWithState capability the old
+    * state APIs cannot express cleanly: a session closes and emits
+    * ONLY when the watermark passes `gap` beyond the user's last
+    * event, via an explicitly registered per-key timer. Each input
+    * batch moves the key's single timer forward (delete + register —
+    * timers are not keyed by name, so the old one must be removed);
+    * `handleExpiredTimer` emits the summary and clears state, so an
+    * idle user costs nothing after the timer fires. mapGroupsWithState
+    * timeouts restart on EVERY invocation and cannot coexist with
+    * other timer schedules; here the expiry is data-derived and the
+    * state/timer lifecycle is explicit. */
+  class SessionTimerProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, EventRow, SessionSummary] {
+    @transient private var sess: ValueState[SessionSummary] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionSummary](
+        "session", Encoders.product[SessionSummary], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+                                 timerValues: TimerValues): Iterator[SessionSummary] = {
+      val prev = if (sess.exists()) Some(sess.get()) else None
+      val cur = rows.foldLeft(prev.getOrElse(SessionSummary(key, 0L, 0L))) {
+        (acc, r) => SessionSummary(key, acc.n + 1,
+          math.max(acc.last_ts_ms, r.ts.getTime))
+      }
+      prev.foreach(p => getHandle.deleteTimer(p.last_ts_ms + gapMs))
+      getHandle.registerTimer(cur.last_ts_ms + gapMs)
+      sess.update(cur)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionSummary] = {
+      val out = if (sess.exists()) Iterator.single(sess.get()) else Iterator.empty
+      sess.clear()
+      out
+    }
+  }
+
+  /** Sessions over a watermarked stream: emits one summary per user
+    * session, `gapMs` after the last event (event time). */
+  def sessionSummaries(events: Dataset[EventRow],
+                       gapMs: Long = 5 * 60 * 1000L,
+                       watermark: String = "10 minutes"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   case class Crossing(user_id: Long, threshold: Double, total: Double)

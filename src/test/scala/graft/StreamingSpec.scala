@@ -370,6 +370,41 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("event-time timers close sessions only after the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[EventRow]
+      val q = EventStreams.sessionSummaries(mem.toDS())
+        .writeStream.format("memory").queryName("sessions_tws")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(
+          EventRow(ts(1), 1, "click", 1.0),
+          EventRow(ts(3), 1, "view", 1.0),   // same session, extends timer
+          EventRow(ts(2), 2, "click", 1.0))
+        q.processAllAvailable()
+        // watermark still at minus-delay of max(ts) — nothing closed
+        assert(spark.table("sessions_tws").isEmpty,
+          "session emitted before its timer could fire")
+        // advance event time far enough that wm (= 60 - 10 delay)
+        // passes both timers (user 1: 3+5=8, user 2: 2+5=7)
+        mem.addData(EventRow(ts(60), 9, "click", 1.0))
+        q.processAllAvailable()
+        val rows = spark.table("sessions_tws")
+          .select("user_id", "n").as[(Long, Long)].collect().toSet
+        assert(rows == Set((1L, 2L), (2L, 1L)), s"got $rows")
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateful aggregation runs on the RocksDB state store with identical results") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
