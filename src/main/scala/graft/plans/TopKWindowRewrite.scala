@@ -37,11 +37,28 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    as TakeOrderedAndProject).
   *
   * An InferWindowGroupLimit-inserted [[WindowGroupLimit]] below the
-  * Window (same spec, same limit) is absorbed — the heap subsumes it.
+  * Window (same spec) is absorbed — the heap subsumes it. Its limit
+  * is BOUND, not assumed: the heap runs at `min(groupLimit, k)`, so a
+  * plan carrying a tighter group limit than the filter's K (stock
+  * Spark never builds one, but a hand-built plan can) keeps its
+  * tighter semantics instead of silently returning extra rows.
   * Under a non-total ORDER BY, row_number already returns one
   * arbitrary valid assignment among ties in stock Spark; the rewrite
   * stays within that same semantics class (and the certifying query's
   * order is total, so its result is engine-exact).
+  *
+  * MEMORY CONTRACT (inherited from [[TopKPerKeyExec]], restated here
+  * because this rule moves user queries onto it silently): the
+  * operator holds one K-row heap PER DISTINCT KEY in the partition in
+  * an in-memory hash map with no spill path — worst-case task memory
+  * is O(|keys in partition| · K · rowWidth). The window form it
+  * replaces sorts (and therefore spills) instead. For K ≲ 100 the
+  * heap is strictly cheaper than sorting every row of every group,
+  * but a query with hundreds of millions of distinct keys per
+  * partition AND a large K could OOM a task that previously completed
+  * slowly; set `spark.graft.topkWindow.enabled=false` (this rule's
+  * kill-switch, honored at optimization time) to fall back to the
+  * stock sort+window plan.
   * Toggle with `spark.graft.topkWindow.enabled`.
   */
 object TopKWindowRewrite extends Rule[LogicalPlan] {
@@ -81,13 +98,15 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
     if (projectList.exists(_.references.contains(rn))) return None
 
     // absorb the stock group-limit if InferWindowGroupLimit already
-    // fired on the same spec (its limit equals k by construction)
-    val child = windowChild match {
-      case WindowGroupLimit(ps, os, _: RowNumber, _, inner)
-          if ps == partSpec && os == orderSpec => inner
-      case other => other
+    // fired on the same spec — binding its limit: the heap runs at
+    // min(groupLimit, k) so a tighter group limit keeps its semantics
+    val (child, kEff) = windowChild match {
+      case WindowGroupLimit(ps, os, _: RowNumber, limit, inner)
+          if ps == partSpec && os == orderSpec && limit > 0 =>
+        (inner, math.min(limit, k))
+      case other => (other, k)
     }
-    Some(Project(projectList, TopKPerKeyNode(partSpec, orderSpec, k, child)))
+    Some(Project(projectList, TopKPerKeyNode(partSpec, orderSpec, kEff, child)))
   }
 
   /** K from the supported comparison shapes, in either operand order. */
@@ -96,11 +115,16 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
       case a: Attribute => a.semanticEquals(rn)
       case _ => false
     }}
+    // the strict forms decrement only for v > 0 — Int.MinValue - 1
+    // would wrap to Int.MaxValue and turn an always-false filter into
+    // a keep-everything pass; non-positive literals fall through to
+    // None (caller's `.filter(_ > 0)` would reject 0 anyway, the
+    // guard here keeps the overflow impossible rather than filtered)
     cond match {
       case LessThanOrEqual(Rn(), Literal(v: Int, _)) => Some(v)
-      case LessThan(Rn(), Literal(v: Int, _)) => Some(v - 1)
+      case LessThan(Rn(), Literal(v: Int, _)) if v > 0 => Some(v - 1)
       case GreaterThanOrEqual(Literal(v: Int, _), Rn()) => Some(v)
-      case GreaterThan(Literal(v: Int, _), Rn()) => Some(v - 1)
+      case GreaterThan(Literal(v: Int, _), Rn()) if v > 0 => Some(v - 1)
       case EqualTo(Rn(), Literal(1, _)) => Some(1)
       case EqualTo(Literal(1, _), Rn()) => Some(1)
       case _ => None

@@ -134,6 +134,46 @@ class TopKPerKeySpec extends AnyFunSuite with SharedSpark {
     Seq("rn <= 0", "rn < 1").foreach { pred =>
       assert(!planOf(pred).contains("TopKPerKey "), s"fired on: $pred")
     }
+    // Int.MinValue strict compare: `v - 1` would wrap to Int.MaxValue
+    // and turn the always-false filter into a keep-everything top-k —
+    // the guarded decrement must leave the plan alone and the query
+    // must return zero rows
+    val minPred = s"rn < ${Int.MinValue}"
+    assert(!planOf(minPred).contains("TopKPerKey "), s"fired on: $minPred")
+    val nMin = spark.sql(
+      s"""SELECT user_id, event_id FROM (
+         |  SELECT user_id, event_id,
+         |         row_number() OVER (PARTITION BY user_id
+         |                            ORDER BY value DESC, event_id) AS rn
+         |  FROM events) t WHERE $minPred""".stripMargin).count()
+    assert(nMin == 0, s"always-false filter returned $nMin rows")
+  }
+
+  test("TopKWindowRewrite binds an absorbed WindowGroupLimit's own limit") {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, CurrentRow, Expression, LessThanOrEqual, Literal, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window, WindowGroupLimit}
+    import graft.plans.{TopKPerKeyNode, TopKWindowRewrite}
+    import spark.implicits._
+    // hand-built plan carrying a group limit TIGHTER than the filter's
+    // K (stock Spark never builds one — InferWindowGroupLimit uses the
+    // filter's K — but the rule must not assume that): absorb must
+    // bind min(limit, k), not k
+    val child = Seq(("a", 1L, 3.0), ("a", 2L, 2.0), ("a", 3L, 1.0))
+      .toDF("k", "id", "v").queryExecution.analyzed
+    val kAttr = child.output.find(_.name == "k").get
+    val idAttr = child.output.find(_.name == "id").get
+    val part = Seq(kAttr: Expression)
+    val ord = Seq(SortOrder(idAttr, Ascending))
+    val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+    val rnAlias = Alias(WindowExpression(RowNumber(),
+      WindowSpecDefinition(part, ord, frame)), "rn")()
+    val plan = Project(child.output,
+      Filter(LessThanOrEqual(rnAlias.toAttribute, Literal(3)),
+        Window(Seq(rnAlias), part, ord,
+          WindowGroupLimit(part, ord, RowNumber(), 2, child), None)))
+    val rewritten = TopKWindowRewrite(plan)
+    val ks = rewritten.collect { case n: TopKPerKeyNode => n.k }
+    assert(ks == Seq(2), s"expected heap bound min(2,3)=2, got $ks in:\n$rewritten")
   }
 
   test("operator composes with downstream transforms") {
