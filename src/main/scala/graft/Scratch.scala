@@ -40,12 +40,19 @@ object Scratch {
       return
     }
 
-    // with args: time the named declared queries (3 reps each) and exit
+    // with args: time the named declared queries (3 reps each) and exit;
+    // per-rep shuffle records beside the time make session-memo hits
+    // visible (rep#1 pays the materialization, reps 2-3 read the memo)
     if (args.nonEmpty) {
+      val counters = new RecordCounterListener
+      spark.sparkContext.addSparkListener(counters)
       args.foreach { n =>
         (1 to 3).foreach { r =>
+          val before = counters.settled
           time(s"$n#$r")(
             SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count())
+          val after = counters.settled
+          println(s"[scratch]   in=${after._1 - before._1} shuffle=${after._2 - before._2}")
         }
       }
       spark.stop()

@@ -20,6 +20,51 @@ object SqlSurface {
       Tables.load(spark, dir, n).createOrReplaceTempView(n)
     }
 
+  /** The schema has no partsupp table; three TPC-H shapes (Q2, Q16,
+    * Q20) derive it from lineitem — a full-width group-by/distinct
+    * over the biggest fact. Rebuilt inside each query, that derivation
+    * shuffles ≈ the whole of lineitem PER CALL (7.1 M / 6.2 M shuffle
+    * records at sf1, twice in Q2's case). The relation is a pure
+    * function of the corpus, so it is memoized once per (session,
+    * corpus) — the `PageRank.edgeCache` pattern — with every column
+    * any of the three consumers needs; Catalyst's column pruning
+    * drops the unused ones per query. Oracle SQL keeps the inline
+    * `WITH partsupp AS (...)` form (textually the same derivation),
+    * so DuckDB recomputes what Spark reads from the memo — the hash
+    * compare certifies the memo IS the derivation. */
+  val derivedPartsuppSql: String =
+    """SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |       MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS ps_availqty
+      |FROM lineitem GROUP BY l_partkey, l_suppkey""".stripMargin
+
+  private val partsuppCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Unpersist + drop this session's partsupp memos (lifecycle hook,
+    * same contract as `Dedup.clearCaches`). */
+  def clearCaches(spark: SparkSession): Unit =
+    graft.SessionCaches.clear(spark, Seq(partsuppCache))
+
+  /** Register `partsupp` as a temp view over the session-memoized
+    * materialization (and `lineitem`, which the derivation reads). */
+  private def registerPartsupp(spark: SparkSession, dir: String): Unit = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    partsuppCache.computeIfAbsent((spark, dir), _ =>
+      spark.sql(derivedPartsuppSql)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .createOrReplaceTempView("partsupp")
+  }
+
+  /** The oracle text with its `WITH partsupp AS (...)` header dropped:
+    * the Spark-side run resolves `partsupp` against the memoized view
+    * instead of re-deriving the CTE. (CTE bodies are indented; the
+    * outer SELECT is the first column-0 SELECT.) */
+  private def sansPartsuppCte(sql: String): String = {
+    require(sql.startsWith("WITH partsupp AS ("), s"not a partsupp CTE query:\n$sql")
+    sql.linesIterator.dropWhile(!_.startsWith("SELECT")).mkString("\n")
+  }
+
   /** Two determinism measures surfaced by the r7 sf1 run (invisible
     * at sf0.1, real at 534 k rows/group):
     *  - operand widths are DECIMAL(12,2), not (18,2) — at (18,2) the
@@ -665,9 +710,10 @@ object SqlSurface {
       |      AND r2.r_name = 'EUROPE')""".stripMargin
 
   def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
-    Seq("lineitem", "part", "supplier", "nation", "region")
+    Seq("part", "supplier", "nation", "region")
       .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
-    spark.sql(minCostSupplierSql)
+    registerPartsupp(spark, dir)
+    spark.sql(sansPartsuppCte(minCostSupplierSql))
   }
 
   /** TPC-H Q9 shape (product-type profit) — the LIKE-pushdown profit
@@ -794,9 +840,12 @@ object SqlSurface {
       |GROUP BY p_brand, p_type, p_size""".stripMargin
 
   def partsSupplierCount(spark: SparkSession, dir: String): DataFrame = {
-    Seq("lineitem", "part", "supplier")
+    Seq("part", "supplier")
       .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
-    spark.sql(partsSupplierCountSql)
+    registerPartsupp(spark, dir)
+    // the memo's group-by keys are already the DISTINCT pair set the
+    // CTE derives — the view projection IS the CTE
+    spark.sql(sansPartsuppCte(partsSupplierCountSql))
   }
 
   /** TPC-H Q20 shape (potential part promotion) — the NESTED-IN
@@ -831,9 +880,13 @@ object SqlSurface {
       |  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'""".stripMargin
 
   def potentialPromotion(spark: SparkSession, dir: String): DataFrame = {
-    Seq("lineitem", "part", "supplier", "nation")
+    // the correlated half-sum threshold still reads lineitem directly
+    // (extra predicates — not the memoized derivation); only the
+    // partsupp relation itself comes from the memo
+    Seq("part", "supplier", "nation")
       .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
-    spark.sql(potentialPromotionSql)
+    registerPartsupp(spark, dir)
+    spark.sql(sansPartsuppCte(potentialPromotionSql))
   }
 
   /** Sketch aggregates: HyperLogLog++ distinct-count per event type,

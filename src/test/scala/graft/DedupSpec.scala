@@ -234,14 +234,17 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
   test("clearCaches drops session memos; queries rebuild cleanly after") {
     Dedup.cachedDocShingles(spark, sfDir).count()
     Dedup.cachedMinhashPairs(spark, sfDir).count()
+    graft.operators.SqlSurface.minCostSupplier(spark, sfDir).count()
     Dedup.clearCaches(spark)
     graft.similarity.Similarity.clearCaches(spark)
     graft.operators.PageRank.clearCaches(spark)
     graft.text.CorpusOps.clearCaches(spark)
+    graft.operators.SqlSurface.clearCaches(spark)
     assert(Dedup.neardupClusters(spark, sfDir).count() > 0)
     assert(graft.similarity.Similarity.similarAnnIvf(spark, sfDir).count() > 0)
     assert(graft.operators.PageRank.pagerankTradeGraph(spark, sfDir).count() > 0)
     assert(graft.text.CorpusOps.bpeEncodeStats(spark, sfDir).count() > 0)
+    assert(graft.operators.SqlSurface.partsSupplierCount(spark, sfDir).count() > 0)
   }
 
   test("dedup_incremental: survivors are odd-id, batch-unique, absent from corpus") {
