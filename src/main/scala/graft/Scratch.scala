@@ -21,18 +21,35 @@ object Scratch {
 
     // "topk-compare": the custom physical operator vs the window
     // spelling of the same top-3-per-user query (the sort the
-    // operator exists to delete)
+    // operator exists to delete). Three honest arms: the TRUE
+    // sort+window plan (rewrite disabled — otherwise TopKWindowRewrite
+    // silently moves it onto the heap operator and both arms measure
+    // the same thing), the heap operator with whole-stage codegen off
+    // (the round-7 codegen-fenced form), and the fused codegen form.
     if (args.sameElements(Array("topk-compare"))) {
       import org.apache.spark.sql.expressions.Window
       val ev = Tables.load(spark, dir, "events")
         .select("user_id", "event_id", "value")
       val w = Window.partitionBy("user_id")
         .orderBy(col("value").desc, col("event_id"))
+      def withConf(key: String, v: String)(body: => Unit): Unit = {
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, v)
+        try body
+        finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      }
       (1 to 3).foreach { r =>
-        time(s"window-rank#$r")(
-          ev.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-            .drop("rn").queryExecution.toRdd.count())
-        time(s"topk-exec#$r")(
+        withConf(plans.TopKWindowRewrite.EnabledKey, "false") {
+          time(s"window-rank#$r")(
+            ev.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+              .drop("rn").queryExecution.toRdd.count())
+        }
+        withConf("spark.sql.codegen.wholeStage", "false") {
+          time(s"topk-exec-fence#$r")(
+            plans.TopKPerKey.topkPerKeyExec(spark, dir)
+              .queryExecution.toRdd.count())
+        }
+        time(s"topk-exec-fused#$r")(
           plans.TopKPerKey.topkPerKeyExec(spark, dir)
             .queryExecution.toRdd.count())
       }

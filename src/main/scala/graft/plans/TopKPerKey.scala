@@ -5,10 +5,11 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftDatasetBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BaseOrdering, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, BaseOrdering, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{BlockingOperatorWithCodegen, CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Whole-operator extension, preference (c) of the survey's custom-op
@@ -61,16 +62,70 @@ object TopKPerKeyStrategy extends SparkStrategy {
   }
 }
 
+/** The per-partition heap state, shared verbatim by the interpreted
+  * path ([[TopKPerKeyExec.doExecute]]) and the generated one (the
+  * whole-stage-codegen consume side calls [[insert]], the produce
+  * side drains [[rowIterator]]) — one implementation so the two
+  * execution paths cannot diverge. Max-heap per key: dequeue()/head
+  * give the row sorting LAST among the retained — the eviction
+  * candidate. Only RETAINED rows are copied (the incoming row's
+  * buffer is transient in both paths). */
+final class TopKHeaps(
+    keyProj: UnsafeProjection,
+    ord: BaseOrdering,
+    k: Int) {
+
+  private val heapOrd: Ordering[InternalRow] =
+    (a: InternalRow, b: InternalRow) => ord.compare(a, b)
+  private val heaps =
+    mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+
+  def insert(row: InternalRow): Unit = {
+    val key = keyProj(row)
+    heaps.get(key) match {
+      case Some(heap) =>
+        if (heap.size < k) heap += row.copy()
+        else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap += row.copy()
+        }
+      case None =>
+        val heap = mutable.PriorityQueue.empty[InternalRow](heapOrd)
+        heap += row.copy()
+        heaps.put(key.copy(), heap)
+    }
+  }
+
+  def numGroups: Long = heaps.size.toLong
+
+  def iterator: Iterator[InternalRow] = heaps.valuesIterator.flatMap(_.iterator)
+
+  /** Java view for generated code (all retained rows are the
+    * UnsafeRow copies [[insert]] made). */
+  def rowIterator: java.util.Iterator[InternalRow] = {
+    import scala.jdk.CollectionConverters._
+    iterator.asJava
+  }
+}
+
 /** One streaming pass per partition over hash-clustered input: a
   * K-bounded max-heap per key (heap head = worst retained row; a new
   * row replaces it iff it sorts strictly earlier). `ClusteredDistribution`
   * makes `EnsureRequirements` insert the key exchange — the same
-  * shuffle the window form pays — so the saving is exactly the sort. */
+  * shuffle the window form pays — so the saving is exactly the sort.
+  *
+  * Participates in WHOLE-STAGE CODEGEN as a blocking operator (the
+  * `SortExec` pattern): the consume side inlines into the upstream
+  * pipeline (rows flow straight from the shuffle read into
+  * [[TopKHeaps.insert]] with no iterator boundary), and the produce
+  * side opens the downstream pipeline iterating the retained rows —
+  * so the operator fuses with both neighbors instead of fencing them
+  * into separate interpreted stages. */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan) extends UnaryExecNode with BlockingOperatorWithCodegen {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -83,41 +138,79 @@ case class TopKPerKeyExec(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
     "numGroups" -> SQLMetrics.createMetric(sparkContext, "number of groups"))
 
+  /** Per-partition heap state; called from both execution paths (the
+    * generated code via the plan reference object). */
+  def createHeaps(): TopKHeaps = new TopKHeaps(
+    UnsafeProjection.create(keys, child.output),
+    // codegen'd comparator (interpreted fallback) over the sort exprs
+    RowOrdering.create(order, child.output),
+    k)
+
   override protected def doExecute(): RDD[InternalRow] = {
-    val childOutput = child.output
-    val keyExprs = keys
-    val sortOrder = order
-    val kBound = k
     val outRows = longMetric("numOutputRows")
     val groups = longMetric("numGroups")
     child.execute().mapPartitions({ iter =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      // codegen'd comparator (interpreted fallback) over the sort exprs
-      val ord: BaseOrdering = RowOrdering.create(sortOrder, childOutput)
-      // max-heap: dequeue()/head give the row sorting LAST among the
-      // retained — the eviction candidate
-      val heapOrd: Ordering[InternalRow] =
-        (a: InternalRow, b: InternalRow) => ord.compare(a, b)
-      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val key = keyProj(row)
-        heaps.get(key) match {
-          case Some(heap) =>
-            if (heap.size < kBound) heap += row.copy()
-            else if (ord.compare(row, heap.head) < 0) {
-              heap.dequeue()
-              heap += row.copy()
-            }
-          case None =>
-            val heap = mutable.PriorityQueue.empty[InternalRow](heapOrd)
-            heap += row.copy()
-            heaps.put(key.copy(), heap)
-        }
-      }
-      groups += heaps.size
-      heaps.valuesIterator.flatMap { h => outRows += h.size; h.iterator }
+      val heaps = createHeaps()
+      iter.foreach(heaps.insert)
+      groups += heaps.numGroups
+      heaps.iterator.map { r => outRows += 1; r }
     }, preservesPartitioning = true)
   }
+
+  // ---- whole-stage codegen (SortExec's blocking-operator shape) ----
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  // the operator consumes whole rows, never individual child columns
+  // — defer all column evaluation to the row projection consume builds
+  override def usedInputs: AttributeSet = AttributeSet(Seq.empty)
+
+  /** Name of the generated heap field, created in [[doProduce]] and
+    * referenced by [[doConsume]] (which codegen always calls after
+    * produce has run on this operator). */
+  private var heapsVariable: String = _
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val needToProcess = ctx.addMutableState(
+      CodeGenerator.JAVA_BOOLEAN, "needToInsertTopK", v => s"$v = true;")
+    val thisPlan = ctx.addReferenceObj("plan", this)
+    heapsVariable = ctx.addMutableState(
+      classOf[TopKHeaps].getName, "topKHeaps", forceInline = true)
+    val outputIter = ctx.addMutableState(
+      "java.util.Iterator<InternalRow>", "topKOutputIter", forceInline = true)
+    val addToHeaps = ctx.addNewFunction("addToTopKHeaps",
+      s"""
+         |private void addToTopKHeaps() throws java.io.IOException {
+         |  ${child.asInstanceOf[CodegenSupport].produce(ctx, this)}
+         |}
+       """.stripMargin.trim)
+    val outputRow = ctx.freshName("topKOutputRow")
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val numGroups = metricTerm(ctx, "numGroups")
+    s"""
+       |if ($needToProcess) {
+       |  $heapsVariable = $thisPlan.createHeaps();
+       |  $addToHeaps();
+       |  $numGroups.add($heapsVariable.numGroups());
+       |  $outputIter = $heapsVariable.rowIterator();
+       |  $needToProcess = false;
+       |}
+       |while ($limitNotReachedCond $outputIter.hasNext()) {
+       |  UnsafeRow $outputRow = (UnsafeRow) $outputIter.next();
+       |  $numOutput.add(1);
+       |  ${consume(ctx, null, outputRow)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+
+  override def doConsume(
+      ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String =
+    s"""
+       |${row.code}
+       |$heapsVariable.insert((UnsafeRow) ${row.value});
+     """.stripMargin
 }
 
 /** User-facing surface + the census query certifying the operator. */

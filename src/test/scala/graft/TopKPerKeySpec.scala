@@ -176,6 +176,40 @@ class TopKPerKeySpec extends AnyFunSuite with SharedSpark {
     assert(ks == Seq(2), s"expected heap bound min(2,3)=2, got $ks in:\n$rewritten")
   }
 
+  test("whole-stage codegen fuses the operator (no fence) and runs compiled") {
+    // fallback=false turns a Janino failure into an exception instead
+    // of a silent interpreted fallback — this test proves the
+    // GENERATED path actually compiles and runs, not just plans
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val qe = TopKPerKey.topkPerKeyExec(spark, sfDir).queryExecution
+      // materialize THIS query execution first (df.count() would build
+      // its own): AQE assigns codegen stages when it finalizes, so the
+      // pre-execution plan string carries no spans
+      assert(qe.toRdd.count() > 0, "compiled run returned no rows")
+      val p = qe.executedPlan.toString
+      // `*(n) TopKPerKey` = inside a WholeStageCodegen span; a plain
+      // `+- TopKPerKey` line would be the r7 codegen fence
+      assert("\\*\\(\\d+\\) TopKPerKey ".r.findFirstIn(p).isDefined,
+        s"operator not fused into a codegen span:\n$p")
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("codegen and interpreted paths return identical results") {
+    def run(): Set[(Long, Long, Double)] =
+      TopKPerKey.topkPerKeyExec(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val compiled = try run()
+      finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interpreted = try run()
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(compiled == interpreted,
+      s"paths diverge: only-compiled=${(compiled -- interpreted).take(3)} " +
+        s"only-interpreted=${(interpreted -- compiled).take(3)}")
+  }
+
   test("operator composes with downstream transforms") {
     val df = TopKPerKey.topkPerKeyExec(spark, sfDir)
       .groupBy("user_id").agg(count(lit(1)).as("n"))
