@@ -61,6 +61,17 @@ object Bench {
     "running_sum_per_user", "orders_by_month", "wordcount_total",
     "group_count_by_key", "distinct_keys")
 
+  /** The AUDIT tier (round-7 verdict #5): declared quadratic truth
+    * baselines kept solely to certify their scalable production twins
+    * (`minhash_neardup`, `embedding_neardup_lsh`, the hashed
+    * substring stats). They are O(n²) BY DESIGN and 18% of the sf1
+    * bench total, and would dominate at sf3+ — so the bench reports
+    * them separately (`audit_total_sec`) and `SPARK_GRAFT_BENCH_TIER=
+    * shipping` excludes them entirely, making the headline track the
+    * shipping posture at scale. Everything else is the SHIPPING tier. */
+  val AuditQueries: Set[String] = Set(
+    "ngram_jaccard", "fuzzy_match_prefix", "embedding_neardup")
+
   /** Run one query to FULL materialization; (seconds, error). A failed
     * query reports its error message instead of masquerading as a fast
     * success (round-2 swallowed failures into a small timing). */
@@ -129,8 +140,17 @@ object Bench {
     // every query
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // tier filter: "all" (default — complete per-query data),
+    // "shipping" (exclude the quadratic audit baselines; the headline
+    // number for sf>=1 runs), "audit" (only the baselines)
+    val tier = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIER", "all")
+    val inTier: String => Boolean = tier match {
+      case "shipping" => name => !AuditQueries(name)
+      case "audit" => AuditQueries
+      case _ => _ => true
+    }
     val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => only.forall(_.contains(name)) && inTier(name) }
       .map { case (name, fn) =>
       // record counters snapshot around the FIRST (cold) run only, so
       // `records` keeps meaning "what one execution moves"
@@ -168,7 +188,13 @@ object Bench {
     val totalFirst = firsts.collect { case (_, v) if v >= 0 => v }.sum
     val baselineSubset = results.collect {
       case (k, v) if v >= 0 && BaselineQueries(k) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first":$fs,"queries_min":$ms,"records":$rs,"errors":$es,"baseline_subset_sec":$baselineSubset,"total_first_sec":$totalFirst,"reps":$reps,"n_queries":${results.size},"sf":"$sfDir"}"""
+    // tier split: audit_total_sec isolates the quadratic truth
+    // baselines so the shipping_total_sec headline tracks the
+    // production posture at sf>=1 even in an "all" run
+    val auditTotal = results.collect {
+      case (k, v) if v >= 0 && AuditQueries(k) => v }.sum
+    val shippingTotal = total - auditTotal
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first":$fs,"queries_min":$ms,"records":$rs,"errors":$es,"baseline_subset_sec":$baselineSubset,"total_first_sec":$totalFirst,"tier":${jstr(tier)},"audit_total_sec":$auditTotal,"shipping_total_sec":$shippingTotal,"reps":$reps,"n_queries":${results.size},"sf":"$sfDir"}"""
     println(line)
     // stdout tail gets truncated in transit two rounds running
     // (BENCH_r03/r04.json carried parsed:null) — persist the same line
