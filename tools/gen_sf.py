@@ -110,6 +110,24 @@ def mut_documents(c, k):
 
 def mut_embeddings(c, k):
     c["vec_id"] += k * nVec
+    if k > 0:
+        # ADVICE r7: copies used to keep vectors byte-identical, making
+        # the scaled embedding space M exact overlays of the source
+        # cloud (every vector gained M-1 cosine-1.0 twins — a partly
+        # degenerate stress for IVF/semdedup/near-dup). Mirror what
+        # mut_documents does for text: a tiny deterministic per-copy
+        # nudge on one k-dependent coordinate, so cross-copy vectors
+        # are NEAR-duplicates (cosine ~0.9996..0.999996 for k=1..9 on
+        # unit vectors) rather than exact ones. No randomness.
+        import numpy as np
+        delta = np.float32(0.003 * k)
+
+        def nudge(v):
+            a = np.asarray(v, dtype=np.float32).copy()
+            a[(k * 7) % len(a)] += delta
+            return a
+
+        c["embedding"] = c["embedding"].map(nudge)
 
 
 scale("customer", mut_customer)
