@@ -332,6 +332,133 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     assert(rows.toSet == expected, s"post-restart output diverged: $rows")
   }
 
+  test("file-source sessionization: kill + restart restores RocksDB state, torn-commit replay stays exactly-once") {
+    import spark.implicits._
+    // VERDICT r7 #4 — the full production restart story on a REAL
+    // directory source (not MemoryStream): open sessions live only in
+    // the RocksDB state store when the query is killed; the restarted
+    // query must (a) restore that state — a reset store would close
+    // the sessions with n=0 or never fire their timers — and (b)
+    // absorb a torn-commit replay of the emitting batch through the
+    // idempotent overwrite-own-batch-directory sink.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val inDir = java.nio.file.Files.createTempDirectory("sess_in").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("sess_ckpt").toString
+      val out = java.nio.file.Files.createTempDirectory("sess_out").toString
+      def addFile(rows: EventRow*): Unit =
+        rows.toSeq.toDF().coalesce(1).write.mode("append").json(inDir)
+      val schema = Seq.empty[EventRow].toDF().schema
+      def start() = EventStreams.sessionSummaries(
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+            .json(inDir).as[EventRow])
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStreams.SessionSummary], id: Long) =>
+          b.write.mode("overwrite").parquet(s"$out/batch=$id")
+        }
+        .start()
+      def readOut() = spark.read.parquet(out)
+        .select("user_id", "n").as[(Long, Long)].collect().toSeq
+
+      // phase 1: two sessions open (timers at 3+5 and 2+5 min), then
+      // the query dies with BOTH sessions still only in the state store
+      addFile(EventRow(ts(1), 1, "click", 1.0),
+        EventRow(ts(3), 1, "view", 1.0),
+        EventRow(ts(2), 2, "click", 1.0))
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      assert(readOut().isEmpty, "session emitted before its timer could fire")
+
+      // phase 2: restart from the checkpoint; a watermark-advancing
+      // file (wm = 60−10 min, past both timers) must close BOTH
+      // restored sessions with the pre-kill counts
+      addFile(EventRow(ts(60), 9, "click", 1.0))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val expected = Set((1L, 2L), (2L, 1L))
+      val rows2 = readOut()
+      assert(rows2.toSet == expected,
+        s"state not restored across restart (lost events or timers): $rows2")
+      assert(rows2.size == rows2.toSet.size, s"duplicated sessions: $rows2")
+
+      // phase 3: tear the final commit marker (write-complete,
+      // commit-missing — the crash window foreachBatch leaves open)
+      // and restart; the replayed batch must overwrite, not duplicate
+      val commits = new java.io.File(s"$ckpt/commits")
+        .listFiles().filter(_.getName.forall(_.isDigit))
+      val torn = commits.maxBy(_.getName.toInt)
+      val tornCrc = new java.io.File(torn.getParent, s".${torn.getName}.crc")
+      assert(torn.delete(), s"could not tear commit ${torn.getName}")
+      if (tornCrc.exists()) assert(tornCrc.delete())
+      val q3 = start()
+      try q3.processAllAvailable() finally q3.stop()
+      val rows3 = readOut()
+      assert(rows3.size == rows3.toSet.size,
+        s"torn-commit replay duplicated sink rows: $rows3")
+      assert(rows3.toSet == expected, s"post-replay output diverged: $rows3")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("file-source interval join: buffered outer-side state survives kill + restart") {
+    import spark.implicits._
+    // Second half of VERDICT r7 #4: the left-outer stream-stream join
+    // buffers an unmatched purchase in join state until the watermark
+    // passes its bound. Kill the query while that row is ONLY in
+    // state; after restart the advancing watermark must evict it as a
+    // (purchase, null) emission — impossible if the join state reset.
+    val clicksDir = java.nio.file.Files.createTempDirectory("ij_clicks").toString
+    val purchDir = java.nio.file.Files.createTempDirectory("ij_purch").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ij_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("ij_out").toString
+    def addTo(dir: String)(rows: EventRow*): Unit =
+      rows.toSeq.toDF().coalesce(1).write.mode("append").json(dir)
+    val schema = Seq.empty[EventRow].toDF().schema
+    def src(dir: String) = spark.readStream.schema(schema).json(dir)
+    def start() = EventStreams.clickAttributionOuter(src(clicksDir), src(purchDir))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$out/batch=$id")
+      }
+      .start()
+    def readOut() = spark.read.parquet(out)
+      .select("user_id", "click_ts").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+
+    // phase 1: user 1 matches within the 5-min window and emits; the
+    // organic user-3 purchase stays buffered in join state. Kill.
+    addTo(clicksDir)(EventRow(ts(10), 1, "click", 1.0))
+    addTo(purchDir)(EventRow(ts(14), 1, "purchase", 9.0),
+      EventRow(ts(14), 3, "purchase", 7.0))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val early = readOut()
+    assert(early.map(_._1).toSet == Set(1L),
+      s"unmatched purchase emitted before eviction (or match lost): $early")
+
+    // phase 2: restart; advancing BOTH watermarks past 14+5 min must
+    // emit the restored user-3 row with a null click side
+    addTo(clicksDir)(EventRow(ts(60), 9, "click", 1.0))
+    addTo(purchDir)(EventRow(ts(60), 9, "purchase", 1.0))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = readOut()
+    assert(rows.count(_ == (1L, Some(java.sql.Timestamp.valueOf("2024-01-01 00:10:00")))) == 1,
+      s"matched row lost or duplicated across restart: $rows")
+    assert(rows.count(_ == (3L, None)) == 1,
+      s"buffered organic purchase not emitted exactly once after restart (join state reset?): $rows")
+    assert(rows.size == rows.toSet.size, s"duplicate emissions: $rows")
+  }
+
   test("transformWithState matches the mapGroupsWithState totals (RocksDB-backed)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
