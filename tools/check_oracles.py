@@ -60,11 +60,21 @@ def main(sf_dir, out_dir, only=None):
     if only:
         oracles = {k: v for k, v in oracles.items() if k in only}
     n_pass = n_fail = 0
+    # driver-format record per query (CORRECTNESS_r*.json shape), dumped
+    # to $GRAFT_JSON_OUT so scale-audit runs produce a single artifact
+    report = {}
+
+    def rec(rows_m, schema_m, hash_m, s_rows, o_rows, err):
+        return {"rows_match": rows_m, "schema_match": schema_m,
+                "hash_match": hash_m, "spark_rows": s_rows,
+                "oracle_rows": o_rows, "err": err}
+
     for name, sql in sorted(oracles.items()):
         qdir = os.path.join(out_dir, name)
         files = glob.glob(os.path.join(qdir, "*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark result at {qdir}")
+            report[name] = rec(False, False, False, 0, None, "no spark result")
             n_fail += 1
             continue
         try:
@@ -72,34 +82,45 @@ def main(sf_dir, out_dir, only=None):
             duck_df = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            report[name] = rec(False, False, False, None, None,
+                               f"oracle error: {e}"[:300])
             n_fail += 1
             continue
-        ok = True
+        schema_ok = sorted(s_df.columns) == sorted(duck_df.columns)
+        rows_ok = len(s_df) == len(duck_df)
         msgs = []
-        if sorted(s_df.columns) != sorted(duck_df.columns):
-            ok = False
+        if not schema_ok:
             msgs.append(f"cols spark={sorted(s_df.columns)} duck={sorted(duck_df.columns)}")
-        if len(s_df) != len(duck_df):
-            ok = False
+        if not rows_ok:
             msgs.append(f"rows spark={len(s_df)} duck={len(duck_df)}")
-        if ok:
+        hash_ok = False
+        if schema_ok and rows_ok:
             try:
                 cs, cd = canon(s_df), canon(duck_df)
             except TypeError as e:
                 print(f"FAIL {name}: harness-equivalent error: {e}")
+                report[name] = rec(rows_ok, schema_ok, False, len(s_df),
+                                   len(duck_df), f"hash error: {e}"[:300])
                 n_fail += 1
                 continue
-            if cs != cd:
-                ok = False
+            hash_ok = cs == cd
+            if not hash_ok:
                 diff = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
                 msgs.append(f"values differ, first diffs: {diff}")
-        if ok:
+        report[name] = rec(rows_ok, schema_ok, hash_ok, len(s_df),
+                           len(duck_df), None if not msgs else "; ".join(msgs)[:300])
+        if schema_ok and rows_ok and hash_ok:
             print(f"PASS {name} ({len(s_df)} rows)")
             n_pass += 1
         else:
             print(f"FAIL {name}: " + "; ".join(msgs))
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    json_out = os.environ.get("GRAFT_JSON_OUT")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(report)} queries)")
     return 1 if n_fail else 0
 
 
