@@ -21,7 +21,42 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeEventTs(df) else df
+    val norm = if (name == "events") normalizeEventTs(df) else df
+    if (KernelTables(name)) balance(spark, norm) else norm
+  }
+
+  /** Tables whose consumers are CPU-bound per-row kernels (shingling,
+    * minhash, BPE, PII scrub, dot products) rather than
+    * pushdown-friendly relational scans. For these, scan parallelism IS
+    * the stage parallelism until the first shuffle, so a badly-chunked
+    * input (one parquet row group — a single task no matter the cluster
+    * size) serializes the whole kernel. Relational tables are excluded:
+    * a blanket repartition there would add a shuffle ahead of scans
+    * whose filters/pruning Catalyst already pushes down. */
+  private val KernelTables = Set("documents", "embeddings")
+
+  /** Floor below which rebalancing is skipped: a corpus this small
+    * finishes faster on one core than it takes to round-trip a shuffle
+    * (the sf0.001/sf0.01 oracle boards stay shuffle-free). */
+  private val BalanceMinBytes = 4L << 20
+
+  /** Guarded parallelism rescue for kernel tables: if the parquet scan
+    * would yield fewer than half the available slots (file layout, not
+    * data size, decides this — splits cannot cross row-group
+    * boundaries), hash-repartition on the first column (the table key)
+    * to `defaultParallelism`. Deterministic (hash, not round-robin), so
+    * per-partition aggregation order — and with it every oracle hash —
+    * is stable run-to-run. On a production corpus (many files, many row
+    * groups) the guard never fires and load stays zero-shuffle; it
+    * exists for the 100 TB reality that input layout is often not under
+    * the engine's control. */
+  private def balance(spark: SparkSession, df: DataFrame): DataFrame = {
+    val slots = spark.sparkContext.defaultParallelism
+    val scanParts = df.rdd.getNumPartitions
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (scanParts < slots / 2 && bytes > BalanceMinBytes)
+      df.repartition(slots, col(df.columns.head))
+    else df
   }
 
   /** Engine contract: `events.ts` is epoch NANOS as LONG. The driver's

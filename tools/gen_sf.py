@@ -52,7 +52,14 @@ def scale(table, mutate):
         copies.append(c)
     out = pd.concat(copies, ignore_index=True)
     tbl = pa.Table.from_pandas(out, schema=orig.schema, preserve_index=False)
-    pq.write_table(tbl, f"{DST}/{table}.parquet")
+    # Row-group layout matters as much as row count for a scale stress:
+    # pyarrow's default left sf3 documents as ONE row group, and Spark
+    # cannot split a parquet scan below row-group granularity — the
+    # whole doc-kernel family ran single-task. A real corpus at this
+    # scale is many files/groups; emit >=64 groups per table so scans
+    # parallelize like production data.
+    pq.write_table(tbl, f"{DST}/{table}.parquet",
+                   row_group_size=max(1000, tbl.num_rows // 64))
     print(f"{table}: {orig.num_rows} -> {tbl.num_rows}")
 
 
