@@ -183,10 +183,36 @@ object Similarity {
         round(col("n.sim"), 6).as("sim"))
   }
 
-  /** IVF coarse-quantizer size: the cell list a probe searches. At
-    * scale C ≈ n / target cell size. */
+  /** IVF coarse-quantizer size FLOOR: the cell list a probe searches.
+    * The effective C for a corpus is [[cellsFor]] — see below. */
   val IvfCells = 16
   val IvfProbeCells = 2
+
+  /** Target members per trained cell. Cell count grows with the corpus
+    * (C = n / target) so per-cell work stays CONSTANT as n grows — the
+    * knob that keeps [[semdedupPrune]]'s within-cell pairwise pass
+    * linear in n (the SemDeDup paper's own C-scaling) and IVF cell
+    * scan cost flat. */
+  val TargetCellSize = 4096
+
+  /** Effective coarse-quantizer size for an n-vector corpus:
+    * max([[IvfCells]], n / [[TargetCellSize]]). Identity (= 16) for
+    * every corpus up to 65k vectors — all oracle-gated SFs — so the
+    * DuckDB replays stay bit-exact; from sf10 up the cell count climbs
+    * and within-cell pair work stops growing quadratically. The oracle
+    * SQL computes the SAME expression from COUNT(*), so the replay
+    * contract survives the scaling. */
+  def cellsFor(n: Long): Int =
+    math.max(IvfCells.toLong, n / TargetCellSize).toInt
+
+  private val cellCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Integer]()
+
+  /** [[cellsFor]] of the corpus under `dir` (parquet-metadata count,
+    * memoized per session+corpus). */
+  def ivfCellCount(spark: SparkSession, dir: String): Int =
+    cellCountCache.computeIfAbsent((spark, dir),
+      { _ => Int.box(cellsFor(Tables.load(spark, dir, "embeddings").count())) })
 
   /** Lloyd iterations for centroid training. Fixed count (not an
     * epsilon test): the DuckDB oracle replays the identical iterations,
@@ -243,7 +269,8 @@ object Similarity {
         (id, v, q, math.sqrt(dotA(v, v)))
       }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cents: Array[Array[Double]] = base.filter(_._1 < IvfCells)
+    val numCells = ivfCellCount(spark, dir)
+    var cents: Array[Array[Double]] = base.filter(_._1 < numCells)
       .map(t => (t._1, t._2)).collect().sortBy(_._1).map(_._2)
     val movements = Array.ofDim[Double](IvfIters)
     for (iter <- 0 until IvfIters) {
@@ -583,7 +610,7 @@ object Similarity {
     "similar_ann_ivf" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
-         |           WHERE vec_id < $IvfCells),
+         |           WHERE vec_id < (SELECT GREATEST($IvfCells, COUNT(*) // $TargetCellSize) FROM embeddings)),
          |${ivfTrainingCtes.mkString(",\n")},
          |sims AS (SELECT vec_id, c.cid,
          |           list_dot_product(v.v, c.cv) /
@@ -618,7 +645,7 @@ object Similarity {
     "semdedup_prune" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
-         |           WHERE vec_id < $IvfCells),
+         |           WHERE vec_id < (SELECT GREATEST($IvfCells, COUNT(*) // $TargetCellSize) FROM embeddings)),
          |${ivfTrainingCtes.mkString(",\n")},
          |sims AS (SELECT vec_id, c.cid,
          |           list_dot_product(v.v, c.cv) /
@@ -645,7 +672,7 @@ object Similarity {
     "embedding_cluster_balance" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
-         |           WHERE vec_id < $IvfCells),
+         |           WHERE vec_id < (SELECT GREATEST($IvfCells, COUNT(*) // $TargetCellSize) FROM embeddings)),
          |${ivfTrainingCtes.mkString(",\n")},
          |sims AS (SELECT vec_id, c.cid,
          |           list_dot_product(v.v, c.cv) /

@@ -159,6 +159,20 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
         "IvfProbeCells (multi-probe knob) or retune the quantizer")
   }
 
+  test("cell count scales with corpus size past the fixed-C regime") {
+    // identity at every oracle-gated SF (the DuckDB replays must stay
+    // bit-exact there)...
+    assert(Similarity.cellsFor(200) == Similarity.IvfCells)    // sf0.01
+    assert(Similarity.cellsFor(20000) == Similarity.IvfCells)  // sf1
+    assert(Similarity.cellsFor(60000) == Similarity.IvfCells)  // sf3
+    // ...then C = n / TargetCellSize: per-cell membership (and with it
+    // semdedup's within-cell pair work) stops growing
+    assert(Similarity.cellsFor(200000) == 48)                  // sf10
+    assert(Similarity.cellsFor(2000000) == 488)
+    val n = 10_000_000L
+    assert(n / Similarity.cellsFor(n) <= Similarity.TargetCellSize + 1)
+  }
+
   test("IVF k-means training converges and is deterministic") {
     val (cents, moves) = Similarity.trainIvfCentroidsWithTrace(spark, sfDir)
     assert(cents.length == Similarity.IvfCells)
