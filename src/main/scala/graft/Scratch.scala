@@ -57,6 +57,15 @@ object Scratch {
       return
     }
 
+    // "explain:<name>": print the formatted physical plan of a declared
+    // query (no execution) — the broadcast/exchange audit tool
+    if (args.length == 1 && args(0).startsWith("explain:")) {
+      val n = args(0).stripPrefix("explain:")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+      spark.stop()
+      return
+    }
+
     // with args: time the named declared queries (3 reps each) and exit;
     // per-rep shuffle records beside the time make session-memo hits
     // visible (rep#1 pays the materialization, reps 2-3 read the memo)

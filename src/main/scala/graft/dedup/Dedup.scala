@@ -519,8 +519,16 @@ object Dedup {
 
     val jac = col("c").cast(DoubleType) /
       (col("n1") + col("n2") - col("c")).cast(DoubleType)
-    cand
+    // The candidate frame's static size estimate is garbage (groupBy →
+    // explode → distinct erases it) while its TRUE size is output-bound
+    // — never small at scale. Left unhinted, the planner broadcast it
+    // at sf10 (tens of millions of pairs) and the build OOM'd the
+    // driver; the merge hint pins both verify joins to sort-merge,
+    // which is the only shape that survives any corpus. (At tiny SFs
+    // AQE's local shuffle reader keeps the cost near-broadcast.)
+    cand.hint("merge")
       .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1"), size(col("sh")).as("n1")), "d1")
+      .hint("merge")
       .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2"), size(col("sh")).as("n2")), "d2")
       .withColumn("c", size(array_intersect(col("sh1"), col("sh2"))).cast(LongType))
       .filter(jac >= 0.5)
