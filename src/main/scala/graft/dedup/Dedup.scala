@@ -489,50 +489,128 @@ object Dedup {
     * signature pipeline once and the verify join twice, and without the
     * persist the parquet scan + shingling re-ran for each — the round-1
     * driver bench measured that re-materialization at 3×. */
-  def minhashNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = cachedDocShingles(spark, dir)
-    val sig = minhashSignaturesOf(spark, docs)
+  /** (doc_id, band, sig) banded-signature frame: [[BandRows]]-row
+    * slices of the MinHash signature, stringified per band. Shared by
+    * the self-dedup candidates, the incremental form, and containment. */
+  private def bandsOf(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until NumHashes / BandRows).map { b =>
       struct(lit(b).as("band"),
         array_join(transform(
           slice(col("sig"), b * BandRows + 1, BandRows),
           v => v.cast("string")), ",").as("sig"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    // candidates via group-by-bucket + local pair expansion rather than
-    // a bands self-join: the self-join would recompute the whole
-    // signature pipeline for each side, and a hot bucket (a large
-    // near-identical cluster) explodes in the join just the same —
-    // here the quadratic expansion is explicit, local to its bucket,
-    // and bounded by the true candidate count.
+  }
+
+  /** Self-join candidate pairs (d1 < d2) from shared band buckets —
+    * built via group-by-bucket + local pair expansion rather than a
+    * bands self-join: the self-join would recompute the whole
+    * signature pipeline for each side, and a hot bucket (a large
+    * near-identical cluster) explodes in the join just the same —
+    * here the quadratic expansion is explicit, local to its bucket,
+    * and bounded by [[MaxBucket]]. */
+  private def minhashCandidates(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val bands = bandsOf(minhashSignaturesOf(spark, docs))
     val pairsUdf = udf { ids: Seq[Long] =>
       val s = ids.sorted
       for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j))
     }
-    val cand = bands.groupBy("band", "sig")
+    bands.groupBy("band", "sig")
       .agg(collect_list("doc_id").as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
       .select(explode(pairsUdf(col("ids"))).as("p"))
       .select(col("p._1").as("d1"), col("p._2").as("d2"))
       .distinct()
+  }
 
+  /** Candidate pairs joined back to both docs' shingle sets with the
+    * exact intersection size `c` computed — the shared verify stage.
+    *
+    * The candidate frame's static size estimate is garbage (groupBy →
+    * explode → distinct erases it) while its TRUE size is output-bound
+    * — never small at scale. Left unhinted, the planner broadcast it
+    * at sf10 (tens of millions of pairs) and the build OOM'd the
+    * driver; the merge hint pins both verify joins to sort-merge,
+    * which is the only shape that survives any corpus. (At tiny SFs
+    * AQE's local shuffle reader keeps the cost near-broadcast.) */
+  private def verifiedIntersections(docs: DataFrame, cand: DataFrame,
+                                    lhs: String, rhs: String): DataFrame =
+    cand.hint("merge")
+      .join(docs.select(col("doc_id").as(lhs), col("sh").as("sh1"), size(col("sh")).as("n1")), lhs)
+      .hint("merge")
+      .join(docs.select(col("doc_id").as(rhs), col("sh").as("sh2"), size(col("sh")).as("n2")), rhs)
+      .withColumn("c", size(array_intersect(col("sh1"), col("sh2"))).cast(LongType))
+
+  def minhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = cachedDocShingles(spark, dir)
+    val cand = minhashCandidates(spark, docs)
     val jac = col("c").cast(DoubleType) /
       (col("n1") + col("n2") - col("c")).cast(DoubleType)
-    // The candidate frame's static size estimate is garbage (groupBy →
-    // explode → distinct erases it) while its TRUE size is output-bound
-    // — never small at scale. Left unhinted, the planner broadcast it
-    // at sf10 (tens of millions of pairs) and the build OOM'd the
-    // driver; the merge hint pins both verify joins to sort-merge,
-    // which is the only shape that survives any corpus. (At tiny SFs
-    // AQE's local shuffle reader keeps the cost near-broadcast.)
-    cand.hint("merge")
-      .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1"), size(col("sh")).as("n1")), "d1")
-      .hint("merge")
-      .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2"), size(col("sh")).as("n2")), "d2")
-      .withColumn("c", size(array_intersect(col("sh1"), col("sh2"))).cast(LongType))
+    verifiedIntersections(docs, cand, "d1", "d2")
       .filter(jac >= 0.5)
       .select(col("d1"), col("d2"), round(jac, 6).as("jaccard"))
+  }
+
+  /** Containment threshold for [[shingleContainment]]. */
+  val ContainmentThreshold = 0.8
+
+  /** Asymmetric containment near-dup: for each banded candidate pair,
+    * containment = |A∩B| / min(|A|,|B|) — the measure that catches a
+    * short doc quoted wholesale inside a longer one, where Jaccard
+    * (÷ union) stays low. Same candidates, same verify joins as
+    * [[minhashNeardup]]; only the acceptance ratio differs, so the
+    * marginal cost over the Jaccard pass is one comparison.
+    *
+    * Recall contract (stated, and replayed exactly by the oracle):
+    * candidates come from FULL-signature band collisions, so this
+    * surfaces containment among near-dup-sized pairs; radically
+    * different-sized containment (a tweet inside a book) needs
+    * partial-signature banding — at 100 TB you band the contained
+    * side's signature only, an index-build variant of this same plan. */
+  def shingleContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = cachedDocShingles(spark, dir)
+    val cand = minhashCandidates(spark, docs)
+    val cont = col("c").cast(DoubleType) /
+      least(col("n1"), col("n2")).cast(DoubleType)
+    verifiedIntersections(docs, cand, "d1", "d2")
+      .filter(cont >= ContainmentThreshold)
+      .select(col("d1"), col("d2"), round(cont, 6).as("containment"))
+  }
+
+  /** Incremental near-dup — the steady-state daily shape (the MinHash
+    * twin of [[dedupIncremental]]'s exact form): odd doc_ids play the
+    * incoming batch, even ids the standing corpus. Band signatures are
+    * computed ONCE over both sides (in production the corpus side's
+    * bands are a standing index read from storage, not recomputed);
+    * candidates are batch-band ⋈ corpus-band bucket matches; a new doc
+    * is accepted iff NO candidate verifies at Jaccard ≥ 0.5. Batch
+    * docs too short to shingle have no bands, hence no candidates, and
+    * are accepted — same as the oracle.
+    *
+    * Scale shape: the join keys are (band, sig) constant-width
+    * strings; the verify joins are merge-pinned like every candidate
+    * verify in this module; and the batch side is the small side at
+    * 100 TB (a day's crawl vs the corpus), so per-batch cost tracks
+    * batch size + matched-bucket corpus rows, never the full corpus. */
+  def minhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = cachedDocShingles(spark, dir)
+    val bands = bandsOf(minhashSignaturesOf(spark, docs))
+    val batch = bands.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("dn"), col("band"), col("sig"))
+    val corpus = bands.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("dc"), col("band"), col("sig"))
+    val cand = batch.join(corpus, Seq("band", "sig"))
+      .select("dn", "dc").distinct()
+    val jac = col("c").cast(DoubleType) /
+      (col("n1") + col("n2") - col("c")).cast(DoubleType)
+    val matched = verifiedIntersections(docs, cand, "dn", "dc")
+      .filter(jac >= 0.5)
+      .select(col("dn").as("doc_id")).distinct()
+    Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 2 === 1)
+      .select("doc_id")
+      .join(matched, Seq("doc_id"), "left_anti")
   }
 
   // ---- near-dup cluster resolution (pairs -> components -> survivors) ----
@@ -681,14 +759,15 @@ object Dedup {
     // The memoized cachedMinhashPairs frame is for downstream
     // consumers (components, training selection) only.
     "minhash_neardup" -> (minhashNeardup _),
+    "minhash_incremental" -> (minhashIncremental _),
+    "shingle_containment" -> (shingleContainment _),
     "neardup_clusters" -> (neardupClusters _),
     "simhash" -> (simhash _),
     "embedding_neardup" -> (embeddingNeardup _))
 
-  /** CTE list of the minhash pipeline (shingles → signatures → bands →
-    * candidates → verified pairs) — the shared prefix of the
-    * `minhash_neardup` oracle and the component-resolution oracles. */
-  private val minhashCtes =
+  /** CTE list of the shared minhash prefix (shingles → signatures →
+    * bands) — every banded-candidate oracle builds on these. */
+  private val sigBandsCtes =
     s"""sh AS ($docShinglesSql),
        |ex AS (SELECT doc_id,
        |              CAST(('0x' || substring(md5(unnest(sh)), 1, 15)) AS BIGINT) % $P AS h
@@ -698,7 +777,12 @@ object Dedup {
        |        FROM ex, range(0, $NumHashes) r(i) GROUP BY doc_id, i),
        |bands AS (SELECT doc_id, CAST(i // $BandRows AS INT) AS band,
        |                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bsig
-       |          FROM sig GROUP BY 1, 2),
+       |          FROM sig GROUP BY 1, 2)""".stripMargin
+
+  /** Self-join candidates + exact intersection counts — the shared
+    * middle of the Jaccard and containment oracles. */
+  private val candInterCtes =
+    s"""$sigBandsCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |         FROM bands a JOIN bands b
        |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
@@ -706,7 +790,13 @@ object Dedup {
        |inter AS (SELECT d1, d2, count(*) AS c
        |          FROM cand JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e1 ON e1.doc_id = d1
        |                    JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e2 ON e2.doc_id = d2
-       |          WHERE e1.s = e2.s GROUP BY 1, 2),
+       |          WHERE e1.s = e2.s GROUP BY 1, 2)""".stripMargin
+
+  /** CTE list of the full minhash pipeline (… → verified pairs) — the
+    * shared prefix of the `minhash_neardup` oracle and the
+    * component-resolution oracles. */
+  private val minhashCtes =
+    s"""$candInterCtes,
        |pairs AS (SELECT d1, d2,
        |       round(CAST(c AS DOUBLE)/(n1.n + n2.n - c), 6) AS jaccard
        |FROM inter
@@ -817,6 +907,31 @@ object Dedup {
          |JOIN n n2 ON n2.doc_id = d2
          |WHERE CAST(c AS DOUBLE)/(n1.n + n2.n - c) >= 0.5""".stripMargin,
     "minhash_neardup" -> minhashNeardupSql,
+    "shingle_containment" ->
+      s"""WITH $candInterCtes
+         |SELECT d1, d2,
+         |       round(CAST(c AS DOUBLE)/least(n1.n, n2.n), 6) AS containment
+         |FROM inter
+         |JOIN n n1 ON n1.doc_id = d1
+         |JOIN n n2 ON n2.doc_id = d2
+         |WHERE CAST(c AS DOUBLE)/least(n1.n, n2.n) >= $ContainmentThreshold""".stripMargin,
+    "minhash_incremental" ->
+      s"""WITH $sigBandsCtes,
+         |cand AS (SELECT DISTINCT b.doc_id AS dn, a.doc_id AS dc
+         |         FROM bands b JOIN bands a
+         |           ON a.band = b.band AND a.bsig = b.bsig
+         |        WHERE b.doc_id % 2 = 1 AND a.doc_id % 2 = 0),
+         |n AS (SELECT doc_id, len(sh) AS n FROM sh),
+         |inter AS (SELECT dn, dc, count(*) AS c
+         |          FROM cand JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e1 ON e1.doc_id = dn
+         |                    JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e2 ON e2.doc_id = dc
+         |          WHERE e1.s = e2.s GROUP BY 1, 2),
+         |matched AS (SELECT DISTINCT dn FROM inter
+         |            JOIN n n1 ON n1.doc_id = dn
+         |            JOIN n n2 ON n2.doc_id = dc
+         |            WHERE CAST(c AS DOUBLE)/(n1.n + n2.n - c) >= 0.5)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT dn FROM matched)""".stripMargin,
     "neardup_clusters" ->
       s"""$componentCtes
          |SELECT c.doc_id, c.cluster_id, s.cluster_size

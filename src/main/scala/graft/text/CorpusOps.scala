@@ -482,7 +482,30 @@ object CorpusOps {
         (sum(col("bucket")) - sum(col("n_tok"))).as("n_padding"))
   }
 
+  /** Docs kept per source by [[domainCapTopk]]. */
+  val DomainCap = 10
+
+  /** Per-domain document cap — the "no single domain dominates the
+    * mix" guard every web-scale corpus applies before packing (cap
+    * pages per site / docs per source): keep the top [[DomainCap]]
+    * docs per source ranked by length (n_chars desc, doc_id tiebreak).
+    *
+    * Runs on the engine's own [[graft.plans.TopKPerKeyExec]] heap
+    * operator (constructed directly, not via the window rewrite): one
+    * exchange on `source`, O(n log K) per partition, and the shuffle
+    * output is K rows per source — never a full per-source sort. At
+    * 100 TB with millions of domains this is the only shape that
+    * works: the window form would sort every domain's full document
+    * list just to throw away all but K rows. */
+  def domainCapTopk(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(
+      Tables.load(spark, dir, "documents").select("source", "doc_id", "n_chars"),
+      keys = Seq("source"),
+      order = Seq("n_chars" -> false, "doc_id" -> true),
+      k = DomainCap)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "domain_cap_topk" -> (domainCapTopk _),
     "sequence_packing" -> (sequencePacking _),
     "source_mixing_weights" -> (sourceMixingWeights _),
     "quality_decile_bins" -> (qualityDecileBins _),
@@ -493,6 +516,13 @@ object CorpusOps {
     "length_bucket_padding" -> (lengthBucketPadding _))
 
   val oracles: Map[String, String] = Map(
+    "domain_cap_topk" ->
+      s"""SELECT source, doc_id, n_chars FROM (
+         |  SELECT source, doc_id, n_chars,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= $DomainCap""".stripMargin,
     "bpe_merge_rounds" -> bpeOracleSql,
     "bpe_encode_stats" -> bpeEncodeOracleSql,
     "temperature_sample" ->

@@ -780,7 +780,46 @@ object TextAnalysis {
         (col("c_a") * col("c_b")).as("pmi_den"))
   }
 
+  /** Word-bigram language-model typicality score — the KenLM/CCNet
+    * "perplexity filter" shape of web-corpus pipelines, libm-free:
+    * instead of mean log-prob (ln is libm-specific in its last ulp,
+    * so it cannot hash-oracle), each bigram scores the fixed-point
+    * conditional probability q = (10⁶·c(w1,w2)) div c(w1,·) and a doc
+    * reports the integer mean of its bigram scores — monotone in
+    * arithmetic-mean likelihood, comparable across docs, and
+    * hash-exact cross-engine because every step is int64 floor
+    * division.
+    *
+    * Plan: one corpus pass explodes bigrams (the same typed-flatMap
+    * kernel as `cooccurrence_pmi`), ONE map-side-combining aggregate
+    * trains the LM, the prefix marginal is a second aggregate over the
+    * MODEL (vocab²-bounded, not corpus-scale), and scoring re-joins
+    * doc bigrams to the broadcast model, so the only corpus-scale
+    * shuffle is the per-doc mean. At 100 TB the model stays capped by
+    * vocab², and a production pipeline trains it on a sample — the
+    * scoring plan is unchanged either way. */
+  def lmDocLikelihood(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docBigrams = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val ws = t.split(" ").filter(_.nonEmpty)
+        ws.iterator.zip(ws.iterator.drop(1)).map { case (a, b) => (id, a, b) }
+      }.toDF("doc_id", "w1", "w2")
+    val lm = docBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
+    val prefix = lm.groupBy("w1").agg(sum("nb").as("np"))
+    val model = lm.join(prefix, "w1")
+      .select(col("w1"), col("w2"),
+        expr("(CAST(1000000 AS BIGINT) * nb) DIV np").as("q"))
+    docBigrams.join(broadcast(model), Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("q").as("qs"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("qs DIV n_bigrams").as("lm_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_doc_likelihood" -> (lmDocLikelihood _),
     "doc_chunks" -> (docChunks _),
     "ngram_counts" -> (ngramCounts _),
     "ngram_novelty" -> (ngramNovelty _),
@@ -842,6 +881,21 @@ object TextAnalysis {
        |     THEN 'train' ELSE 'eval' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "lm_doc_likelihood" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS ts
+        |  FROM documents),
+        |bg AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |       FROM toks, LATERAL unnest(generate_series(1, len(ts)-1)) t(i)
+        |       WHERE len(ts) >= 2),
+        |cb AS (SELECT w1, w2, count(*) AS nb FROM bg GROUP BY w1, w2),
+        |cp AS (SELECT w1, CAST(SUM(nb) AS BIGINT) AS np FROM cb GROUP BY w1),
+        |q AS (SELECT w1, w2, (1000000 * nb) // np AS q
+        |      FROM cb JOIN cp USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(SUM(q) // count(*) AS BIGINT) AS lm_score
+        |FROM bg JOIN q USING (w1, w2)
+        |GROUP BY doc_id""".stripMargin,
     "length_trim_filter" ->
       """WITH t AS (
         |  SELECT doc_id,

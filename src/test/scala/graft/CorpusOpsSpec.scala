@@ -219,4 +219,26 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("source") && p.contains("shard"),
       s"window must partition by (source, shard):\n$p")
   }
+
+  test("domain_cap_topk: per-source cap holds, equals the window form, runs on the heap operator") {
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val got = CorpusOps.domainCapTopk(spark, sfDir)
+    // never more than DomainCap docs per source
+    val worst = got.groupBy("source").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    assert(worst <= CorpusOps.DomainCap)
+    // result-parity with the declarative window spelling
+    Tables.load(spark, sfDir, "documents").createOrReplaceTempView("documents")
+    val window = spark.sql(
+      s"""SELECT source, doc_id, n_chars FROM (
+         |  SELECT source, doc_id, n_chars,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= ${CorpusOps.DomainCap}""".stripMargin)
+    assert(got.exceptAll(window).isEmpty && window.exceptAll(got).isEmpty)
+    // and the physical plan is the custom heap operator, not a sort+window
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), s"expected TopKPerKeyExec in:\n$p")
+  }
 }

@@ -247,6 +247,48 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(graft.operators.SqlSurface.partsSupplierCount(spark, sfDir).count() > 0)
   }
 
+  test("minhash_incremental: near-dup batch docs drop; unique and short docs survive") {
+    import spark.implicits._
+    // even ids = standing corpus, odd ids = incoming batch
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa x"), // near-dup of 0
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "completely different words nothing shared here at all today friends"), // unique
+      (5L, "so short"), // no shingles -> no bands -> accepted
+      (7L, "one two three four five six seven eight nine ten")) // exact dup of 2
+    val dir = java.nio.file.Files.createTempDirectory("graft_minc").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val surv = Dedup.minhashIncremental(spark, dir)
+      .as[Long].collect().toSet
+    assert(surv == Set(3L, 5L))
+  }
+
+  test("shingle_containment: wholly-quoted doc scores 1.0; containment >= jaccard") {
+    import spark.implicits._
+    val quoted = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, quoted),
+      (2L, quoted + " phi chi")) // contains doc 1 wholly
+    val dir = java.nio.file.Files.createTempDirectory("graft_cont").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = Dedup.shingleContainment(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+
+    // real corpus: for every pair both queries emit, containment >= jaccard
+    // (identical candidates and intersections; ÷min vs ÷union)
+    val jac = Dedup.minhashNeardup(spark, sfDir)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    val cont = Dedup.shingleContainment(spark, sfDir)
+      .as[(Long, Long, Double)].collect().map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(cont.nonEmpty)
+    for ((p, c) <- cont; j <- jac.get(p)) assert(c >= j, s"pair $p: cont $c < jac $j")
+  }
+
   test("dedup_incremental: survivors are odd-id, batch-unique, absent from corpus") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.load(spark, sfDir, "documents")

@@ -195,4 +195,21 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
     val nHash = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(nHash == 1, s"expected only the final per-source exchange, got $nHash:\n$p")
   }
+
+  test("lm_doc_likelihood: hand-computed fixed-point bigram LM scores") {
+    import spark.implicits._
+    // bigram counts: (a,b)×2, (a,c)×1 → prefix a: 3
+    // q(a,b) = 2_000_000 div 3 = 666666; q(a,c) = 333333
+    val docs = Seq(
+      (1L, "a b"),  // one bigram (a,b)  → score 666666
+      (2L, "a b"),
+      (3L, "a c"),  // one bigram (a,c)  → score 333333
+      (4L, "x"))    // no bigrams → absent
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.lmDocLikelihood(spark, dir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L, 666666L), (2L, 1L, 666666L), (3L, 1L, 333333L)))
+  }
 }
