@@ -90,6 +90,7 @@ object Similarity {
   def clearCaches(spark: SparkSession): Unit = {
     graft.SessionCaches.clear(spark, Seq(ivfSimsCache))
     centroidCache.keySet.removeIf(_._1 eq spark)
+    pqCache.keySet.removeIf(_._1 eq spark)
   }
 
   /** Neighbor ranking order: sim desc, vec_id asc tie-break — shared by
@@ -475,6 +476,146 @@ object Similarity {
       .select(col("vec_id"), col("q._1").as("q_sum"),
         round(col("q._2"), 6).as("scale"))
 
+  // ---- product quantization ----
+
+  /** PQ layout: [[Dim]]=64 dims split into 4 subspaces of 16; each
+    * subspace gets its own [[PqK]]-centroid codebook (so a vector
+    * compresses to 4 codes ≈ 1 byte at these sizes — production PQ
+    * uses 8–16 subspaces × 256 codes, same plumbing). */
+  val PqSubspaces = 4
+  val PqSubDim: Int = Dim / PqSubspaces
+  val PqK = 4
+
+  /** Lloyd iterations per PQ codebook — static, replayed by the oracle
+    * (same contract as [[IvfIters]]). */
+  val PqIters = 2
+
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Array[Array[Double]]]]()
+
+  /** The per-subspace (vec_id, m, subvector, quantized subvector)
+    * exploded frame the PQ trainer and scorer both consume. */
+  private def pqSubvectors(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        (0 until PqSubspaces).iterator.map { m =>
+          val s = java.util.Arrays.copyOfRange(v, m * PqSubDim, (m + 1) * PqSubDim)
+          val q = new Array[Long](PqSubDim)
+          var d = 0
+          while (d < PqSubDim) { q(d) = math.floor(s(d) * QuantScale).toLong; d += 1 }
+          (id, m, s, q)
+        }
+      }
+  }
+
+  /** Squared L2 distance as the SAME operation sequence the DuckDB
+    * oracle evaluates: (dot(s,s) − 2·dot(s,c)) + dot(c,c), every dot a
+    * left-to-right fold — so argmin ordering is bit-identical across
+    * engines. */
+  private def sqDist(s: Array[Double], c: Array[Double]): Double =
+    dotA(s, s) - 2.0 * dotA(s, c) + dotA(c, c)
+
+  /** Deterministic per-subspace Lloyd's for the PQ codebooks —
+    * structurally [[trainIvfCentroidsWithTrace]] (quantized-long mean
+    * sums, empty cells keep their centroid, driver state = codebooks
+    * only), but ALL [[PqSubspaces]] codebooks train in each single
+    * corpus pass: the subvector explode keys rows by (m, cid), so one
+    * shuffle per iteration carries ≤ M·K quantized sum rows per
+    * partition. Seeds are the first [[PqK]] vectors' subvectors.
+    * Assignment is argmin squared-L2 ([[sqDist]]), ties to the lower
+    * code. Memoized per (session, corpus); at 100 TB you train on a
+    * sample and only the final scoring pass reads the corpus. */
+  private[graft] def trainPqCodebooks(
+      spark: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqCache.computeIfAbsent((spark, dir), { _ =>
+      import spark.implicits._
+      val base = pqSubvectors(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seeds = base.filter(_._1 < PqK)
+        .map(t => (t._1, t._2, t._3)).collect()
+      var cents: Array[Array[Array[Double]]] =
+        Array.tabulate(PqSubspaces, PqK) { (m, c) =>
+          seeds.find(t => t._2 == m && t._1 == c).get._3
+        }
+      for (_ <- 0 until PqIters) {
+        val bc = spark.sparkContext.broadcast(cents)
+        val sums = base.mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (_, m, s, q) =>
+            val cb = cs(m)
+            var best = 0; var bd = Double.PositiveInfinity
+            var j = 0
+            while (j < cb.length) {
+              val d2 = sqDist(s, cb(j))
+              if (d2 < bd) { bd = d2; best = j } // strict < : ties keep min code
+              j += 1
+            }
+            ((m, best), q, 1L)
+          }
+        }
+          .groupByKey(_._1)
+          .reduceGroups { (a, b) =>
+            val q = new Array[Long](a._2.length)
+            var d = 0
+            while (d < q.length) { q(d) = a._2(d) + b._2(d); d += 1 }
+            (a._1, q, a._3 + b._3)
+          }
+          .map { case ((m, cid), (_, q, n)) => (m, cid, q, n) }
+          .collect()
+        val next = cents.map(_.map(_.clone()))
+        sums.foreach { case (m, cid, q, n) =>
+          next(m)(cid) = q.map(s => (s.toDouble / n) / QuantScale)
+        }
+        cents = next
+        bc.unpersist()
+      }
+      base.unpersist()
+      cents
+    })
+
+  /** Product-quantization codes + reconstruction error — the vector
+    * compression every billion-scale ANN index (IVF-PQ / DiskANN-style)
+    * sits on: each vector's m-th subvector is replaced by the id of its
+    * nearest codebook centroid. Output is one row per (vector,
+    * subspace): the code and the INTEGER quantized reconstruction error
+    * err_q = Σ_d (floor(x_d·10⁶) − floor(c_d·10⁶))² — exact int64
+    * arithmetic, so the hash compare is immune to aggregation order
+    * (the assignment itself rides double [[sqDist]], whose operation
+    * sequence both engines share).
+    *
+    * Plan: codebooks broadcast (M·K·subdim doubles); scoring is ONE
+    * narrow flatMap pass over the corpus — no shuffle at all after the
+    * training memo, which is the 100 TB posture: PQ encode is
+    * embarrassingly parallel, the only hard part is the codebook, and
+    * that is bounded driver state. */
+  def embeddingPqCodes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = trainPqCodebooks(spark, dir)
+    val qcents: Array[Array[Array[Long]]] =
+      cents.map(_.map(_.map(x => math.floor(x * QuantScale).toLong)))
+    val bc = spark.sparkContext.broadcast((cents, qcents))
+    pqSubvectors(spark, dir)
+      .map { case (id, m, s, q) =>
+        val (cs, qcs) = bc.value
+        val cb = cs(m)
+        var best = 0; var bd = Double.PositiveInfinity
+        var j = 0
+        while (j < cb.length) {
+          val d2 = sqDist(s, cb(j))
+          if (d2 < bd) { bd = d2; best = j }
+          j += 1
+        }
+        val qc = qcs(m)(best)
+        var e = 0L; var d = 0
+        while (d < PqSubDim) { val dd = q(d) - qc(d); e += dd * dd; d += 1 }
+        (id, m.toLong, best.toLong, e)
+      }
+      .toDF("vec_id", "subspace", "code", "err_q")
+  }
+
   /** Bands for LSH near-dup: pair survives if ANY band's 6-bit bucket
     * matches, so candidate recall is 1−(1−s^bits)^bands for cosine-
     * similarity s (the standard banding amplification). 4 bands × 6
@@ -523,15 +664,119 @@ object Similarity {
       .distinct()
   }
 
+  /** Neighbors kept per vector in the [[knnGraphLsh]] graph. */
+  val KnnGraphK = 5
+
+  /** k-NN GRAPH over the whole corpus — one top-[[KnnGraphK]] neighbor
+    * list PER VECTOR (not per probe), the all-vectors index build that
+    * feeds SemDeDup-style clustering, label propagation, and
+    * graph-based retrieval. Candidates are the same banded sign-LSH
+    * cells as [[embeddingNeardupLsh]], taken in BOTH directions
+    * (id1 ≠ id2, not id1 < id2 — each vector ranks its own
+    * neighborhood); multi-band collisions collapse via distinct on the
+    * identically-computed row before the heap, and per-vector top-k
+    * runs through the bounded [[graft.operators.BoundedTopK]]
+    * aggregator, so the shuffle after scoring carries ≤ k rows per
+    * (partition, vector). Vectors whose cells hold no other vector
+    * emit no rows (an isolated node), same as the oracle.
+    *
+    * 100 TB shape: candidate count per vector ≈ bands · occupancy
+    * (n/2^bits), so raise bits with corpus size to hold occupancy
+    * constant — the scored-pair volume is then O(n · bands ·
+    * occupancy), linear in n, and never the n² brute-force graph. */
+  def knnGraphLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val banded = vectors(spark, dir)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(bandBuckets(col("v"))).as(Seq("band", "bucket")))
+    val lhs = banded.select(col("band"), col("bucket"),
+      col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val rhs = banded.select(col("band").as("band2"), col("bucket").as("bucket2"),
+      col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    val pairs = lhs.join(rhs,
+        col("band") === col("band2") && col("bucket") === col("bucket2") &&
+          col("id1") =!= col("id2"))
+      .select(col("id1").as("probe_id"), col("id2").as("neighbor_id"),
+        (dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("sim"))
+      .distinct()
+    val topk = new graft.operators.BoundedTopK[Neighbor](KnnGraphK, neighborBetter).toColumn
+    pairs.as[Scored]
+      .groupByKey(_.probe_id)
+      .mapValues(s => Neighbor(s.sim, s.neighbor_id))
+      .agg(topk.name("top"))
+      .toDF("vec_id", "top")
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("r", "n")))
+      .select(col("vec_id"),
+        (col("r") + 1).cast("long").as("nn_rank"),
+        col("n.id").as("neighbor_id"),
+        round(col("n.sim"), 6).as("sim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similar_topk" -> (similarTopk _),
+    "knn_graph_lsh" -> (knnGraphLsh _),
     "embedding_neardup_lsh" -> (embeddingNeardupLsh _),
     "similar_ann_lsh" -> (similarAnnLsh _),
     "similar_ann_multiprobe" -> (similarAnnMultiprobe _),
     "similar_ann_ivf" -> (similarAnnIvf _),
     "embedding_cluster_balance" -> (embeddingClusterBalance _),
     "semdedup_prune" -> (semdedupPrune _),
+    "embedding_pq_codes" -> (embeddingPqCodes _),
     "embedding_quantize" -> (embeddingQuantize _))
+
+  /** One (assign, means, cents) CTE triple per PQ Lloyd iteration —
+    * the L2/subspace twin of [[ivfTrainingCtes]]. */
+  private def pqTrainingCtes: Seq[String] =
+    (1 to PqIters).map { i =>
+      s"""passign$i AS (SELECT vec_id, m, cid FROM (
+         |    SELECT s.vec_id, s.m, c.cid,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |             list_dot_product(s.s, s.s) - 2*list_dot_product(s.s, c.cv) + list_dot_product(c.cv, c.cv),
+         |             c.cid) AS rn
+         |    FROM sub s JOIN pcents${i - 1} c ON c.m = s.m) t
+         |  WHERE rn = 1),
+         |pmeans$i AS (
+         |  SELECT m, cid, list(cd ORDER BY d) AS cv FROM (
+         |    SELECT a.m, a.cid, rd.d,
+         |           CAST(SUM(q.qs[rd.d]) AS DOUBLE) / COUNT(*) / 1000000.0 AS cd
+         |    FROM passign$i a, q, range(1, ${PqSubDim + 1}) rd(d)
+         |    WHERE q.vec_id = a.vec_id AND q.m = a.m
+         |    GROUP BY a.m, a.cid, rd.d) s2
+         |  GROUP BY m, cid),
+         |pcents$i AS (
+         |  SELECT p.m, p.cid, COALESCE(mm.cv, p.cv) AS cv
+         |  FROM pcents${i - 1} p LEFT JOIN pmeans$i mm ON mm.m = p.m AND mm.cid = p.cid)""".stripMargin
+    }
+
+  /** The PQ oracle: replay seeding, both Lloyd iterations, the final
+    * assignment, and the integer quantized reconstruction error. */
+  private def pqOracleSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS fv FROM embeddings),
+       |sub AS (SELECT vec_id, m,
+       |               list_slice(fv, m*$PqSubDim+1, m*$PqSubDim+$PqSubDim) AS s
+       |        FROM v, range(0, $PqSubspaces) rm(m)),
+       |q AS (SELECT vec_id, m,
+       |             list_transform(s, x -> CAST(floor(x*1000000.0) AS BIGINT)) AS qs
+       |      FROM sub),
+       |pcents0 AS (SELECT m, vec_id AS cid, s AS cv FROM sub WHERE vec_id < $PqK),
+       |${pqTrainingCtes.mkString(",\n")},
+       |qc AS (SELECT m, cid,
+       |              list_transform(cv, x -> CAST(floor(x*1000000.0) AS BIGINT)) AS qcv
+       |       FROM pcents$PqIters),
+       |fin AS (SELECT vec_id, m, cid FROM (
+       |    SELECT s.vec_id, s.m, c.cid,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |             list_dot_product(s.s, s.s) - 2*list_dot_product(s.s, c.cv) + list_dot_product(c.cv, c.cv),
+       |             c.cid) AS rn
+       |    FROM sub s JOIN pcents$PqIters c ON c.m = s.m) t
+       |  WHERE rn = 1)
+       |SELECT vec_id, subspace, code, CAST(SUM(dd*dd) AS BIGINT) AS err_q FROM (
+       |  SELECT a.vec_id, a.m AS subspace, a.cid AS code,
+       |         q.qs[rd.d] - c.qcv[rd.d] AS dd
+       |  FROM fin a, q, qc c, range(1, ${PqSubDim + 1}) rd(d)
+       |  WHERE q.vec_id = a.vec_id AND q.m = a.m
+       |    AND c.m = a.m AND c.cid = a.cid) t
+       |GROUP BY vec_id, subspace, code""".stripMargin
 
   private val cosineSql =
     """list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -563,26 +808,46 @@ object Similarity {
          |  FROM cents${i - 1} p LEFT JOIN means$i m ON m.cid = p.cid)""".stripMargin
     }
 
+  /** The banded sign-LSH bucket CTE (band = j div LshBits over the
+    * hyperplane family; bucket bit j mod LshBits) — shared by the
+    * near-dup and kNN-graph oracles. */
+  private val bandBucketsCte =
+    s"""bb AS (
+       |  SELECT vec_id, embedding, band,
+       |         SUM(CASE WHEN dj > 0 THEN (1::BIGINT << (j % $LshBits)) ELSE 0 END) AS bucket
+       |  FROM (
+       |    SELECT vec_id, embedding, j, j // $LshBits AS band,
+       |           SUM(embedding[d]::DOUBLE *
+       |               (CASE WHEN CAST(('0x' || substring(md5(j || '_' || (d-1)), 1, 15)) AS BIGINT) % 2 = 0
+       |                     THEN 1.0 ELSE -1.0 END)) AS dj
+       |    FROM embeddings, range(0, ${NeardupBands * LshBits}) rj(j), range(1, ${Dim + 1}) rd(d)
+       |    GROUP BY vec_id, embedding, j) s
+       |  GROUP BY vec_id, embedding, band)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // band = j div 6 over hyperplanes 0..23; bucket bit (j mod 6); the
-    // DISTINCT collapses pairs matching in several bands (their rows
-    // are identical: same inputs, same arithmetic)
+    // the DISTINCT collapses pairs matching in several bands (their
+    // rows are identical: same inputs, same arithmetic)
     "embedding_neardup_lsh" ->
-      s"""WITH bb AS (
-         |  SELECT vec_id, embedding, band,
-         |         SUM(CASE WHEN dj > 0 THEN (1::BIGINT << (j % $LshBits)) ELSE 0 END) AS bucket
-         |  FROM (
-         |    SELECT vec_id, embedding, j, j // $LshBits AS band,
-         |           SUM(embedding[d]::DOUBLE *
-         |               (CASE WHEN CAST(('0x' || substring(md5(j || '_' || (d-1)), 1, 15)) AS BIGINT) % 2 = 0
-         |                     THEN 1.0 ELSE -1.0 END)) AS dj
-         |    FROM embeddings, range(0, ${NeardupBands * LshBits}) rj(j), range(1, ${Dim + 1}) rd(d)
-         |    GROUP BY vec_id, embedding, j) s
-         |  GROUP BY vec_id, embedding, band)
+      s"""WITH $bandBucketsCte
          |SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2, round($cosineSql, 6) AS sim
          |FROM bb a JOIN bb b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE $cosineSql >= 0.35""".stripMargin,
+    "knn_graph_lsh" ->
+      s"""WITH $bandBucketsCte,
+         |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         |         FROM bb a JOIN bb b
+         |           ON a.band = b.band AND a.bucket = b.bucket
+         |          AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, nn_rank, neighbor_id, sim FROM (
+         |  SELECT c.id1 AS vec_id, c.id2 AS neighbor_id, round($cosineSql, 6) AS sim,
+         |         row_number() OVER (PARTITION BY c.id1
+         |                            ORDER BY $cosineSql DESC, c.id2) AS nn_rank
+         |  FROM cand c
+         |  JOIN embeddings a ON a.vec_id = c.id1
+         |  JOIN embeddings b ON b.vec_id = c.id2) t
+         |WHERE nn_rank <= $KnnGraphK""".stripMargin,
+    "embedding_pq_codes" -> pqOracleSql,
     "embedding_quantize" ->
       """SELECT vec_id,
         |       CASE WHEN m = 0 THEN 0 ELSE CAST(list_sum(

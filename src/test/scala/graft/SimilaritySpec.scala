@@ -185,4 +185,62 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     val (cents2, _) = Similarity.trainIvfCentroidsWithTrace(spark, sfDir)
     assert(cents.flatten.toSeq == cents2.flatten.toSeq)
   }
+
+  test("knn_graph_lsh: ranks contiguous, sims non-increasing, rank-1 bounded by exact top-1") {
+    import spark.implicits._
+    val g = Similarity.knnGraphLsh(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (v, rows) => v -> rows.sortBy(_._2) }
+    assert(g.nonEmpty)
+    for ((v, rows) <- g) {
+      assert(rows.length <= Similarity.KnnGraphK)
+      assert(rows.map(_._2).toSeq == (1L to rows.length).toSeq, s"ranks not contiguous for $v")
+      val sims = rows.map(_._4)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, s"sims not sorted for $v")
+      assert(rows.forall(r => r._3 != v), s"self-neighbor for $v")
+    }
+    // candidates are a subset of the corpus, so the graph's best
+    // neighbor can never beat the exact brute-force best
+    val exactBest = Similarity.similarTopk(spark, sfDir)
+      .groupBy("probe_id").agg(org.apache.spark.sql.functions.max("sim").as("best"))
+      .as[(Long, Double)].collect().toMap
+    for ((v, rows) <- g; best <- exactBest.get(v))
+      assert(rows.head._4 <= best + 1e-9, s"graph top-1 beats exact for $v")
+  }
+
+  test("embedding_pq_codes: full coverage, code range, and hand-recomputed errors") {
+    import spark.implicits._
+    val rows = Similarity.embeddingPqCodes(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    assert(rows.length == n * Similarity.PqSubspaces)
+    assert(rows.forall(r => r._3 >= 0 && r._3 < Similarity.PqK))
+    // recompute a sample's codes + errors from the collected codebooks
+    val cents = Similarity.trainPqCodebooks(spark, sfDir)
+    val qcents = cents.map(_.map(_.map(x => math.floor(x * Similarity.QuantScale).toLong)))
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    val byKey = rows.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    for (id <- vecs.keys.take(25); m <- 0 until Similarity.PqSubspaces) {
+      val s = java.util.Arrays.copyOfRange(
+        vecs(id), m * Similarity.PqSubDim, (m + 1) * Similarity.PqSubDim)
+      def d2(c: Array[Double]): Double = {
+        def dot(a: Array[Double], b: Array[Double]) = {
+          var acc = 0.0; var i = 0
+          while (i < a.length) { acc += a(i) * b(i); i += 1 }
+          acc
+        }
+        dot(s, s) - 2.0 * dot(s, c) + dot(c, c)
+      }
+      val best = cents(m).indices.minBy(j => (d2(cents(m)(j)), j))
+      var e = 0L
+      for (d <- 0 until Similarity.PqSubDim) {
+        val dd = math.floor(s(d) * Similarity.QuantScale).toLong - qcents(m)(best)(d)
+        e += dd * dd
+      }
+      assert(byKey((id, m.toLong)) == (best.toLong, e), s"mismatch at ($id, $m)")
+    }
+  }
 }
