@@ -411,6 +411,132 @@ object Similarity {
         round(col("n.sim"), 6).as("sim"))
   }
 
+  /** Exact-rerank shortlist size for [[similarAnnIvfPq]] — 8×K, the
+    * standard query-time recall knob: ADC over the coarse test
+    * codebooks (4 subspaces × 8 codes) orders weakly on near-random
+    * synthetic vectors, so the shortlist is kept deep relative to K;
+    * at production occupancy (≈4096/cell) this depth is still a
+    * ~200× cut over exact-scoring the cells. */
+  val PqRerank = 40
+
+  /** IVF-PQ search — the canonical billion-scale ANN query path
+    * (FAISS IVFPQ): the trained coarse quantizer picks each probe's
+    * [[IvfProbeCells]] cells, cell members become candidates, each
+    * candidate is scored by ASYMMETRIC distance computation (ADC)
+    * against its PQ code — probe subvector vs the candidate's codebook
+    * centroid, never the full candidate vector — and only the
+    * [[PqRerank]]-deep ADC shortlist is re-ranked with exact cosine to
+    * the final top-[[K]].
+    *
+    * Determinism: the ADC is the INTEGER Σ_{m,d}(qp−qc)² over
+    * 10⁶-quantized values (the `embedding_pq_codes` error metric, as a
+    * distance) — exact int64, so the shortlist cut is order-free and
+    * replayed verbatim by the oracle; only the final re-rank touches
+    * doubles, with the shared sequential cosine.
+    *
+    * Scale shape: both trained structures are memoized bounded driver
+    * state; probe cells and probe subvectors broadcast; the ADC pass
+    * is one narrow kernel over cell members (candidates ≈ probes ·
+    * cells · occupancy, never the corpus); the exact re-rank touches
+    * PqRerank vectors per probe. At 100 TB the PQ codes would be a
+    * STORED column (written once by `embedding_pq_codes`) and the ADC
+    * pass wouldn't even read the embedding column — the plumbing here
+    * recomputes codes inline because the testdata has no codes column,
+    * same arithmetic either way. */
+  def similarAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = trainPqCodebooks(spark, dir)
+    val qcents: Array[Array[Array[Long]]] =
+      cents.map(_.map(_.map(x => math.floor(x * QuantScale).toLong)))
+    // probe quantized subvectors: NumProbes·M·subdim longs of driver state
+    val probesQ: Map[Long, Array[Array[Long]]] = pqSubvectors(spark, dir)
+      .filter(_._1 < NumProbes).collect()
+      .groupBy(_._1).map { case (id, rows) => id -> rows.sortBy(_._2).map(_._4) }
+    val bc = spark.sparkContext.broadcast((cents, qcents, probesQ))
+
+    // IVF candidate generation — same shape as similarAnnIvf
+    val sims = ivfSims(spark, dir)
+    val probeTop = new graft.operators.BoundedTopK[Neighbor](
+      IvfProbeCells, neighborBetter).toColumn
+    val probeCells = sims.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("cid").as("neighbor_id"),
+        col("s").as("sim"))
+      .as[Scored]
+      .groupByKey(_.probe_id)
+      .mapValues(s => Neighbor(s.sim, s.neighbor_id))
+      .agg(probeTop.name("top"))
+      .toDF("probe_id", "top")
+      .select(col("probe_id"), explode(col("top")).as("c"))
+      .select(col("probe_id"), col("c.id").as("cid"))
+    val assign = ivfAssign(spark, dir)
+    val cand = assign.join(broadcast(probeCells),
+        assign("cid") === probeCells("cid") &&
+          assign("vec_id") =!= probeCells("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+
+    // ADC: integer asymmetric distance via the candidate's PQ codes
+    val adc = cand.join(vectors(spark, dir), "vec_id")
+      .select(col("probe_id"), col("vec_id"), col("v"))
+      .as[(Long, Long, Array[Double])]
+      .map { case (pid, vid, v) =>
+        val (cs, qcs, pq) = bc.value
+        val qp = pq(pid)
+        var adcq = 0L
+        var m = 0
+        while (m < PqSubspaces) {
+          val s = java.util.Arrays.copyOfRange(v, m * PqSubDim, (m + 1) * PqSubDim)
+          var best = 0; var bd = Double.PositiveInfinity
+          var j = 0
+          while (j < cs(m).length) {
+            val d2 = sqDist(s, cs(m)(j))
+            if (d2 < bd) { bd = d2; best = j }
+            j += 1
+          }
+          val qc = qcs(m)(best); val qpm = qp(m)
+          var d = 0
+          while (d < PqSubDim) { val dd = qpm(d) - qc(d); adcq += dd * dd; d += 1 }
+          m += 1
+        }
+        (pid, vid, adcq)
+      }
+      .toDF("probe_id", "vec_id", "adcq")
+
+    // shortlist by (adcq asc, vec_id asc) — Neighbor sim = −adcq rides
+    // the existing (sim desc, id asc) heap order; int64 < 2^53 so the
+    // double negation is exact
+    val shortTop = new graft.operators.BoundedTopK[Neighbor](
+      PqRerank, neighborBetter).toColumn
+    val shortlist = adc
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        negate(col("adcq")).cast("double").as("sim"))
+      .as[Scored]
+      .groupByKey(_.probe_id)
+      .mapValues(s => Neighbor(s.sim, s.neighbor_id))
+      .agg(shortTop.name("top"))
+      .toDF("probe_id", "top")
+      .select(col("probe_id"), explode(col("top")).as("c"))
+      .select(col("probe_id"), col("c.id").as("neighbor_id"))
+
+    // exact cosine re-rank of the shortlist
+    val vecs = vectors(spark, dir)
+    val probes = vecs.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pnrm"))
+    val psim = dot(col("pv"), col("v")) / (col("pnrm") * col("nrm"))
+    val scored = shortlist
+      .join(vecs, col("neighbor_id") === col("vec_id"))
+      .join(broadcast(probes), "probe_id")
+      .select(col("probe_id"), col("neighbor_id"), psim.as("sim"))
+    val topk = new graft.operators.BoundedTopK[Neighbor](K, neighborBetter).toColumn
+    scored.as[Scored]
+      .groupByKey(_.probe_id)
+      .mapValues(s => Neighbor(s.sim, s.neighbor_id))
+      .agg(topk.name("top"))
+      .toDF("probe_id", "top")
+      .select(col("probe_id"), explode(col("top")).as("n"))
+      .select(col("probe_id"), col("n.id").as("neighbor_id"),
+        round(col("n.sim"), 6).as("sim"))
+  }
+
   /** Cosine threshold for semantic pruning — matches the near-dup
     * queries' 0.35 band (the synthetic embeddings are near-orthogonal
     * outside their cluster structure; real text embeddings would sit
@@ -484,7 +610,7 @@ object Similarity {
     * uses 8–16 subspaces × 256 codes, same plumbing). */
   val PqSubspaces = 4
   val PqSubDim: Int = Dim / PqSubspaces
-  val PqK = 4
+  val PqK = 8
 
   /** Lloyd iterations per PQ codebook — static, replayed by the oracle
     * (same contract as [[IvfIters]]). */
@@ -719,6 +845,7 @@ object Similarity {
     "similar_ann_lsh" -> (similarAnnLsh _),
     "similar_ann_multiprobe" -> (similarAnnMultiprobe _),
     "similar_ann_ivf" -> (similarAnnIvf _),
+    "similar_ann_ivfpq" -> (similarAnnIvfPq _),
     "embedding_cluster_balance" -> (embeddingClusterBalance _),
     "semdedup_prune" -> (semdedupPrune _),
     "embedding_pq_codes" -> (embeddingPqCodes _),
@@ -747,6 +874,75 @@ object Similarity {
          |  SELECT p.m, p.cid, COALESCE(mm.cv, p.cv) AS cv
          |  FROM pcents${i - 1} p LEFT JOIN pmeans$i mm ON mm.m = p.m AND mm.cid = p.cid)""".stripMargin
     }
+
+  /** The IVF-PQ search oracle: replay BOTH trainings (the IVF coarse
+    * quantizer's 5 Lloyd rounds and the PQ codebooks' 2), the probe
+    * cell election, candidate generation, the INTEGER ADC shortlist
+    * (probe quantized subvector vs the candidate's codebook centroid),
+    * and the exact-cosine re-rank. */
+  private def ivfPqOracleSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+       |           WHERE vec_id < (SELECT GREATEST($IvfCells, COUNT(*) // $TargetCellSize) FROM embeddings)),
+       |${ivfTrainingCtes.mkString(",\n")},
+       |sims AS (SELECT vec_id, c.cid,
+       |           list_dot_product(v.v, c.cv) /
+       |           (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+       |         FROM v, cents$IvfIters c),
+       |assign AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |    FROM sims) t
+       |  WHERE rn = 1),
+       |probes AS (SELECT vec_id AS probe_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |    FROM sims WHERE vec_id < $NumProbes) t
+       |  WHERE rn <= $IvfProbeCells),
+       |sub AS (SELECT vec_id, m,
+       |               list_slice(v.v, m*$PqSubDim+1, m*$PqSubDim+$PqSubDim) AS s
+       |        FROM v, range(0, $PqSubspaces) rm(m)),
+       |q AS (SELECT vec_id, m,
+       |             list_transform(s, x -> CAST(floor(x*1000000.0) AS BIGINT)) AS qs
+       |      FROM sub),
+       |pcents0 AS (SELECT m, vec_id AS cid, s AS cv FROM sub WHERE vec_id < $PqK),
+       |${pqTrainingCtes.mkString(",\n")},
+       |qc AS (SELECT m, cid,
+       |              list_transform(cv, x -> CAST(floor(x*1000000.0) AS BIGINT)) AS qcv
+       |       FROM pcents$PqIters),
+       |fin AS (SELECT vec_id, m, cid FROM (
+       |    SELECT s.vec_id, s.m, c.cid,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |             list_dot_product(s.s, s.s) - 2*list_dot_product(s.s, c.cv) + list_dot_product(c.cv, c.cv),
+       |             c.cid) AS rn
+       |    FROM sub s JOIN pcents$PqIters c ON c.m = s.m) t
+       |  WHERE rn = 1),
+       |cand AS (SELECT p.probe_id, a.vec_id
+       |         FROM probes p JOIN assign a
+       |           ON a.cid = p.cid AND a.vec_id <> p.probe_id),
+       |adc AS (SELECT probe_id, vec_id, CAST(SUM(dd*dd) AS BIGINT) AS adcq FROM (
+       |    SELECT cd.probe_id, cd.vec_id, pp.qs[rd.d] - c.qcv[rd.d] AS dd
+       |    FROM cand cd, fin f, qc c, q pp, range(1, ${PqSubDim + 1}) rd(d)
+       |    WHERE f.vec_id = cd.vec_id AND c.m = f.m AND c.cid = f.cid
+       |      AND pp.vec_id = cd.probe_id AND pp.m = f.m) t
+       |  GROUP BY probe_id, vec_id),
+       |shortlist AS (SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |           row_number() OVER (PARTITION BY probe_id ORDER BY adcq, vec_id) AS rn
+       |    FROM adc) t
+       |  WHERE rn <= $PqRerank)
+       |SELECT probe_id, neighbor_id, round(sim, 6) AS sim FROM (
+       |  SELECT s.probe_id, s.vec_id AS neighbor_id,
+       |         list_dot_product(pv.v, av.v) /
+       |         (sqrt(list_dot_product(pv.v, pv.v)) * sqrt(list_dot_product(av.v, av.v))) AS sim,
+       |         row_number() OVER (PARTITION BY s.probe_id
+       |           ORDER BY list_dot_product(pv.v, av.v) /
+       |             (sqrt(list_dot_product(pv.v, pv.v)) * sqrt(list_dot_product(av.v, av.v))) DESC,
+       |             s.vec_id) AS rn
+       |  FROM shortlist s
+       |  JOIN v pv ON pv.vec_id = s.probe_id
+       |  JOIN v av ON av.vec_id = s.vec_id) t
+       |WHERE rn <= $K""".stripMargin
 
   /** The PQ oracle: replay seeding, both Lloyd iterations, the final
     * assignment, and the integer quantized reconstruction error. */
@@ -848,6 +1044,7 @@ object Similarity {
          |  JOIN embeddings b ON b.vec_id = c.id2) t
          |WHERE nn_rank <= $KnnGraphK""".stripMargin,
     "embedding_pq_codes" -> pqOracleSql,
+    "similar_ann_ivfpq" -> ivfPqOracleSql,
     "embedding_quantize" ->
       """SELECT vec_id,
         |       CASE WHEN m = 0 THEN 0 ELSE CAST(list_sum(

@@ -208,6 +208,37 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       assert(rows.head._4 <= best + 1e-9, s"graph top-1 beats exact for $v")
   }
 
+  test("similar_ann_ivfpq: k rows per probe, truthful sims, recall vs exact") {
+    import spark.implicits._
+    val got = Similarity.similarAnnIvfPq(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    val byProbe = got.groupBy(_._1)
+    assert(byProbe.keySet == (0L until Similarity.NumProbes).toSet)
+    assert(byProbe.values.forall(_.length == Similarity.K))
+    // re-ranked sims are EXACT cosines: cross-check against the
+    // brute-force scorer for every emitted pair
+    val exactAll = Similarity.similarTopk(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val exactTop = exactAll.keySet
+    // recall@K vs the exact top-K (bounded below by the 2-of-16-cell
+    // IVF probe itself — measured 0.44 on this corpus)
+    val hit = got.count(r => exactTop.contains((r._1, r._2)))
+    val recall = hit.toDouble / (Similarity.NumProbes * Similarity.K)
+    assert(recall >= 0.35, s"IVF-PQ recall@${Similarity.K} fell to $recall")
+    // the ADC shortlist's OWN loss, isolated: against similar_ann_ivf
+    // (identical candidate cells, exact re-rank of ALL members), the
+    // 20-deep integer-ADC shortlist must preserve nearly every winner
+    val ivfTop = Similarity.similarAnnIvf(spark, sfDir)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    val adcKept = got.count(r => ivfTop.contains((r._1, r._2)))
+    val adcRecall = adcKept.toDouble / ivfTop.size
+    assert(adcRecall >= 0.8, s"ADC shortlist lost too much: $adcRecall")
+    // any pair ALSO in the exact result must carry the identical sim
+    for (r <- got; e <- exactAll.get((r._1, r._2)))
+      assert(r._3 == e, s"sim drift on (${r._1}, ${r._2})")
+  }
+
   test("embedding_pq_codes: full coverage, code range, and hand-recomputed errors") {
     import spark.implicits._
     val rows = Similarity.embeddingPqCodes(spark, sfDir)
