@@ -537,6 +537,81 @@ object Similarity {
         round(col("n.sim"), 6).as("sim"))
   }
 
+  /** MMR result size, candidate-shortlist size, and λ. λ = 0.5 is
+    * deliberately float-EXACT (0.7 would make 1−λ differ between a
+    * Scala `1 - 0.7` and a SQL literal `0.3` in the last ulp and break
+    * the hash oracle). */
+  val MmrK = 10
+  val MmrCandidates = 50
+  val MmrLambda = 0.5
+
+  /** Maximal-marginal-relevance diversification (Carbonell & Goldstein
+    * 1998) — the retrieval re-ranker that trades relevance against
+    * redundancy: greedily pick argmax of
+    * λ·rel(c) − (1−λ)·max_{s∈S} cos(c, s), ties to the lower id.
+    *
+    * Two-stage shape, the standard reranker split: the DISTRIBUTED
+    * stage scores the whole corpus against the probe (vector 0) and a
+    * bounded heap keeps the [[MmrCandidates]]-deep shortlist; the
+    * greedy loop is O(k·C²) on that bounded shortlist and runs
+    * driver-side — like Lloyd's centroid state, it is bounded driver
+    * compute (50 vectors), not a corpus collect, and is inherently
+    * sequential. The oracle replays the greedy as [[MmrK]] unrolled
+    * CTEs (each step's argmax ordered by the identical double score —
+    * shared cosine operation sequence, exact λ — with per-step
+    * `greatest` over the selected set, which max makes order-free). */
+  def mmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = vectors(spark, dir)
+    val probe = vecs.filter(col("vec_id") === 0)
+      .select(col("v").as("pv"), col("nrm").as("pnrm"))
+    val rel = dot(col("pv"), col("v")) / (col("pnrm") * col("nrm"))
+    val topC = new graft.operators.BoundedTopK[Neighbor](
+      MmrCandidates, neighborBetter).toColumn
+    val shortlist: Array[Neighbor] = vecs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(lit(0L).as("probe_id"), col("vec_id").as("neighbor_id"), rel.as("sim"))
+      .as[Scored]
+      .groupByKey(_.probe_id)
+      .mapValues(s => Neighbor(s.sim, s.neighbor_id))
+      .agg(topC.name("top"))
+      .collect().head._2.toArray
+    val ids = shortlist.map(_.id).toSet
+    val byId: Map[Long, Array[Double]] = vecs
+      .filter(col("vec_id").isInCollection(ids))
+      .select(col("vec_id"), col("v"))
+      .as[(Long, Array[Double])].collect().toMap
+    val nrm: Map[Long, Double] = byId.map { case (id, v) => id -> math.sqrt(dotA(v, v)) }
+    def cos(a: Long, b: Long): Double = dotA(byId(a), byId(b)) / (nrm(a) * nrm(b))
+
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(shortlist.map(n => n.id -> n.sim): _*)
+    while (selected.length < MmrK && remaining.nonEmpty) {
+      var bestId = -1L; var bestScore = Double.NegativeInfinity
+      for ((id, r) <- remaining) {
+        var maxSim = 0.0
+        var first = true
+        for ((sid, _, _) <- selected) {
+          val s = cos(id, sid)
+          if (first || s > maxSim) { maxSim = s; first = false }
+        }
+        val score = MmrLambda * r - (1 - MmrLambda) * maxSim
+        if (score > bestScore || (score == bestScore && id < bestId)) {
+          bestScore = score; bestId = id
+        }
+      }
+      selected += ((bestId, remaining(bestId), bestScore))
+      remaining.remove(bestId)
+    }
+    // rounding happens in ENGINE expressions (Spark round == DuckDB
+    // round for ties), never driver-side rint
+    spark.createDataset(selected.toSeq.zipWithIndex.map { case ((id, r, sc), i) =>
+      (i + 1L, id, r, sc)
+    }).toDF("mmr_rank", "vec_id", "rel", "mmr_score")
+      .select(col("mmr_rank"), col("vec_id"),
+        round(col("rel"), 6).as("rel"), round(col("mmr_score"), 6).as("mmr_score"))
+  }
+
   /** Cosine threshold for semantic pruning — matches the near-dup
     * queries' 0.35 band (the synthetic embeddings are near-orthogonal
     * outside their cluster structure; real text embeddings would sit
@@ -846,6 +921,7 @@ object Similarity {
     "similar_ann_multiprobe" -> (similarAnnMultiprobe _),
     "similar_ann_ivf" -> (similarAnnIvf _),
     "similar_ann_ivfpq" -> (similarAnnIvfPq _),
+    "mmr_diversify" -> (mmrDiversify _),
     "embedding_cluster_balance" -> (embeddingClusterBalance _),
     "semdedup_prune" -> (semdedupPrune _),
     "embedding_pq_codes" -> (embeddingPqCodes _),
@@ -943,6 +1019,53 @@ object Similarity {
        |  JOIN v pv ON pv.vec_id = s.probe_id
        |  JOIN v av ON av.vec_id = s.vec_id) t
        |WHERE rn <= $K""".stripMargin
+
+  /** The MMR oracle: candidate shortlist + pairwise sims, then the
+    * greedy loop as [[MmrK]] unrolled argmax CTEs — step t excludes
+    * the t−1 prior picks and orders by the identical double score
+    * (`greatest` over scalar sim lookups makes the max order-free). */
+  private def mmrOracleSql: String = {
+    val cosXY =
+      """list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) /
+        |           (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) *
+        |            sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[])))""".stripMargin
+    val steps = (1 to MmrK).map { t =>
+      val prev = (1 until t).map(j => s"s$j")
+      val fromList = (Seq("cand c") ++ prev).mkString(", ")
+      val maxSim =
+        if (prev.isEmpty) "0"
+        else if (prev.size == 1)
+          "(SELECT s FROM ps WHERE a_id = c.id AND b_id = s1.p)"
+        else prev.map(j => s"(SELECT s FROM ps WHERE a_id = c.id AND b_id = $j.p)")
+          .mkString("greatest(", ",\n      ", ")")
+      val where =
+        if (prev.isEmpty) ""
+        else "\n  WHERE " + prev.map(j => s"c.id <> $j.p").mkString(" AND ")
+      s"""s$t AS (
+         |  SELECT c.id AS p, c.rel, 0.5*c.rel - 0.5*($maxSim) AS score
+         |  FROM $fromList$where
+         |  ORDER BY score DESC, c.id LIMIT 1)""".stripMargin
+    }
+    val out = (1 to MmrK).map { t =>
+      s"SELECT CAST($t AS BIGINT) AS mmr_rank, p AS vec_id, round(rel, 6) AS rel, round(score, 6) AS mmr_score FROM s$t"
+    }
+    // AS MATERIALIZED is load-bearing: the greedy steps reference cand
+    // and ps from ~45 correlated subqueries, and DuckDB's default CTE
+    // inlining re-derives the corpus-scale rel scan inside each —
+    // minutes at sf1; materialized, the whole replay is seconds
+    s"""WITH rel AS MATERIALIZED (SELECT b.vec_id AS id, $cosineSql AS rel
+       |            FROM embeddings a JOIN embeddings b
+       |              ON a.vec_id = 0 AND b.vec_id <> 0),
+       |cand AS MATERIALIZED (SELECT id, rel FROM (
+       |    SELECT id, rel, row_number() OVER (ORDER BY rel DESC, id) AS rn FROM rel) t
+       |  WHERE rn <= $MmrCandidates),
+       |cv AS MATERIALIZED (SELECT e.vec_id, e.embedding FROM embeddings e JOIN cand ON cand.id = e.vec_id),
+       |ps AS MATERIALIZED (SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+       |           $cosXY AS s
+       |       FROM cv x JOIN cv y ON x.vec_id <> y.vec_id),
+       |${steps.mkString(",\n")}
+       |${out.mkString("\nUNION ALL ")}""".stripMargin
+  }
 
   /** The PQ oracle: replay seeding, both Lloyd iterations, the final
     * assignment, and the integer quantized reconstruction error. */
@@ -1045,6 +1168,7 @@ object Similarity {
          |WHERE nn_rank <= $KnnGraphK""".stripMargin,
     "embedding_pq_codes" -> pqOracleSql,
     "similar_ann_ivfpq" -> ivfPqOracleSql,
+    "mmr_diversify" -> mmrOracleSql,
     "embedding_quantize" ->
       """SELECT vec_id,
         |       CASE WHEN m = 0 THEN 0 ELSE CAST(list_sum(

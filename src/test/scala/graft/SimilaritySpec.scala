@@ -239,6 +239,50 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       assert(r._3 == e, s"sim drift on (${r._1}, ${r._2})")
   }
 
+  test("mmr_diversify: rank-1 is the relevance argmax; selection is less redundant than plain top-k") {
+    import spark.implicits._
+    val got = Similarity.mmrDiversify(spark, sfDir)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.length == Similarity.MmrK)
+    assert(got.map(_._1).toSeq == (1L to Similarity.MmrK).toSeq)
+    // rank 1 ignores diversity: must be the plain nearest neighbor
+    val exact = Similarity.similarTopk(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("probe_id") === 0)
+      .as[(Long, Long, Double)].collect().sortBy(-_._3)
+    assert(got.head._2 == exact.head._2)
+    // diversity: the MMR picks' mean pairwise cosine is strictly below
+    // the plain top-MmrK picks' (the corpus has near-dup families the
+    // relevance-only ranking stacks together)
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    def cos(a: Long, b: Long): Double = {
+      def dot(x: Array[Double], y: Array[Double]) = {
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i) * y(i); i += 1 }
+        s
+      }
+      dot(vecs(a), vecs(b)) / (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b))))
+    }
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.length) yield cos(ids(i), ids(j))
+      ps.sum / ps.length
+    }
+    // plain top-MmrK by relevance alone (no diversity term), brute-forced
+    val plainTop = vecs.keys.filter(_ != 0L).toSeq
+      .map(id => (id, cos(0L, id)))
+      .sortBy { case (id, r) => (-r, id) }
+      .take(Similarity.MmrK).map(_._1)
+    val mmrIds = got.map(_._2).toSeq
+    assert(meanPairSim(mmrIds) < meanPairSim(plainTop),
+      s"MMR no less redundant: ${meanPairSim(mmrIds)} vs ${meanPairSim(plainTop)}")
+    // determinism: a second run is identical
+    val again = Similarity.mmrDiversify(spark, sfDir)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("embedding_pq_codes: full coverage, code range, and hand-recomputed errors") {
     import spark.implicits._
     val rows = Similarity.embeddingPqCodes(spark, sfDir)
