@@ -868,6 +868,52 @@ object Similarity {
   /** Neighbors kept per vector in the [[knnGraphLsh]] graph. */
   val KnnGraphK = 5
 
+  /** Target per-band bucket occupancy for the kNN graph, and the bits
+    * cap. Scored pairs per vector ≈ bands · occupancy, so holding
+    * occupancy constant holds the graph build LINEAR in n — the
+    * knnBits ladder picks the smallest bits ≥ [[LshBits]] with
+    * n ≤ occupancy · 2^bits. Identity (6 bits) through sf0.1, 10 bits
+    * at sf1, 11 at sf3 — the sf3 probe measured the fixed-bits form
+    * going quadratic (255 M scored pairs, 65 s) before this ladder. */
+  val KnnTargetOcc = 32
+  val KnnMaxBits = 20
+
+  def knnBitsFor(n: Long): Int = {
+    var b = LshBits
+    while (b < KnnMaxBits && n > (KnnTargetOcc.toLong << b)) b += 1
+    b
+  }
+
+  private val vecCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+
+  /** Corpus vector count (parquet-metadata count, memoized). */
+  private def vecCount(spark: SparkSession, dir: String): Long =
+    vecCountCache.computeIfAbsent((spark, dir),
+      { _ => Long.box(Tables.load(spark, dir, "embeddings").count()) })
+
+  private val knnPlanesCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Array[Double]]]]()
+
+  /** Hyperplanes for a `bits`-wide band family: plane (k, j) is
+    * [[planeEntry]](k·bits + j) — the same global indexing the oracle
+    * derives, so changing bits re-derives a consistent family. */
+  private def knnPlanes(bits: Int): Array[Array[Array[Double]]] =
+    knnPlanesCache.computeIfAbsent(bits, { _ =>
+      Array.tabulate(NeardupBands, bits, Dim)((k, j, d) => planeEntry(k * bits + j, d))
+    })
+
+  /** [[bandBuckets]] at a corpus-scaled bit width. */
+  def knnBandBuckets(bits: Int): UserDefinedFunction = udf { (v: Seq[Double]) =>
+    val a = v.toArray
+    val ps = knnPlanes(bits)
+    Array.tabulate(NeardupBands) { k =>
+      var b = 0L; var j = 0
+      while (j < bits) { if (dotA(a, ps(k)(j)) > 0) b |= 1L << j; j += 1 }
+      b
+    }
+  }
+
   /** k-NN GRAPH over the whole corpus — one top-[[KnnGraphK]] neighbor
     * list PER VECTOR (not per probe), the all-vectors index build that
     * feeds SemDeDup-style clustering, label propagation, and
@@ -882,14 +928,18 @@ object Similarity {
     * emit no rows (an isolated node), same as the oracle.
     *
     * 100 TB shape: candidate count per vector ≈ bands · occupancy
-    * (n/2^bits), so raise bits with corpus size to hold occupancy
-    * constant — the scored-pair volume is then O(n · bands ·
-    * occupancy), linear in n, and never the n² brute-force graph. */
+    * (n/2^bits), so the [[knnBitsFor]] ladder raises bits with corpus
+    * size to hold occupancy ≤ [[KnnTargetOcc]] — scored-pair volume is
+    * then O(n · bands · occupancy), LINEAR in n, never the n²
+    * brute-force graph (the fixed-bits form measured 23× for 3× data
+    * at sf3 before the ladder; the oracle derives the identical bits
+    * from COUNT(*)). */
   def knnGraphLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val bits = knnBitsFor(vecCount(spark, dir))
     val banded = vectors(spark, dir)
       .select(col("vec_id"), col("v"), col("nrm"),
-        posexplode(bandBuckets(col("v"))).as(Seq("band", "bucket")))
+        posexplode(knnBandBuckets(bits)(col("v"))).as(Seq("band", "bucket")))
     val lhs = banded.select(col("band"), col("bucket"),
       col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     val rhs = banded.select(col("band").as("band2"), col("bucket").as("bucket2"),
@@ -1152,8 +1202,29 @@ object Similarity {
          |FROM bb a JOIN bb b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE $cosineSql >= 0.35""".stripMargin,
-    "knn_graph_lsh" ->
-      s"""WITH $bandBucketsCte,
+    // bits ladder (smallest b ≥ LshBits with n ≤ occ·2^b) replayed as
+    // an integer CASE ladder from COUNT(*) — no libm log2; the bb CTE
+    // is the dynamic-bits twin of bandBucketsCte with the identical
+    // global plane index j
+    "knn_graph_lsh" -> {
+      val ladder = (LshBits until KnnMaxBits)
+        .map(b => s"WHEN n <= ${KnnTargetOcc.toLong << b} THEN $b")
+        .mkString("\n             ")
+      s"""WITH nb AS (SELECT CASE $ladder
+         |             ELSE $KnnMaxBits END AS bits
+         |           FROM (SELECT COUNT(*) AS n FROM embeddings) t),
+         |bb AS (
+         |  SELECT vec_id, embedding, band,
+         |         SUM(CASE WHEN dj > 0 THEN (1::BIGINT << bitpos) ELSE 0 END) AS bucket
+         |  FROM (
+         |    SELECT e.vec_id, e.embedding, rj.j // nb.bits AS band, rj.j % nb.bits AS bitpos,
+         |           SUM(e.embedding[rd.d]::DOUBLE *
+         |               (CASE WHEN CAST(('0x' || substring(md5(rj.j || '_' || (rd.d-1)), 1, 15)) AS BIGINT) % 2 = 0
+         |                     THEN 1.0 ELSE -1.0 END)) AS dj
+         |    FROM embeddings e, nb, range(0, ${NeardupBands * KnnMaxBits}) rj(j), range(1, ${Dim + 1}) rd(d)
+         |    WHERE rj.j < $NeardupBands * nb.bits
+         |    GROUP BY e.vec_id, e.embedding, rj.j, nb.bits) s
+         |  GROUP BY vec_id, embedding, band),
          |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
          |         FROM bb a JOIN bb b
          |           ON a.band = b.band AND a.bucket = b.bucket
@@ -1165,7 +1236,8 @@ object Similarity {
          |  FROM cand c
          |  JOIN embeddings a ON a.vec_id = c.id1
          |  JOIN embeddings b ON b.vec_id = c.id2) t
-         |WHERE nn_rank <= $KnnGraphK""".stripMargin,
+         |WHERE nn_rank <= $KnnGraphK""".stripMargin
+    },
     "embedding_pq_codes" -> pqOracleSql,
     "similar_ann_ivfpq" -> ivfPqOracleSql,
     "mmr_diversify" -> mmrOracleSql,

@@ -239,6 +239,20 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       assert(r._3 == e, s"sim drift on (${r._1}, ${r._2})")
   }
 
+  test("knnBitsFor ladder: identity through sf0.1, occupancy-holding beyond, capped") {
+    assert(Similarity.knnBitsFor(200) == Similarity.LshBits)   // sf0.001
+    assert(Similarity.knnBitsFor(2000) == Similarity.LshBits)  // sf0.1
+    assert(Similarity.knnBitsFor(2049) == 7)
+    assert(Similarity.knnBitsFor(20000) == 10)                 // sf1
+    assert(Similarity.knnBitsFor(60000) == 11)                 // sf3
+    assert(Similarity.knnBitsFor(Long.MaxValue) == Similarity.KnnMaxBits)
+    // occupancy bound: at the chosen bits, n / 2^bits <= KnnTargetOcc
+    for (n <- Seq(500L, 5000L, 50000L, 500000L, 5000000L)) {
+      val b = Similarity.knnBitsFor(n)
+      assert(b == Similarity.KnnMaxBits || n <= (Similarity.KnnTargetOcc.toLong << b))
+    }
+  }
+
   test("mmr_diversify: rank-1 is the relevance argmax; selection is less redundant than plain top-k") {
     import spark.implicits._
     val got = Similarity.mmrDiversify(spark, sfDir)
