@@ -91,6 +91,7 @@ object Similarity {
     graft.SessionCaches.clear(spark, Seq(ivfSimsCache))
     centroidCache.keySet.removeIf(_._1 eq spark)
     pqCache.keySet.removeIf(_._1 eq spark)
+    vecCountCache.keySet.removeIf(_._1 eq spark)
   }
 
   /** Neighbor ranking order: sim desc, vec_id asc tie-break — shared by
@@ -449,9 +450,9 @@ object Similarity {
     val qcents: Array[Array[Array[Long]]] =
       cents.map(_.map(_.map(x => math.floor(x * QuantScale).toLong)))
     // probe quantized subvectors: NumProbes·M·subdim longs of driver state
-    val probesQ: Map[Long, Array[Array[Long]]] = pqSubvectors(spark, dir)
-      .filter(_._1 < NumProbes).collect()
-      .groupBy(_._1).map { case (id, rows) => id -> rows.sortBy(_._2).map(_._4) }
+    val probesQ: Map[Long, Array[Array[Long]]] =
+      pqSubvectors(spark, dir, Some(col("vec_id") < NumProbes)).collect()
+        .groupBy(_._1).map { case (id, rows) => id -> rows.sortBy(_._2).map(_._4) }
     val bc = spark.sparkContext.broadcast((cents, qcents, probesQ))
 
     // IVF candidate generation — same shape as similarAnnIvf
@@ -696,10 +697,16 @@ object Similarity {
 
   /** The per-subspace (vec_id, m, subvector, quantized subvector)
     * exploded frame the PQ trainer and scorer both consume. */
-  private def pqSubvectors(spark: SparkSession, dir: String) = {
+  /** `preFilter` applies BEFORE the subvector kernel so a probe-only
+    * caller reads its handful of rows with parquet pushdown instead of
+    * running the kernel over the corpus (the sf10 probe measured the
+    * unfiltered form paying a full corpus pass for 40 rows). */
+  private def pqSubvectors(spark: SparkSession, dir: String,
+                           preFilter: Option[Column] = None) = {
     import spark.implicits._
-    Tables.load(spark, dir, "embeddings")
+    val base = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    preFilter.fold(base)(base.filter)
       .as[(Long, Array[Double])]
       .flatMap { case (id, v) =>
         (0 until PqSubspaces).iterator.map { m =>
