@@ -196,6 +196,14 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
     assert(nHash == 1, s"expected only the final per-source exchange, got $nHash:\n$p")
   }
 
+  test("lm_doc_likelihood plan: the model joins as a broadcast, never a shuffle") {
+    val p = TextAnalysis.lmDocLikelihood(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"model join must broadcast:\n$p")
+    // the scoring join must NOT sort-merge the corpus against the model
+    assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$p")
+  }
+
   test("corpus_pipeline_funnel: monotone stages, raw = corpus, stage 4 = the selection query") {
     import spark.implicits._
     val f = TextAnalysis.corpusPipelineFunnel(spark, sfDir)
