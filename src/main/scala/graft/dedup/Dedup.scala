@@ -595,10 +595,15 @@ object Dedup {
     * batch size + matched-bucket corpus rows, never the full corpus. */
   def minhashIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = cachedDocShingles(spark, dir)
-    val bands = bandsOf(minhashSignaturesOf(spark, docs))
-    val batch = bands.filter(col("doc_id") % 2 === 1)
+    // parity filters go UNDER the signature kernel: a filter above
+    // minhashSignaturesOf can't push through the typed mapPartitions,
+    // so each join side would re-run the 32-hash kernel over the WHOLE
+    // corpus and discard half (the round-8 review caught the 2× form)
+    val batch = bandsOf(minhashSignaturesOf(spark,
+        docs.filter(col("doc_id") % 2 === 1)))
       .select(col("doc_id").as("dn"), col("band"), col("sig"))
-    val corpus = bands.filter(col("doc_id") % 2 === 0)
+    val corpus = bandsOf(minhashSignaturesOf(spark,
+        docs.filter(col("doc_id") % 2 === 0)))
       .select(col("doc_id").as("dc"), col("band"), col("sig"))
     val cand = batch.join(corpus, Seq("band", "sig"))
       .select("dn", "dc").distinct()

@@ -207,14 +207,12 @@ object Similarity {
   def cellsFor(n: Long): Int =
     math.max(IvfCells.toLong, n / TargetCellSize).toInt
 
-  private val cellCountCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Integer]()
-
-  /** [[cellsFor]] of the corpus under `dir` (parquet-metadata count,
-    * memoized per session+corpus). */
+  /** [[cellsFor]] of the corpus under `dir` — rides the shared
+    * [[vecCount]] memo (one count job per session+corpus for the IVF
+    * family AND the kNN-graph bits ladder; a second cache here was the
+    * round-8 review's stale-after-clearCaches finding). */
   def ivfCellCount(spark: SparkSession, dir: String): Int =
-    cellCountCache.computeIfAbsent((spark, dir),
-      { _ => Int.box(cellsFor(Tables.load(spark, dir, "embeddings").count())) })
+    cellsFor(vecCount(spark, dir))
 
   /** Lloyd iterations for centroid training. Fixed count (not an
     * epsilon test): the DuckDB oracle replays the identical iterations,
@@ -894,10 +892,13 @@ object Similarity {
   private val vecCountCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
 
-  /** Corpus vector count (parquet-metadata count, memoized). */
+  /** Corpus vector count, memoized per (session, corpus). Reads the
+    * parquet directly (NOT through [[Tables.load]]) so the count is a
+    * pure metadata job — the kernel-table balance() guard would
+    * otherwise put a repartition shuffle under a row count. */
   private def vecCount(spark: SparkSession, dir: String): Long =
     vecCountCache.computeIfAbsent((spark, dir),
-      { _ => Long.box(Tables.load(spark, dir, "embeddings").count()) })
+      { _ => Long.box(spark.read.parquet(s"$dir/embeddings.parquet").count()) })
 
   private val knnPlanesCache =
     new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Array[Double]]]]()

@@ -358,8 +358,10 @@ object TextAnalysis {
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
     val q = qualityExprs
+    // no broadcast hint on losers — it is output-bound corpus-scale
+    // state (see corpusPipelineFunnel's stage-3 note)
     docs.join(exactSurvivors, Seq("doc_id"), "left_semi")
-      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), q.nTok.as("n_tokens"),
         q.score.as("quality_score"))
       .filter(col("n_tokens") >= 20 && col("quality_score") >= 0.1)
@@ -860,7 +862,11 @@ object TextAnalysis {
       .join(evalShingles, "s").select("doc_id").distinct()
 
     val s2 = base.join(exactSurv, Seq("doc_id"), "left_semi")
-    val s3 = s2.join(broadcast(losers), Seq("doc_id"), "left_anti")
+    // the losers frame is OUTPUT-BOUND corpus-scale state (at sf10 the
+    // synthetic dup families make nearly every doc a cluster member) —
+    // never force-broadcast it; the planner picks, and degrades to a
+    // shuffle join gracefully (the sf10 candidate-broadcast OOM class)
+    val s3 = s2.join(losers, Seq("doc_id"), "left_anti")
     val s4 = s3.filter(col("n_tokens") >= 20 && col("quality_score") >= 0.1)
     val s5 = s4.filter(col("split") === "train")
       .join(contaminated, Seq("doc_id"), "left_anti")
