@@ -439,9 +439,10 @@ object Similarity {
     * cells · occupancy, never the corpus); the exact re-rank touches
     * PqRerank vectors per probe. At 100 TB the PQ codes would be a
     * STORED column (written once by `embedding_pq_codes`) and the ADC
-    * pass wouldn't even read the embedding column — the plumbing here
-    * recomputes codes inline because the testdata has no codes column,
-    * same arithmetic either way. */
+    * pass wouldn't even read the embedding column — here codes are
+    * computed once per DISTINCT candidate (the testdata has no codes
+    * column) and the pair-level ADC is pure code lookups, the same
+    * split a stored-codes deployment has. */
   def similarAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cents = trainPqCodebooks(spark, dir)
@@ -473,14 +474,18 @@ object Similarity {
           assign("vec_id") =!= probeCells("probe_id"))
       .select(col("probe_id"), col("vec_id"))
 
-    // ADC: integer asymmetric distance via the candidate's PQ codes
-    val adc = cand.join(vectors(spark, dir), "vec_id")
-      .select(col("probe_id"), col("vec_id"), col("v"))
-      .as[(Long, Long, Array[Double])]
-      .map { case (pid, vid, v) =>
-        val (cs, qcs, pq) = bc.value
-        val qp = pq(pid)
-        var adcq = 0L
+    // PQ-encode each DISTINCT candidate once — a vector in cells
+    // probed by several probes previously paid the M×K nearest-
+    // centroid search per (probe, candidate) pair (round-8 review);
+    // codes are probe-independent, so encode per vec_id and join the
+    // coded frame back to the pairs for the integer ADC sum
+    val codes = cand.select("vec_id").distinct()
+      .join(vectors(spark, dir), "vec_id")
+      .select(col("vec_id"), col("v"))
+      .as[(Long, Array[Double])]
+      .map { case (vid, v) =>
+        val (cs, _, _) = bc.value
+        val code = new Array[Int](PqSubspaces)
         var m = 0
         while (m < PqSubspaces) {
           val s = java.util.Arrays.copyOfRange(v, m * PqSubDim, (m + 1) * PqSubDim)
@@ -491,7 +496,26 @@ object Similarity {
             if (d2 < bd) { bd = d2; best = j }
             j += 1
           }
-          val qc = qcs(m)(best); val qpm = qp(m)
+          code(m) = best
+          m += 1
+        }
+        (vid, code)
+      }
+      .toDF("vec_id", "code")
+
+    // ADC: integer asymmetric distance from the probe's quantized
+    // subvectors to the candidate's codebook centroids — pure code
+    // lookups, never the candidate's embedding
+    val adc = cand.join(codes, "vec_id")
+      .select(col("probe_id"), col("vec_id"), col("code"))
+      .as[(Long, Long, Array[Int])]
+      .map { case (pid, vid, code) =>
+        val (_, qcs, pq) = bc.value
+        val qp = pq(pid)
+        var adcq = 0L
+        var m = 0
+        while (m < PqSubspaces) {
+          val qc = qcs(m)(code(m)); val qpm = qp(m)
           var d = 0
           while (d < PqSubDim) { val dd = qpm(d) - qc(d); adcq += dd * dd; d += 1 }
           m += 1
@@ -742,6 +766,11 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val seeds = base.filter(_._1 < PqK)
         .map(t => (t._1, t._2, t._3)).collect()
+      val seedIds = seeds.map(_._1).distinct
+      require(seedIds.length == PqK,
+        s"PQ training seeds vectors with vec_id 0..${PqK - 1}; corpus at " +
+          s"$dir has only ${seedIds.length} of them " +
+          s"(${seedIds.sorted.mkString(",")})")
       var cents: Array[Array[Array[Double]]] =
         Array.tabulate(PqSubspaces, PqK) { (m, c) =>
           seeds.find(t => t._2 == m && t._1 == c).get._3

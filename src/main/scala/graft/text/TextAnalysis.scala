@@ -541,16 +541,47 @@ object TextAnalysis {
       (SparkSession, String),
       org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]()
 
+  /** Session-scoped persisted (doc_id, w1, w2) bigram frame — the
+    * shared input of `lm_doc_likelihood`'s training aggregate and
+    * scoring join (same memo policy as
+    * [[graft.dedup.Dedup.cachedDocShingles]]). */
+  private val bigramCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def cachedDocBigrams(spark: SparkSession, dir: String): DataFrame =
+    bigramCache.computeIfAbsent((spark, dir), { _ =>
+      import spark.implicits._
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val ws = t.split(" ").filter(_.nonEmpty)
+          ws.iterator.zip(ws.iterator.drop(1)).map { case (a, b) => (id, a, b) }
+        }.toDF("doc_id", "w1", "w2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Memoized corpus scalars (the Similarity.vecCount pattern): total
+    * unigram count for `cooccurrence_pmi`'s PMI numerator, and the LM
+    * model cardinality that gates `lm_doc_likelihood`'s join strategy. */
+  private val uniTotalCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+  private val lmModelRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+
   /** Lifecycle hook on the [[graft.SessionCaches]] pattern: drop this
     * session's memoized Bloom broadcasts (destroying each broadcast —
     * these are driver/executor blobs, not persisted DataFrames, so the
-    * shared DataFrame sweep does not apply). */
+    * shared DataFrame sweep does not apply), the persisted bigram
+    * frame, and the memoized corpus scalars. */
   def clearCaches(spark: SparkSession): Unit = {
     val it = bloomCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 eq spark) { e.getValue.destroy(); it.remove() }
     }
+    graft.SessionCaches.clear(spark, Seq(bigramCache))
+    uniTotalCache.keySet.removeIf(_._1 eq spark)
+    lmModelRowsCache.keySet.removeIf(_._1 eq spark)
   }
 
   def evalDecontaminationBloom(spark: SparkSession, dir: String,
@@ -769,7 +800,11 @@ object TextAnalysis {
       t.split(" ").filter(_.nonEmpty)
     }.toDF("w")
     val uniCounts = unigrams.groupBy("w").agg(count(lit(1)).as("c"))
-    val n = unigrams.count() // one job; the scalar broadcasts as a literal
+    // memoized per (session, corpus) — the scalar broadcasts as a
+    // literal, and repeated invocations skip the extra corpus pass
+    // (the Similarity.vecCount pattern; round-8 review finding)
+    val n = uniTotalCache.computeIfAbsent((spark, dir),
+      { _ => Long.box(unigrams.count()) }).longValue()
     bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
       .orderBy(col("c_ab").desc, col("w1").asc, col("w2").asc)
       .limit(PmiTopK)
@@ -793,27 +828,48 @@ object TextAnalysis {
     * division.
     *
     * Plan: one corpus pass explodes bigrams (the same typed-flatMap
-    * kernel as `cooccurrence_pmi`), ONE map-side-combining aggregate
-    * trains the LM, the prefix marginal is a second aggregate over the
-    * MODEL (vocab²-bounded, not corpus-scale), and scoring re-joins
-    * doc bigrams to the broadcast model, so the only corpus-scale
-    * shuffle is the per-doc mean. At 100 TB the model stays capped by
-    * vocab², and a production pipeline trains it on a sample — the
-    * scoring plan is unchanged either way. */
-  def lmDocLikelihood(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docBigrams = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, t) =>
-        val ws = t.split(" ").filter(_.nonEmpty)
-        ws.iterator.zip(ws.iterator.drop(1)).map { case (a, b) => (id, a, b) }
-      }.toDF("doc_id", "w1", "w2")
+    * kernel as `cooccurrence_pmi`), memoized and PERSISTED per
+    * (session, corpus) because it feeds BOTH the LM-training
+    * aggregate and the scoring join — without the persist the bigram
+    * kernel and documents scan ran twice per invocation (round-8
+    * review). ONE map-side-combining aggregate trains the LM, the
+    * prefix marginal is a second aggregate over the MODEL
+    * (vocab²-bounded, not corpus-scale), and scoring re-joins doc
+    * bigrams to the model, so the only corpus-scale shuffle is the
+    * per-doc mean.
+    *
+    * The model join's strategy is CARDINALITY-GATED, not pinned: a
+    * synthetic corpus's bigram vocabulary is broadcast-sized, but a
+    * real web corpus's is 10⁸–10⁹ rows — a pinned broadcast there is
+    * a driver OOM (the defect class the round-8 sf10 probe caught on
+    * the minhash candidate frame). At or under [[LmBroadcastMaxRows]]
+    * model rows the join broadcasts; above, it falls back to
+    * sort-merge. The gate's row count is memoized per (session,
+    * corpus) — one aggregate over the persisted bigrams on first use,
+    * free after ([[graft.similarity.Similarity]]'s vecCount pattern). */
+  def lmDocLikelihood(spark: SparkSession, dir: String): DataFrame =
+    lmDocLikelihoodImpl(spark, dir, LmBroadcastMaxRows)
+
+  /** Model rows above which the LM scoring join abandons the broadcast
+    * hint: 10⁶ rows ≈ tens of MB of (w1, w2, q) build state — safely
+    * inside driver and executor budgets; a web-scale bigram model
+    * (10⁸+) lands far above it and merges instead. */
+  val LmBroadcastMaxRows = 1000000L
+
+  private[graft] def lmDocLikelihoodImpl(spark: SparkSession, dir: String,
+                                         broadcastMaxRows: Long): DataFrame = {
+    val docBigrams = cachedDocBigrams(spark, dir)
     val lm = docBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
     val prefix = lm.groupBy("w1").agg(sum("nb").as("np"))
     val model = lm.join(prefix, "w1")
       .select(col("w1"), col("w2"),
         expr("(CAST(1000000 AS BIGINT) * nb) DIV np").as("q"))
-    docBigrams.join(broadcast(model), Seq("w1", "w2"))
+    val modelRows = lmModelRowsCache.computeIfAbsent((spark, dir),
+      { _ => Long.box(model.count()) }).longValue()
+    val hinted =
+      if (modelRows <= broadcastMaxRows) broadcast(model)
+      else model.hint("merge")
+    docBigrams.join(hinted, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("q").as("qs"))
       .select(col("doc_id"), col("n_bigrams"),

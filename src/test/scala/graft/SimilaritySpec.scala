@@ -228,7 +228,8 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.35, s"IVF-PQ recall@${Similarity.K} fell to $recall")
     // the ADC shortlist's OWN loss, isolated: against similar_ann_ivf
     // (identical candidate cells, exact re-rank of ALL members), the
-    // 20-deep integer-ADC shortlist must preserve nearly every winner
+    // PqRerank-deep integer-ADC shortlist must preserve nearly every
+    // winner
     val ivfTop = Similarity.similarAnnIvf(spark, sfDir)
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
     val adcKept = got.count(r => ivfTop.contains((r._1, r._2)))

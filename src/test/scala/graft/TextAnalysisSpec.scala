@@ -196,12 +196,25 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
     assert(nHash == 1, s"expected only the final per-source exchange, got $nHash:\n$p")
   }
 
-  test("lm_doc_likelihood plan: the model joins as a broadcast, never a shuffle") {
+  test("lm_doc_likelihood plan: cardinality-gated model join — broadcast under " +
+    "the threshold, sort-merge above, identical results") {
+    // this corpus's bigram model is far under LmBroadcastMaxRows, so
+    // the shipping query must broadcast (scoped to the small-model
+    // regime — the gate exists because a web-scale model must NOT)
     val p = TextAnalysis.lmDocLikelihood(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), s"model join must broadcast:\n$p")
-    // the scoring join must NOT sort-merge the corpus against the model
+    assert(p.contains("BroadcastHashJoin"), s"small model must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$p")
+    // force the big-model regime: threshold 0 → the hint must be
+    // merge, the plan free of a model broadcast, and the results
+    // byte-identical to the broadcast regime
+    val big = TextAnalysis.lmDocLikelihoodImpl(spark, sfDir, 0L)
+    val pBig = big.queryExecution.executedPlan.toString
+    assert(pBig.contains("SortMergeJoin"), s"big-model regime must merge:\n$pBig")
+    val a = TextAnalysis.lmDocLikelihood(spark, sfDir).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val b = big.collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq, "join-strategy regimes disagree on results")
   }
 
   test("corpus_pipeline_funnel: monotone stages, raw = corpus, stage 4 = the selection query") {
