@@ -1,0 +1,137 @@
+package graft
+
+import java.io.File
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, fingerprint-keyed index artifacts — the storage layer
+  * under the engine's "standing index" posture. Through round 8 every
+  * derived index (minhash band index, CC labels, PQ codebooks/codes)
+  * lived in a per-session memo and was rebuilt from the corpus in each
+  * new session — the one thing the 100 TB docstrings said production
+  * never does. This store closes that gap: an index is written ONCE to
+  * a content-fingerprinted parquet directory and every later session
+  * (cold or warm) reads it back instead of recomputing.
+  *
+  * Keying follows [[graft.sources.OrcSource]]'s staging-dir pattern:
+  * `graft_index/<kind>_<sanitized corpus dir>_<rows>_<fingerprint>`,
+  * where the fingerprint is a one-pass crc32 content sum over the
+  * SOURCE table — regenerated fixtures (or a changed corpus) therefore
+  * get a fresh directory and a rebuild, while a byte-identical corpus
+  * reuses the artifact across sessions and JVMs. The fingerprint pass
+  * is a cheap narrow scan (no shingling, no signature kernels) and is
+  * memoized per (session, corpus, table).
+  *
+  * Writes are atomic: build into `<dir>.tmp-<nonce>`, rename into
+  * place, first writer wins (a concurrent loser deletes its tmp dir
+  * and reads the winner) — so concurrent sessions or FAIR-pool query
+  * streams can race getOrBuild safely. Reuse across sessions is gated
+  * on Spark's `_SUCCESS` marker, never on a bare directory.
+  *
+  * The reference's closest analog is the worker's standing spool-dir
+  * state surviving across jobs (`worker/WorkerServlet.java:283-302`);
+  * this is that idea made columnar, content-addressed, and safe for
+  * concurrent builders.
+  */
+object IndexStore {
+
+  /** Root for all persisted index artifacts (tmpdir keeps the gate's
+    * no-writes-outside-the-repo contract; production points this at
+    * object storage). */
+  def root: File = new File(sys.props("java.io.tmpdir"), "graft_index")
+
+  private val fpCache =
+    new ConcurrentHashMap[(SparkSession, String, String), (Long, Long)]()
+
+  /** (rows, crc32 content sum) of `$dir/$table.parquet` — the
+    * staleness key. Reads the parquet directly (not Tables.load) so
+    * the fingerprint is a pure scan with no balance() shuffle. */
+  private def fingerprint(spark: SparkSession, dir: String,
+                          table: String): (Long, Long) =
+    fpCache.computeIfAbsent((spark, dir, table), { _ =>
+      import spark.implicits._
+      val df = spark.read.parquet(s"$dir/$table.parquet")
+      // crc32 wants a string: fingerprint the row's json rendering —
+      // any column's content change moves the sum
+      df.agg(count(lit(1)), coalesce(sum(crc32(to_json(struct(
+          df.columns.map(col).toIndexedSeq: _*)))), lit(0L)))
+        .as[(Long, Long)].head()
+    })
+
+  /** The content-keyed directory for index `kind` derived from
+    * (`dir`, `table`). */
+  def indexDir(spark: SparkSession, dir: String, table: String,
+               kind: String): File = {
+    val (n, fp) = fingerprint(spark, dir, table)
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    new File(root, s"${kind}_${key}_${n}_$fp")
+  }
+
+  private def isComplete(d: File): Boolean = new File(d, "_SUCCESS").exists()
+
+  /** Read the persisted index `kind` over (`dir`, `table`), building
+    * and atomically publishing it on miss. The returned frame is a
+    * plain parquet scan of the stored artifact — downstream plans see
+    * a FileScan, never the builder's kernels. */
+  /** Number of artifact BUILDS this JVM has run (reads don't count) —
+    * spec observability for "the second session read, not rebuilt". */
+  private[graft] val builds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def getOrBuild(spark: SparkSession, dir: String, table: String,
+                 kind: String)(build: => DataFrame): DataFrame = {
+    val target = indexDir(spark, dir, table, kind)
+    if (!isComplete(target)) {
+      builds.incrementAndGet()
+      val tmp = new File(target.getParentFile,
+        target.getName + ".tmp-" + java.util.UUID.randomUUID())
+      build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      // first writer wins; a loser (concurrent builder or a crashed
+      // run's leftover) just discards its copy and reads the winner
+      if (!tmp.renameTo(target) || !isComplete(target)) {
+        if (isComplete(target)) deleteRecursively(tmp)
+        else throw new IllegalStateException(
+          s"index publish failed for $target")
+      }
+    }
+    spark.read.parquet(target.getAbsolutePath)
+  }
+
+  /** Write `df` as a fresh versioned artifact under `kind`'s name
+    * (unique suffix per call — safe under concurrent query streams)
+    * and return a scan of the written copy. Used by refresh-style
+    * queries that must demonstrate the write-path, where overwriting
+    * the shared standing artifact in place would race. */
+  def writeVersioned(spark: SparkSession, dir: String, table: String,
+                     kind: String, df: DataFrame): DataFrame = {
+    val base = indexDir(spark, dir, table, kind)
+    // bound accumulation: sweep sibling versions published over an
+    // hour ago (old enough that no live query stream still scans them)
+    val old = base.getParentFile.listFiles()
+    if (old != null) old
+      .filter(_.getName.startsWith(base.getName + "-v"))
+      // _SUCCESS must EXIST and be old — a version without the marker
+      // may be a concurrent write in progress, never touch it
+      .filter { d =>
+        val m = new File(d, "_SUCCESS")
+        m.exists() && m.lastModified() < System.currentTimeMillis() - 3600L * 1000
+      }
+      .foreach(deleteRecursively)
+    val out = new File(base.getParentFile,
+      base.getName + "-v" + java.util.UUID.randomUUID())
+    df.write.mode("overwrite").parquet(out.getAbsolutePath)
+    spark.read.parquet(out.getAbsolutePath)
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    val cs = f.listFiles()
+    if (cs != null) cs.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** Drop a session's memoized fingerprints (the artifacts themselves
+    * are cross-session by design and are never swept here). */
+  def clearCaches(spark: SparkSession): Unit =
+    fpCache.keySet.removeIf(_._1 eq spark)
+}

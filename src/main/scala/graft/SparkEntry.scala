@@ -34,6 +34,7 @@ object SparkEntry {
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),
     (text.CorpusOps.queries, text.CorpusOps.oracles),
     (dedup.Dedup.queries, dedup.Dedup.oracles),
+    (dedup.BandIndex.queries, dedup.BandIndex.oracles),
     (similarity.Similarity.queries, similarity.Similarity.oracles),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracles))
 

@@ -492,7 +492,7 @@ object Dedup {
   /** (doc_id, band, sig) banded-signature frame: [[BandRows]]-row
     * slices of the MinHash signature, stringified per band. Shared by
     * the self-dedup candidates, the incremental form, and containment. */
-  private def bandsOf(sig: DataFrame): DataFrame = {
+  private[graft] def bandsOf(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until NumHashes / BandRows).map { b =>
       struct(lit(b).as("band"),
         array_join(transform(
@@ -534,7 +534,7 @@ object Dedup {
     * driver; the merge hint pins both verify joins to sort-merge,
     * which is the only shape that survives any corpus. (At tiny SFs
     * AQE's local shuffle reader keeps the cost near-broadcast.) */
-  private def verifiedIntersections(docs: DataFrame, cand: DataFrame,
+  private[graft] def verifiedIntersections(docs: DataFrame, cand: DataFrame,
                                     lhs: String, rhs: String): DataFrame =
     cand.hint("merge")
       .join(docs.select(col("doc_id").as(lhs), col("sh").as("sh1"), size(col("sh")).as("n1")), lhs)
@@ -772,7 +772,7 @@ object Dedup {
 
   /** CTE list of the shared minhash prefix (shingles → signatures →
     * bands) — every banded-candidate oracle builds on these. */
-  private val sigBandsCtes =
+  private[graft] val sigBandsCtes =
     s"""sh AS ($docShinglesSql),
        |ex AS (SELECT doc_id,
        |              CAST(('0x' || substring(md5(unnest(sh)), 1, 15)) AS BIGINT) % $P AS h

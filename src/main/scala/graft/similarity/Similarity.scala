@@ -756,11 +756,38 @@ object Similarity {
     * shuffle per iteration carries ≤ M·K quantized sum rows per
     * partition. Seeds are the first [[PqK]] vectors' subvectors.
     * Assignment is argmin squared-L2 ([[sqDist]]), ties to the lower
-    * code. Memoized per (session, corpus); at 100 TB you train on a
-    * sample and only the final scoring pass reads the corpus. */
+    * code. Memoized per (session, corpus) AND persisted: the first
+    * session to train a corpus's codebooks publishes them as a
+    * fingerprint-keyed parquet artifact ([[graft.IndexStore]], rows of
+    * (m, cid, centroid)); every later session — cold JVMs included —
+    * reads M·K rows back instead of paying [[PqIters]] corpus passes.
+    * Doubles round-trip parquet losslessly, so stored-vs-fresh
+    * codebooks are bit-identical (spec-pinned). At 100 TB you train
+    * on a sample and only the final scoring pass reads the corpus. */
   private[graft] def trainPqCodebooks(
       spark: SparkSession, dir: String): Array[Array[Array[Double]]] =
     pqCache.computeIfAbsent((spark, dir), { _ =>
+      import spark.implicits._
+      val stored = graft.IndexStore.getOrBuild(spark, dir, "embeddings",
+        "pq_codebooks") {
+        val trained = trainPqCodebooksFresh(spark, dir)
+        spark.createDataFrame(
+          for (m <- 0 until PqSubspaces; c <- 0 until PqK)
+            yield (m, c, trained(m)(c).toSeq))
+          .toDF("m", "cid", "centroid")
+          // one tiny file: M·K rows of driver state, not a data table
+          .coalesce(1)
+      }
+      val rows = stored.as[(Int, Int, Seq[Double])].collect()
+      require(rows.length == PqSubspaces * PqK,
+        s"pq_codebooks artifact has ${rows.length} rows, " +
+          s"expected ${PqSubspaces * PqK}")
+      val byKey = rows.map(r => (r._1, r._2) -> r._3.toArray).toMap
+      Array.tabulate(PqSubspaces, PqK)((m, c) => byKey((m, c)))
+    })
+
+  private[graft] def trainPqCodebooksFresh(
+      spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
       import spark.implicits._
       val base = pqSubvectors(spark, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -809,7 +836,7 @@ object Similarity {
       }
       base.unpersist()
       cents
-    })
+  }
 
   /** Product-quantization codes + reconstruction error — the vector
     * compression every billion-scale ANN index (IVF-PQ / DiskANN-style)
@@ -1000,6 +1027,20 @@ object Similarity {
         round(col("n.sim"), 6).as("sim"))
   }
 
+  /** The STORED-codes read path: `embedding_pq_codes`' full output
+    * persisted as a fingerprint-keyed parquet artifact
+    * ([[graft.IndexStore]]) on first build and scanned — one FileScan,
+    * zero kernels — by every later session. This is the "codes are a
+    * stored column" posture the IVF-PQ docstring names: at 100 TB the
+    * encode pass runs once per corpus version and every ANN/dedup
+    * consumer reads the artifact. The oracle recomputes codes from
+    * scratch, so artifact staleness or write/read loss mismatches the
+    * hash. */
+  def embeddingPqCodesIndexed(spark: SparkSession, dir: String): DataFrame =
+    graft.IndexStore.getOrBuild(spark, dir, "embeddings", "pq_codes") {
+      embeddingPqCodes(spark, dir)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similar_topk" -> (similarTopk _),
     "knn_graph_lsh" -> (knnGraphLsh _),
@@ -1012,6 +1053,7 @@ object Similarity {
     "embedding_cluster_balance" -> (embeddingClusterBalance _),
     "semdedup_prune" -> (semdedupPrune _),
     "embedding_pq_codes" -> (embeddingPqCodes _),
+    "embedding_pq_codes_indexed" -> (embeddingPqCodesIndexed _),
     "embedding_quantize" -> (embeddingQuantize _))
 
   /** One (assign, means, cents) CTE triple per PQ Lloyd iteration —
@@ -1276,6 +1318,8 @@ object Similarity {
          |WHERE nn_rank <= $KnnGraphK""".stripMargin
     },
     "embedding_pq_codes" -> pqOracleSql,
+    // the stored artifact must equal a from-scratch recompute
+    "embedding_pq_codes_indexed" -> pqOracleSql,
     "similar_ann_ivfpq" -> ivfPqOracleSql,
     "mmr_diversify" -> mmrOracleSql,
     "embedding_quantize" ->

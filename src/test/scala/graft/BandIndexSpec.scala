@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.{BandIndex, Dedup}
+
+/** The persisted-index layer (round-9 verdict #1): IndexStore artifact
+  * lifecycle, the indexed minhash queries' equivalence to their
+  * recomputing twins, the plan-shape guarantee (no corpus-side
+  * signature kernel), and the refresh upsert rule. */
+class BandIndexSpec extends AnyFunSuite with SharedSpark {
+
+  /** A private corpus dir so lifecycle tests control their own
+    * artifacts (the shared sfDir's artifacts persist across suites by
+    * design). */
+  private def tempCorpus(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("IndexStore: builds once; later calls and a second session read the artifact") {
+    import spark.implicits._
+    val dir = tempCorpus(Seq((1L, "a b c"), (2L, "d e f")))
+    val before = IndexStore.builds.get()
+    val a = IndexStore.getOrBuild(spark, dir, "documents", "spec_probe") {
+      spark.range(5).select(col("id"), (col("id") * 2).as("v"))
+    }.as[(Long, Long)].collect().sortBy(_._1)
+    assert(IndexStore.builds.get() == before + 1, "first call must build")
+    assert(a.toSeq == (0L until 5L).map(i => (i, i * 2)))
+    // same session: the by-name builder must NOT be evaluated again
+    val b = IndexStore.getOrBuild(spark, dir, "documents", "spec_probe") {
+      sys.error("rebuilt an existing artifact (same session)")
+    }.count()
+    assert(b == 5)
+    // a different session (fresh memos — the cold-session stand-in
+    // inside one JVM) must also read, not rebuild
+    val s2 = spark.newSession()
+    val c = IndexStore.getOrBuild(s2, dir, "documents", "spec_probe") {
+      sys.error("rebuilt an existing artifact (new session)")
+    }.count()
+    assert(c == 5)
+    assert(IndexStore.builds.get() == before + 1)
+  }
+
+  test("IndexStore: a changed corpus moves the artifact directory (staleness key)") {
+    import spark.implicits._
+    val dir = tempCorpus(Seq((1L, "a b c")))
+    val d1 = IndexStore.indexDir(spark, dir, "documents", "spec_fp")
+    // rewrite the corpus with different content; a FRESH session
+    // (fingerprints are memoized per session) must see a new dir
+    Seq((1L, "a b c CHANGED")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val d2 = IndexStore.indexDir(spark.newSession(), dir, "documents", "spec_fp")
+    assert(d1.getName != d2.getName,
+      s"content change must re-key the artifact: $d1 vs $d2")
+  }
+
+  test("minhash_incremental_indexed == minhash_incremental (stored index is byte-equal)") {
+    import spark.implicits._
+    val direct = Dedup.minhashIncremental(spark, sfDir)
+      .as[Long].collect().sorted
+    val indexed = BandIndex.minhashIncrementalIndexed(spark, sfDir)
+      .as[Long].collect().sorted
+    assert(indexed.toSeq == direct.toSeq)
+  }
+
+  test("indexed plan: corpus side is a FileScan of the stored artifact, " +
+    "exactly one signature kernel (the batch's)") {
+    // ensure the artifact exists so the plan under test is the read path
+    BandIndex.standingBands(spark, sfDir).count()
+    val p = BandIndex.minhashIncrementalIndexed(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_index"),
+      s"corpus side must scan the stored index:\n$p")
+    val kernels = "MapPartitions".r.findAllIn(p).length
+    assert(kernels == 1,
+      s"expected exactly the batch-side signature kernel, got $kernels:\n$p")
+    // the recomputing twin pays the kernel on BOTH sides
+    val p2 = Dedup.minhashIncremental(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val kernels2 = "MapPartitions".r.findAllIn(p2).length
+    assert(kernels2 == 2,
+      s"unindexed twin should carry two signature kernels, got $kernels2:\n$p2")
+  }
+
+  test("neardup_clusters_indexed == neardup_clusters") {
+    import spark.implicits._
+    val direct = Dedup.neardupClusters(spark, sfDir)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val indexed = BandIndex.neardupClustersIndexed(spark, sfDir)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(indexed.toSeq == direct.toSeq)
+  }
+
+  test("mergeBands upsert: a re-ingested doc's old bands are dropped, fresh docs append") {
+    import spark.implicits._
+    val stored = Seq(
+      (1L, 0, "old-sig-1"), (1L, 1, "old-sig-2"),  // doc 1: re-ingested below
+      (2L, 0, "keep-sig")                            // doc 2: untouched
+    ).toDF("doc_id", "band", "sig")
+    val batch = Seq(
+      (1L, 0, "new-sig-1"), (1L, 1, "new-sig-2"),  // doc 1's NEW signature
+      (3L, 0, "fresh-sig")                           // doc 3: brand new
+    ).toDF("doc_id", "band", "sig")
+    val got = BandIndex.mergeBands(stored, batch)
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (1L, 0, "new-sig-1"), (1L, 1, "new-sig-2"),
+      (2L, 0, "keep-sig"),
+      (3L, 0, "fresh-sig")))
+  }
+
+  test("index_refresh stats equal a from-scratch full-corpus band census") {
+    import spark.implicits._
+    val got = BandIndex.indexRefresh(spark, sfDir)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    val expected = Dedup.bandsOf(Dedup.minhashSignaturesOf(spark,
+        Dedup.cachedDocShingles(spark, sfDir)))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_entries"),
+        countDistinct("sig").as("n_buckets"),
+        countDistinct("doc_id").as("n_docs"))
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("pq codebooks: the stored artifact round-trips bit-identical to fresh training") {
+    val viaStore = similarity.Similarity.trainPqCodebooks(spark, sfDir)
+    val fresh = similarity.Similarity.trainPqCodebooksFresh(spark, sfDir)
+    for (m <- viaStore.indices; c <- viaStore(m).indices)
+      assert(java.util.Arrays.equals(viaStore(m)(c), fresh(m)(c)),
+        s"codebook ($m, $c) drifted through the parquet round-trip")
+  }
+}
