@@ -35,6 +35,7 @@ object SparkEntry {
     (text.CorpusOps.queries, text.CorpusOps.oracles),
     (dedup.Dedup.queries, dedup.Dedup.oracles),
     (dedup.BandIndex.queries, dedup.BandIndex.oracles),
+    (streaming.IngestDedup.queries, streaming.IngestDedup.oracles),
     (similarity.Similarity.queries, similarity.Similarity.oracles),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracles))
 

@@ -1,0 +1,185 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.Tables
+import graft.dedup.{BandIndex, Dedup}
+
+/** Streaming ingest dedup — the composition of the persisted standing
+  * index ([[graft.dedup.BandIndex]]) with the Structured-Streaming
+  * surface: each micro-batch of incoming documents is deduped against
+  * the standing MinHash band index, accepted docs are appended to the
+  * corpus store, and THEIR bands are appended to the index — so the
+  * next batch dedups against everything accepted before it. This is
+  * the steady-state shape of a crawl pipeline: the index is state the
+  * stream both reads and grows.
+  *
+  * Exactly-once: every batch writes to its OWN partition directory
+  * (`.../batch=<id>`, overwrite mode), so a replayed batch overwrites
+  * its previous partial output instead of appending beside it; and
+  * each batch's reads filter `batch < id`, so a replay after a torn
+  * commit (sink written, checkpoint commit missing) does not see its
+  * own half-written bands — without that guard a replayed doc would
+  * collide with its own index entry at Jaccard 1.0 and be double-
+  * REJECTED, the subtle failure mode of self-growing streaming state.
+  *
+  * The batch twin `ingest_dedup_fold` runs the SAME [[dedupStep]] as
+  * a three-batch sequential fold in batch mode and is certified by a
+  * DuckDB oracle that unrolls the fold; StreamingSpec pins
+  * stream == fold over the same feed and exactly-once across a
+  * kill + torn-commit restart.
+  *
+  * Scale: per batch, the signature kernel touches only the batch; the
+  * index contributes a parquet scan of constant-width (band, sig)
+  * keys; verify shingles only the corpus docs that actually collide
+  * (semi-join pushdown before the shingle kernel). The per-batch cost
+  * tracks batch size + matched-bucket corpus rows — never the corpus.
+  */
+object IngestDedup {
+
+  /** One ingest step: batch docs (doc_id, text) against the current
+    * index bands, with `knownDocs` (the accepted corpus store)
+    * providing text for candidate verification. Returns accepted
+    * doc_ids. A doc is accepted iff NO index collision verifies at
+    * exact Jaccard ≥ 0.5 — the same acceptance rule as
+    * `minhash_incremental`. Only corpus docs that COLLIDE get
+    * shingled for verify. */
+  def dedupStep(spark: SparkSession, batchDocs: DataFrame,
+                indexBands: DataFrame, knownDocs: DataFrame): DataFrame = {
+    val batchSh = shinglesOf(spark, batchDocs)
+    val batchBands = Dedup.bandsOf(Dedup.minhashSignaturesOf(spark, batchSh))
+      .select(col("doc_id").as("dn"), col("band"), col("sig"))
+    val cand = batchBands
+      .join(indexBands.select(col("doc_id").as("dc"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select("dn", "dc").distinct()
+    val candCorpusSh = shinglesOf(spark,
+      knownDocs.join(cand.select(col("dc").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi"))
+    val allSh = batchSh.unionByName(candCorpusSh)
+    val jac = col("c").cast("double") /
+      (col("n1") + col("n2") - col("c")).cast("double")
+    val matched = Dedup.verifiedIntersections(allSh, cand, "dn", "dc")
+      .filter(jac >= 0.5)
+      .select(col("dn").as("doc_id")).distinct()
+    batchDocs.select("doc_id").join(matched, Seq("doc_id"), "left_anti")
+  }
+
+  /** (doc_id, sh) via the shared typed shingle kernel, over an
+    * arbitrary (doc_id, text) frame (the dir-loading twin is
+    * [[Dedup.docShingles]]). */
+  private def shinglesOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, Dedup.shingleSet(text)) }
+      .toDF("doc_id", "sh")
+  }
+
+  /** Seed the stream's state stores: the standing corpus docs land in
+    * the accepted store and their bands in the index, both as the
+    * `batch=-1` partition (before every stream batch id). */
+  def seed(spark: SparkSession, corpusDocs: DataFrame,
+           indexPath: String, acceptedPath: String): Unit = {
+    corpusDocs.select("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$acceptedPath/batch=-1")
+    Dedup.bandsOf(Dedup.minhashSignaturesOf(spark,
+        shinglesOf(spark, corpusDocs)))
+      .write.mode("overwrite").parquet(s"$indexPath/batch=-1")
+  }
+
+  /** Start the ingest stream: `docsStream` rows are (doc_id, text);
+    * accepted docs append to `acceptedPath/batch=<id>`, their bands to
+    * `indexPath/batch=<id>`. Idempotent per batch (see object doc). */
+  def start(spark: SparkSession, docsStream: DataFrame, indexPath: String,
+            acceptedPath: String, checkpoint: String): StreamingQuery =
+    docsStream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // list + filter BEFORE writing this batch's partitions; the
+        // batch < id guard makes torn-commit replays read the same
+        // state the first attempt saw
+        val index = spark.read.parquet(indexPath)
+          .filter(col("batch") < id).select("doc_id", "band", "sig")
+        val known = spark.read.parquet(acceptedPath)
+          .filter(col("batch") < id).select("doc_id", "text")
+        val accepted = batch.select("doc_id", "text")
+          .join(dedupStep(spark, batch.select("doc_id", "text"), index, known),
+            Seq("doc_id"), "left_semi")
+          .persist()
+        try {
+          accepted.write.mode("overwrite").parquet(s"$acceptedPath/batch=$id")
+          Dedup.bandsOf(Dedup.minhashSignaturesOf(spark,
+              shinglesOf(spark, accepted)))
+            .write.mode("overwrite").parquet(s"$indexPath/batch=$id")
+        } finally { accepted.unpersist(); () }
+      }
+      .start()
+
+  /** The batch twin, oracled: odd doc_ids arrive as three ingest
+    * batches (doc_id % 6 = 1, then 3, then 5) against the standing
+    * even-id corpus — the index the first batch sees is the PERSISTED
+    * [[BandIndex.standingBands]] artifact, and each later batch also
+    * dedups against the docs accepted before it (the fold). Output:
+    * every accepted doc_id. The DuckDB oracle unrolls the same fold
+    * over from-scratch bands, so acceptance, ordering effects, and
+    * the index-growth semantics are all under the hash. */
+  def ingestDedupFold(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    var index = BandIndex.standingBands(spark, dir)
+      .select("doc_id", "band", "sig")
+    var known = docs.filter(col("doc_id") % 2 === 0)
+    var accepted: Option[DataFrame] = None
+    for (k <- Seq(1, 3, 5)) {
+      val batch = docs.filter(col("doc_id") % 6 === k)
+      // persist each step's accepted ids: step k+1's index and the
+      // final union both consume them — without the persist the whole
+      // prefix of the fold would re-run per consumer
+      val acc = dedupStep(spark, batch, index, known).persist()
+      val accDocs = docs.join(acc, Seq("doc_id"), "left_semi")
+      index = index.unionByName(
+        Dedup.bandsOf(Dedup.minhashSignaturesOf(spark,
+          shinglesOf(spark, accDocs))))
+      known = known.unionByName(accDocs)
+      accepted = Some(accepted.fold(acc)(_.unionByName(acc)))
+    }
+    accepted.get
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ingest_dedup_fold" -> (ingestDedupFold _))
+
+  val oracles: Map[String, String] = Map(
+    // the fold unrolled: vp = every verified (odd doc, other doc)
+    // near-dup pair; batch k accepts docs with no verified partner in
+    // the corpus or an EARLIER batch's accepted set
+    "ingest_dedup_fold" ->
+      s"""WITH ${Dedup.sigBandsCtes},
+         |cand AS (SELECT DISTINCT b.doc_id AS dn, a.doc_id AS dc
+         |         FROM bands b JOIN bands a
+         |           ON a.band = b.band AND a.bsig = b.bsig
+         |        WHERE b.doc_id % 2 = 1 AND a.doc_id <> b.doc_id),
+         |n AS (SELECT doc_id, len(sh) AS n FROM sh),
+         |inter AS (SELECT dn, dc, count(*) AS c
+         |          FROM cand JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e1 ON e1.doc_id = dn
+         |                    JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e2 ON e2.doc_id = dc
+         |          WHERE e1.s = e2.s GROUP BY 1, 2),
+         |vp AS (SELECT dn, dc FROM inter
+         |       JOIN n n1 ON n1.doc_id = dn
+         |       JOIN n n2 ON n2.doc_id = dc
+         |       WHERE CAST(c AS DOUBLE)/(n1.n + n2.n - c) >= 0.5),
+         |a1 AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 1
+         |       AND doc_id NOT IN (SELECT dn FROM vp WHERE dc % 2 = 0)),
+         |a2 AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 3
+         |       AND doc_id NOT IN (SELECT dn FROM vp
+         |         WHERE dc % 2 = 0 OR dc IN (SELECT doc_id FROM a1))),
+         |a3 AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 5
+         |       AND doc_id NOT IN (SELECT dn FROM vp
+         |         WHERE dc % 2 = 0 OR dc IN (SELECT doc_id FROM a1)
+         |            OR dc IN (SELECT doc_id FROM a2)))
+         |SELECT doc_id FROM a1
+         |UNION ALL SELECT doc_id FROM a2
+         |UNION ALL SELECT doc_id FROM a3""".stripMargin)
+}
