@@ -899,7 +899,14 @@ object TextAnalysis {
     * 400 surviving at sf0.01, 0 at sf1 where the mutated copy families
     * blanket the shingle space). The oracle agrees exactly; on a real
     * corpus the stage-5 drop is a few percent. */
-  def corpusPipelineFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** The funnel's per-doc inputs, shared VERBATIM by
+    * `corpus_pipeline_funnel` (aggregate report) and
+    * `corpus_rejection_ledger` (per-doc audit rows) so the two views
+    * of the pipeline cannot drift. */
+  private case class FunnelFrames(base: DataFrame, exactSurv: DataFrame,
+                                  losers: DataFrame, contaminated: DataFrame)
+
+  private def funnelFrames(spark: SparkSession, dir: String): FunnelFrames = {
     val docs = Tables.load(spark, dir, "documents")
     val q = qualityExprs
     val base = docs.select(col("doc_id"), q.nTok.as("n_tokens"),
@@ -916,7 +923,12 @@ object TextAnalysis {
       .select(explode(col("sh")).as("s")).distinct()
     val contaminated = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .join(evalShingles, "s").select("doc_id").distinct()
+    FunnelFrames(base, exactSurv, losers, contaminated)
+  }
 
+  def corpusPipelineFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val FunnelFrames(base, exactSurv, losers, contaminated) =
+      funnelFrames(spark, dir)
     val s2 = base.join(exactSurv, Seq("doc_id"), "left_semi")
     // the losers frame is OUTPUT-BOUND corpus-scale state (at sf10 the
     // synthetic dup families make nearly every doc a cluster member) —
@@ -939,8 +951,47 @@ object TextAnalysis {
       .unionAll(stat(5, "decontaminated", s5))
   }
 
+  /** Document-level lineage for the funnel — the audit table a
+    * curation team joins against: one row PER DOCUMENT with the first
+    * stage that removed it (`rejected_at`) and the specific rule
+    * (`reason`), or `accepted` for docs that survive the whole
+    * pipeline. Every membership rule is the SAME frame the funnel
+    * aggregates ([[funnelFrames]]), so the ledger and the funnel
+    * cannot disagree (the spec also cross-checks their counts).
+    * `holdout`/`eval_split` marks eval-split docs: not rejected for
+    * content, but absent from the training set — a ledger consumer
+    * needs that distinction.
+    *
+    * Scale: three left joins on doc_id (exact survivors, cluster
+    * losers, contaminated ids) over the corpus — all doc_id-keyed
+    * constant-width shuffles; flags fold into one CASE projection. */
+  def corpusRejectionLedger(spark: SparkSession, dir: String): DataFrame = {
+    val FunnelFrames(base, exactSurv, losers, contaminated) =
+      funnelFrames(spark, dir)
+    val flagged = base
+      .join(exactSurv.withColumn("ex", lit(true)), Seq("doc_id"), "left")
+      .join(losers.withColumn("loser", lit(true)), Seq("doc_id"), "left")
+      .join(contaminated.withColumn("cont", lit(true)), Seq("doc_id"), "left")
+    flagged.select(
+      col("doc_id"),
+      when(col("ex").isNull, lit("exact_dedup"))
+        .when(col("loser"), lit("neardup_dedup"))
+        .when(col("n_tokens") < 20 || col("quality_score") < 0.1, lit("quality"))
+        .when(col("split") =!= "train", lit("holdout"))
+        .when(col("cont"), lit("decontamination"))
+        .otherwise(lit("accepted")).as("rejected_at"),
+      when(col("ex").isNull, lit("duplicate_text"))
+        .when(col("loser"), lit("neardup_cluster_loser"))
+        .when(col("n_tokens") < 20, lit("too_short"))
+        .when(col("quality_score") < 0.1, lit("low_quality_score"))
+        .when(col("split") =!= "train", lit("eval_split"))
+        .when(col("cont"), lit("eval_shingle_overlap"))
+        .otherwise(lit("accepted")).as("reason"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_pipeline_funnel" -> (corpusPipelineFunnel _),
+    "corpus_rejection_ledger" -> (corpusRejectionLedger _),
     "lm_doc_likelihood" -> (lmDocLikelihood _),
     "doc_chunks" -> (docChunks _),
     "ngram_counts" -> (ngramCounts _),
@@ -1002,28 +1053,49 @@ object TextAnalysis {
        |          % 100 < ${100 - EvalPct}
        |     THEN 'train' ELSE 'eval' END""".stripMargin
 
+  /** CTE prefix shared by the funnel and ledger oracles — ends at `b`,
+    * the per-doc flag frame (the SQL twin of [[funnelFrames]]).
+    * componentCtes opens WITH RECURSIVE and already defines `sh` (the
+    * shingle frame) and `comp` (near-dup components); both reused. */
+  private lazy val funnelFlagCtes =
+    s"""${graft.dedup.Dedup.componentCtes},
+       |spl AS (SELECT doc_id, $splitCaseSql AS split FROM documents),
+       |evs AS (SELECT DISTINCT s FROM (SELECT doc_id, unnest(sh) AS s FROM sh) t
+       |        JOIN spl USING (doc_id) WHERE spl.split = 'eval'),
+       |contam AS (SELECT DISTINCT t.doc_id
+       |           FROM (SELECT doc_id, unnest(sh) AS s FROM sh) t JOIN evs USING (s)),
+       |m AS (SELECT doc_id,
+       |    $qualityMetricsSql
+       |  FROM documents),
+       |mq AS (SELECT doc_id, n_tokens,
+       |    $qualityScoreSql AS quality_score
+       |  FROM m),
+       |b AS (SELECT d.doc_id, mq.n_tokens, mq.quality_score, spl.split,
+       |             d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text) AS ex,
+       |             d.doc_id IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id) AS loser,
+       |             d.doc_id IN (SELECT doc_id FROM contam) AS cont
+       |      FROM documents d JOIN mq USING (doc_id) JOIN spl USING (doc_id))""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // componentCtes opens WITH RECURSIVE and already defines `sh`
-    // (the shingle frame) and `comp` (near-dup components); the funnel
-    // reuses both
+    "corpus_rejection_ledger" ->
+      s"""$funnelFlagCtes
+         |SELECT doc_id,
+         |  CASE WHEN NOT ex THEN 'exact_dedup'
+         |       WHEN loser THEN 'neardup_dedup'
+         |       WHEN n_tokens < 20 OR quality_score < 0.1 THEN 'quality'
+         |       WHEN split <> 'train' THEN 'holdout'
+         |       WHEN cont THEN 'decontamination'
+         |       ELSE 'accepted' END AS rejected_at,
+         |  CASE WHEN NOT ex THEN 'duplicate_text'
+         |       WHEN loser THEN 'neardup_cluster_loser'
+         |       WHEN n_tokens < 20 THEN 'too_short'
+         |       WHEN quality_score < 0.1 THEN 'low_quality_score'
+         |       WHEN split <> 'train' THEN 'eval_split'
+         |       WHEN cont THEN 'eval_shingle_overlap'
+         |       ELSE 'accepted' END AS reason
+         |FROM b""".stripMargin,
     "corpus_pipeline_funnel" ->
-      s"""${graft.dedup.Dedup.componentCtes},
-         |spl AS (SELECT doc_id, $splitCaseSql AS split FROM documents),
-         |evs AS (SELECT DISTINCT s FROM (SELECT doc_id, unnest(sh) AS s FROM sh) t
-         |        JOIN spl USING (doc_id) WHERE spl.split = 'eval'),
-         |contam AS (SELECT DISTINCT t.doc_id
-         |           FROM (SELECT doc_id, unnest(sh) AS s FROM sh) t JOIN evs USING (s)),
-         |m AS (SELECT doc_id,
-         |    $qualityMetricsSql
-         |  FROM documents),
-         |mq AS (SELECT doc_id, n_tokens,
-         |    $qualityScoreSql AS quality_score
-         |  FROM m),
-         |b AS (SELECT d.doc_id, mq.n_tokens, mq.quality_score, spl.split,
-         |             d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text) AS ex,
-         |             d.doc_id IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id) AS loser,
-         |             d.doc_id IN (SELECT doc_id FROM contam) AS cont
-         |      FROM documents d JOIN mq USING (doc_id) JOIN spl USING (doc_id))
+      s"""$funnelFlagCtes
          |SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS stage_name, count(*) AS n_docs,
          |       COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) AS n_tokens FROM b
          |UNION ALL

@@ -234,6 +234,33 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
     assert(f(3)._3 == TextAnalysis.trainingSetSelectNeardup(spark, sfDir).count())
   }
 
+  test("corpus_rejection_ledger: one row per doc; stage counts reconcile with the funnel") {
+    import spark.implicits._
+    val ledger = TextAnalysis.corpusRejectionLedger(spark, sfDir)
+      .as[(Long, String, String)].collect()
+    assert(ledger.length == Tables.load(spark, sfDir, "documents").count())
+    assert(ledger.map(_._1).distinct.length == ledger.length, "doc_id not unique")
+    val funnel = TextAnalysis.corpusPipelineFunnel(spark, sfDir)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._2 -> r._3).toMap
+    def surviving(stages: String*) =
+      ledger.count(r => !stages.contains(r._2)).toLong
+    // funnel stage k = docs NOT removed by any stage up to k
+    assert(surviving("exact_dedup") == funnel("exact_dedup"))
+    assert(surviving("exact_dedup", "neardup_dedup") == funnel("neardup_dedup"))
+    assert(surviving("exact_dedup", "neardup_dedup", "quality") == funnel("quality"))
+    assert(ledger.count(_._2 == "accepted").toLong == funnel("decontaminated"))
+    // reasons are stage-consistent
+    val reasonsByStage = ledger.groupBy(_._2).view
+      .mapValues(_.map(_._3).toSet).toMap
+    assert(reasonsByStage.get("exact_dedup").forall(_ == Set("duplicate_text")))
+    assert(reasonsByStage.get("quality")
+      .forall(_.subsetOf(Set("too_short", "low_quality_score"))))
+    assert(reasonsByStage.get("holdout").forall(_ == Set("eval_split")))
+    assert(reasonsByStage("accepted") == Set("accepted"))
+    assert(ledger.count(_._2 == "accepted") > 0, "pipeline accepted nothing")
+  }
+
   test("lm_doc_likelihood: hand-computed fixed-point bigram LM scores") {
     import spark.implicits._
     // bigram counts: (a,b)×2, (a,c)×1 → prefix a: 3
