@@ -313,9 +313,26 @@ object Similarity {
     (cents, movements)
   }
 
+  /** Session memo over a PERSISTED artifact (the PQ-codebook pattern):
+    * the first session to train a corpus's IVF centroids publishes
+    * them as fingerprint-keyed parquet (cid, centroid) and every later
+    * session reads C rows back instead of paying [[IvfIters]] corpus
+    * passes — doubles round-trip parquet losslessly, so stored and
+    * fresh centroids are bit-identical (BandIndexSpec pins the PQ
+    * twin; the mechanism is shared). */
   def trainIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
-    centroidCache.computeIfAbsent((spark, dir),
-      { _ => trainIvfCentroidsWithTrace(spark, dir)._1 })
+    centroidCache.computeIfAbsent((spark, dir), { _ =>
+      import spark.implicits._
+      val stored = graft.IndexStore.getOrBuild(spark, dir, "embeddings",
+        "ivf_centroids") {
+        val trained = trainIvfCentroidsWithTrace(spark, dir)._1
+        spark.createDataFrame(
+          trained.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
+          .toDF("cid", "centroid")
+          .coalesce(1)
+      }
+      stored.as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    })
 
   /** IVF-style ANN: assign every vector to its nearest of [[IvfCells]]
     * centroids (one narrow n×C scoring pass — centroids broadcast, no
