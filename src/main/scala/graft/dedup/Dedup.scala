@@ -812,21 +812,45 @@ object Dedup {
   private val minhashNeardupSql =
     s"WITH $minhashCtes\nSELECT d1, d2, jaccard FROM pairs"
 
-  /** Recursive-CTE connected components over the minhash pair list:
-    * `reach(n, l)` = "label l reaches node n"; min reachable label per
-    * node = min id of its component — the same fixpoint the Spark-side
-    * min-label propagation computes. Ends with comp(doc_id, cluster_id)
-    * open for a caller-appended final CTE/SELECT. */
-  private[graft] val componentCtes =
-    s"""WITH RECURSIVE $minhashCtes,
+  /** Rounds of the oracle's unrolled min-label propagation. The Spark
+    * side iterates to FIXPOINT; the oracle's fixed unroll matches it
+    * whenever every node is within this many hops of its component's
+    * min-id node. Near-dup components are dup-family near-cliques
+    * (diameter 1–2); 16 is a wide margin, and an insufficient unroll
+    * shows up as a RED row (label mismatch), never a silent pass. */
+  private[graft] val ComponentOracleRounds = 16
+
+  /** Connected components over the minhash pair list as UNROLLED
+    * min-label propagation — the same algorithm the Spark side runs
+    * ([[graft.operators.ConnectedComponents]]), one materialized
+    * n-row label frame per round. Through round 8 this was a
+    * recursive-CTE transitive closure (`reach(n, l)` = "label l
+    * reaches n"), whose intermediate is Σ K² rows per K-node
+    * component — at sf3 the dup-family components grow to thousands
+    * of docs and the reach table spilled DuckDB past 70 GB of temp
+    * disk (the round-9 sf3 gate caught it). Label propagation carries
+    * one row per node per round instead. `AS MATERIALIZED` is
+    * load-bearing: each round references the previous twice, and
+    * DuckDB's CTE inlining would otherwise double the plan per round
+    * (2^rounds blowup — the round-8 mmr lesson). Ends with
+    * comp(doc_id, cluster_id) open for a caller-appended SELECT. */
+  private[graft] val componentCtes = {
+    val rounds = (1 to ComponentOracleRounds).map { i =>
+      s"""lp$i AS MATERIALIZED (
+         |  SELECT nd, min(l) AS l FROM (
+         |    SELECT nd, l FROM lp${i - 1}
+         |    UNION ALL
+         |    SELECT e.t AS nd, p.l FROM lp${i - 1} p JOIN edges e ON e.s = p.nd) u
+         |  GROUP BY nd)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $minhashCtes,
        |nodes AS (SELECT d1 AS nd FROM pairs UNION SELECT d2 FROM pairs),
-       |edges AS (SELECT d1 AS s, d2 AS t FROM pairs
+       |edges AS MATERIALIZED (SELECT d1 AS s, d2 AS t FROM pairs
        |          UNION ALL SELECT d2, d1 FROM pairs),
-       |reach(nd, l) AS (
-       |  SELECT nd, nd FROM nodes
-       |  UNION
-       |  SELECT e.t, r.l FROM reach r JOIN edges e ON e.s = r.nd),
-       |comp AS (SELECT nd AS doc_id, min(l) AS cluster_id FROM reach GROUP BY nd)""".stripMargin
+       |lp0 AS (SELECT nd, nd AS l FROM nodes),
+       |$rounds,
+       |comp AS (SELECT nd AS doc_id, l AS cluster_id FROM lp$ComponentOracleRounds)""".stripMargin
+  }
 
   private val substringDupStatsSql =
     """WITH toks AS (
