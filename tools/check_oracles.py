@@ -51,7 +51,11 @@ def main(sf_dir, out_dir, only=None):
     # GRAFT_DUCK_MEM overrides for single heavy oracles (the sf1 IVF
     # replay needs ~2.5x the default)
     con.sql(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '40GB')}'")
-    con.sql("SET temp_directory='/tmp/duck_spill'")
+    # per-process spill dir: two concurrent checkers sharing one
+    # temp_directory corrupt each other's spill files (observed as
+    # SIGSEGV / torn-read IO errors during the r9 sf3 parallel run)
+    spill = os.environ.get("GRAFT_DUCK_TMP", f"/tmp/duck_spill_{os.getpid()}")
+    con.sql(f"SET temp_directory='{spill}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
