@@ -37,10 +37,36 @@ import org.apache.spark.sql.functions._
   */
 object IndexStore {
 
+  /** On-disk artifact format version, folded into every directory key:
+    * bumping it re-keys (and so rebuilds) every artifact after a
+    * layout-incompatible change, instead of silently serving old-format
+    * parquet to new readers. */
+  val FormatVersion = 1
+
   /** Root for all persisted index artifacts (tmpdir keeps the gate's
     * no-writes-outside-the-repo contract; production points this at
-    * object storage). */
-  def root: File = new File(sys.props("java.io.tmpdir"), "graft_index")
+    * object storage). Scoped per OS user: the system tmpdir is shared,
+    * and an unscoped root would let one user's crashed builders (or a
+    * hostile sibling account) collide with another's artifacts. */
+  def root: File = {
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    new File(sys.props("java.io.tmpdir"), s"graft_index_$user")
+  }
+
+  /** Sweep leftover `*.tmp-*` staging directories older than this. A
+    * builder that crashes mid-write orphans its staging dir (only the
+    * rename-loser path cleans up after itself); anything this stale is
+    * certainly not a live concurrent build. */
+  private val TmpSweepAgeMs = 3600L * 1000
+
+  private def sweepStaleTmpDirs(): Unit = {
+    val kids = root.listFiles()
+    if (kids != null) kids
+      .filter(d => d.getName.contains(".tmp-") &&
+        d.lastModified() < System.currentTimeMillis() - TmpSweepAgeMs)
+      .foreach(deleteRecursively)
+  }
 
   private val fpCache =
     new ConcurrentHashMap[(SparkSession, String, String), (Long, Long)]()
@@ -61,12 +87,19 @@ object IndexStore {
     })
 
   /** The content-keyed directory for index `kind` derived from
-    * (`dir`, `table`). */
+    * (`dir`, `table`). `params` is the builder's ALGORITHM-parameter
+    * fingerprint (e.g. "h=32,r=4,sh=8"): the key covers source content
+    * AND the constants the artifact was built with, so changing a
+    * MinHash/PQ/IVF constant re-keys and rebuilds instead of silently
+    * reusing an incompatible artifact built under the old parameters
+    * (round-9 advice). [[FormatVersion]] rides the same slot. */
   def indexDir(spark: SparkSession, dir: String, table: String,
-               kind: String): File = {
+               kind: String, params: String = ""): File = {
     val (n, fp) = fingerprint(spark, dir, table)
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    new File(root, s"${kind}_${key}_${n}_$fp")
+    val pcrc = new java.util.zip.CRC32()
+    pcrc.update(s"v$FormatVersion|$params".getBytes("UTF-8"))
+    new File(root, s"${kind}_p${pcrc.getValue}_${key}_${n}_$fp")
   }
 
   private def isComplete(d: File): Boolean = new File(d, "_SUCCESS").exists()
@@ -80,9 +113,11 @@ object IndexStore {
   private[graft] val builds = new java.util.concurrent.atomic.AtomicLong(0)
 
   def getOrBuild(spark: SparkSession, dir: String, table: String,
-                 kind: String)(build: => DataFrame): DataFrame = {
-    val target = indexDir(spark, dir, table, kind)
+                 kind: String, params: String = "")
+                (build: => DataFrame): DataFrame = {
+    val target = indexDir(spark, dir, table, kind, params)
     if (!isComplete(target)) {
+      sweepStaleTmpDirs()
       builds.incrementAndGet()
       val tmp = new File(target.getParentFile,
         target.getName + ".tmp-" + java.util.UUID.randomUUID())
@@ -104,20 +139,30 @@ object IndexStore {
     * queries that must demonstrate the write-path, where overwriting
     * the shared standing artifact in place would race. */
   def writeVersioned(spark: SparkSession, dir: String, table: String,
-                     kind: String, df: DataFrame): DataFrame = {
-    val base = indexDir(spark, dir, table, kind)
-    // bound accumulation: sweep sibling versions published over an
-    // hour ago (old enough that no live query stream still scans them)
+                     kind: String, df: DataFrame, params: String = ""): DataFrame = {
+    val base = indexDir(spark, dir, table, kind, params)
+    // bound accumulation: sweep sibling versions, but NEVER the newest
+    // two — age alone is not a safe signal (a query stream can scan one
+    // version for longer than any fixed window at audit-tier SFs, and
+    // deleting a scanned version fails its FileScan mid-task; round-9
+    // advice). Keeping the two most recent published versions gives
+    // every reader a full handoff generation; older-than-an-hour
+    // third-and-beyond versions have no plausible reader left.
     val old = base.getParentFile.listFiles()
-    if (old != null) old
-      .filter(_.getName.startsWith(base.getName + "-v"))
-      // _SUCCESS must EXIST and be old — a version without the marker
-      // may be a concurrent write in progress, never touch it
-      .filter { d =>
-        val m = new File(d, "_SUCCESS")
-        m.exists() && m.lastModified() < System.currentTimeMillis() - 3600L * 1000
-      }
-      .foreach(deleteRecursively)
+    if (old != null) {
+      val published = old
+        .filter(_.getName.startsWith(base.getName + "-v"))
+        // _SUCCESS must EXIST — a version without the marker may be a
+        // concurrent write in progress, never touch it
+        .flatMap { d =>
+          val m = new File(d, "_SUCCESS")
+          if (m.exists()) Some((d, m.lastModified())) else None
+        }
+        .sortBy(-_._2)
+      published.drop(2)
+        .filter(_._2 < System.currentTimeMillis() - 3600L * 1000)
+        .foreach { case (d, _) => deleteRecursively(d) }
+    }
     val out = new File(base.getParentFile,
       base.getName + "-v" + java.util.UUID.randomUUID())
     df.write.mode("overwrite").parquet(out.getAbsolutePath)

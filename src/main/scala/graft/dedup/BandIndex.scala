@@ -54,7 +54,8 @@ object BandIndex {
     * corpus half — built once per corpus content-fingerprint and read
     * from parquet ever after (across sessions and JVMs). */
   def standingBands(spark: SparkSession, dir: String): DataFrame =
-    IndexStore.getOrBuild(spark, dir, "documents", "minhash_bands") {
+    IndexStore.getOrBuild(spark, dir, "documents", "minhash_bands",
+      Dedup.MinhashIndexParams) {
       Dedup.bandsOf(Dedup.minhashSignaturesOf(spark,
         Dedup.cachedDocShingles(spark, dir).filter(corpusFilter)))
     }
@@ -63,7 +64,8 @@ object BandIndex {
     * with label = min member id, the artifact `neardup_clusters` and
     * training-set selection resolve per session today. */
   def storedComponents(spark: SparkSession, dir: String): DataFrame =
-    IndexStore.getOrBuild(spark, dir, "documents", "neardup_cc_labels") {
+    IndexStore.getOrBuild(spark, dir, "documents", "neardup_cc_labels",
+      Dedup.MinhashIndexParams) {
       ConnectedComponents.resolve(
         Dedup.cachedMinhashPairs(spark, dir).select("d1", "d2"), "d1", "d2")
     }
@@ -74,17 +76,21 @@ object BandIndex {
     Dedup.bandsOf(Dedup.minhashSignaturesOf(spark,
       Dedup.cachedDocShingles(spark, dir).filter(batchFilter)))
 
-  /** [[Dedup.minhashIncremental]] against the STORED index: batch
-    * bands join the standing artifact's buckets, candidates verify
-    * with the shared merge-pinned exact-Jaccard stage, and a batch doc
-    * is accepted iff nothing verifies at ≥ 0.5. The corpus side
-    * contributes a parquet FileScan — no 32-hash pass, which is the
-    * entire point of persisting the index. */
-  def minhashIncrementalIndexed(spark: SparkSession, dir: String): DataFrame = {
+  /** The indexed acceptance decision, parameterized by WHICH corpus
+    * band frame plays the index — [[minhashIncrementalIndexed]] passes
+    * the standing artifact, [[indexRetract]] passes both the standing
+    * and the retracted copy. Batch bands join the index's buckets,
+    * candidates verify with the shared merge-pinned exact-Jaccard
+    * stage, and a batch doc is accepted iff nothing verifies at ≥ 0.5.
+    * Returns the accepted batch doc_ids. Erased/absent index docs can
+    * never suppress a batch doc: candidates exist only where the index
+    * has bands. */
+  private def acceptedAgainst(spark: SparkSession, dir: String,
+                              corpusBands: DataFrame): DataFrame = {
     val docs = Dedup.cachedDocShingles(spark, dir)
     val batch = batchBands(spark, dir)
       .select(col("doc_id").as("dn"), col("band"), col("sig"))
-    val corpus = standingBands(spark, dir)
+    val corpus = corpusBands
       .select(col("doc_id").as("dc"), col("band"), col("sig"))
     val cand = batch.join(corpus, Seq("band", "sig"))
       .select("dn", "dc").distinct()
@@ -98,6 +104,12 @@ object BandIndex {
       .select("doc_id")
       .join(matched, Seq("doc_id"), "left_anti")
   }
+
+  /** [[Dedup.minhashIncremental]] against the STORED index: the corpus
+    * side contributes a parquet FileScan — no 32-hash pass, which is
+    * the entire point of persisting the index. */
+  def minhashIncrementalIndexed(spark: SparkSession, dir: String): DataFrame =
+    acceptedAgainst(spark, dir, standingBands(spark, dir))
 
   /** The refresh's upsert rule, isolated for the unit spec: any stored
     * bands for doc_ids present in the batch are dropped (a re-ingested
@@ -120,7 +132,7 @@ object BandIndex {
     val batch = batchBands(spark, dir)
     val refreshed = mergeBands(stored, batch)
     IndexStore.writeVersioned(spark, dir, "documents",
-        "minhash_bands_refreshed", refreshed)
+        "minhash_bands_refreshed", refreshed, Dedup.MinhashIndexParams)
       .groupBy("band")
       .agg(
         count(lit(1)).as("n_entries"),
@@ -128,27 +140,148 @@ object BandIndex {
         countDistinct("doc_id").as("n_docs"))
   }
 
+  /** Cluster count above which the size join abandons the broadcast
+    * hint — same budget rationale as TextAnalysis.LmBroadcastMaxRows:
+    * 10⁶ (cluster_id, count) rows are tens of MB of build state; a
+    * corpus whose near-dup graph resolves to more clusters than that
+    * merges instead (a pinned broadcast there is a driver OOM at the
+    * module's stated 100 TB posture — round-9 advice). */
+  val ClusterBroadcastMaxRows = 1000000L
+
+  private val clusterCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+
   /** [[Dedup.neardupClusters]] over the stored label artifact — the
     * session that ANSWERS cluster queries is rarely the session that
-    * RESOLVED them; this is the read path. */
+    * RESOLVED them; this is the read path. The size join's strategy is
+    * cardinality-gated, not pinned (one memoized count over the stored
+    * labels decides broadcast vs sort-merge). */
   def neardupClustersIndexed(spark: SparkSession, dir: String): DataFrame = {
     val comp = storedComponents(spark, dir)
     val sizes = comp.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
+    val nClusters = clusterCountCache.computeIfAbsent((spark, dir),
+      { _ => Long.box(sizes.count()) }).longValue()
+    val hinted =
+      if (nClusters <= ClusterBroadcastMaxRows) broadcast(sizes)
+      else sizes.hint("merge")
     comp.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .join(broadcast(sizes), "cluster_id")
+      .join(hinted, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
+  /** The erasure set for [[indexRetract]]: corpus doc_ids ≡ 4 (mod
+    * 10) — deterministic, even-only (so every erased doc is a standing-
+    * corpus member), ~10% of the corpus. */
+  private[graft] def erasedFilter = col("doc_id") % 10 === 4
+
+  /** GDPR-style index retraction — the DELETE path the standing index
+    * family was missing (round-9 verdict #6): an erasure set must
+    * vanish from every derived artifact, not just the source table.
+    *
+    * The query (1) anti-joins the erased doc_ids out of the standing
+    * band index and PUBLISHES the retracted copy as a versioned
+    * artifact (writeVersioned — the `index_refresh` write path), (2)
+    * re-publishes the stored CC labels with a from-scratch resolution
+    * over the pair graph MINUS pairs touching an erased doc (dropping
+    * just the erased rows would keep stale labels: an erased doc can
+    * be the cut vertex holding a cluster together, or its elected
+    * min-id label — BandIndexSpec pins both artifacts erased-free),
+    * and (3) reports the USER-VISIBLE consequence: for every batch
+    * (odd-id) doc, its acceptance decision against the full index vs
+    * against the retracted copy. A doc whose only ≥0.5-Jaccard
+    * near-dups were erased flips rejected → accepted — exactly the
+    * behavior the next `ingest_dedup_fold` step inherits, since the
+    * "after" decision reads the PUBLISHED artifact (write/read loss
+    * would break the hash). Acceptance is monotone (erasure only
+    * removes suppressors), which the spec pins as before ⇒ after.
+    *
+    * The oracle recomputes both decisions from scratch (shared
+    * `minhash_incremental` CTE prefix; the "after" side filters
+    * erased docs out of the candidate set), so the retraction rule,
+    * the publish cycle, and the acceptance semantics are all under
+    * the hash. */
+  /** The retracted band artifact: the standing index minus every
+    * erased doc's bands, PUBLISHED as a versioned sibling and returned
+    * as a scan of the written copy (so consumers exercise the full
+    * write/read cycle). */
+  private[graft] def retractedBands(spark: SparkSession, dir: String): DataFrame = {
+    val erased = Tables.load(spark, dir, "documents")
+      .filter(erasedFilter).select("doc_id")
+    IndexStore.writeVersioned(spark, dir, "documents",
+      "minhash_bands_retracted",
+      standingBands(spark, dir).join(erased, Seq("doc_id"), "left_anti"),
+      Dedup.MinhashIndexParams)
+  }
+
+  def indexRetract(spark: SparkSession, dir: String): DataFrame = {
+    val retracted = retractedBands(spark, dir)
+    // labels: resolve over the pair graph minus erased endpoints (see
+    // Scaladoc — filtering rows out of the stored labels is NOT a
+    // correct retraction), published beside the bands
+    retractedComponents(spark, dir)
+    val before = acceptedAgainst(spark, dir, standingBands(spark, dir))
+      .withColumn("b", lit(true))
+    val after = acceptedAgainst(spark, dir, retracted)
+      .withColumn("a", lit(true))
+    Tables.load(spark, dir, "documents")
+      .filter(batchFilter)
+      .select("doc_id")
+      .join(before, Seq("doc_id"), "left")
+      .join(after, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("b"), lit(false)).as("accepted_before"),
+        coalesce(col("a"), lit(false)).as("accepted_after"))
+  }
+
+  /** The retracted CC label artifact: a fresh resolution over the
+    * near-dup pair graph with every pair touching an erased doc
+    * removed, published as a versioned sibling of the standing label
+    * artifact. Returned for the spec; `index_retract`'s oracle covers
+    * the band side, this covers the label side. */
+  private[graft] def retractedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.cachedMinhashPairs(spark, dir)
+      .filter(!(col("d1") % 10 === 4) && !(col("d2") % 10 === 4))
+    IndexStore.writeVersioned(spark, dir, "documents", "neardup_cc_labels_retracted",
+      ConnectedComponents.resolve(pairs.select("d1", "d2"), "d1", "d2"),
+      Dedup.MinhashIndexParams)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "minhash_incremental_indexed" -> (minhashIncrementalIndexed _),
     "index_refresh" -> (indexRefresh _),
+    "index_retract" -> (indexRetract _),
     "neardup_clusters_indexed" -> (neardupClustersIndexed _))
 
   val oracles: Map[String, String] = Map(
     // identical to minhash_incremental by construction: the stored
     // index is byte-equal to recomputed corpus bands
     "minhash_incremental_indexed" -> Dedup.oracles("minhash_incremental"),
+    // both decisions from scratch: matched_b = the minhash_incremental
+    // rule; matched_a additionally drops erased (dc % 10 = 4) docs from
+    // the candidate set — filtering at the matched stage equals
+    // filtering the index (acceptance is monotone in the candidate set)
+    "index_retract" ->
+      s"""WITH ${Dedup.sigBandsCtes},
+         |cand AS (SELECT DISTINCT b.doc_id AS dn, a.doc_id AS dc
+         |         FROM bands b JOIN bands a
+         |           ON a.band = b.band AND a.bsig = b.bsig
+         |        WHERE b.doc_id % 2 = 1 AND a.doc_id % 2 = 0),
+         |n AS (SELECT doc_id, len(sh) AS n FROM sh),
+         |inter AS (SELECT dn, dc, count(*) AS c
+         |          FROM cand JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e1 ON e1.doc_id = dn
+         |                    JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e2 ON e2.doc_id = dc
+         |          WHERE e1.s = e2.s GROUP BY 1, 2),
+         |verified AS (SELECT dn, dc FROM inter
+         |             JOIN n n1 ON n1.doc_id = dn
+         |             JOIN n n2 ON n2.doc_id = dc
+         |             WHERE CAST(c AS DOUBLE)/(n1.n + n2.n - c) >= 0.5),
+         |matched_b AS (SELECT DISTINCT dn FROM verified),
+         |matched_a AS (SELECT DISTINCT dn FROM verified WHERE dc % 10 <> 4)
+         |SELECT doc_id,
+         |       doc_id NOT IN (SELECT dn FROM matched_b) AS accepted_before,
+         |       doc_id NOT IN (SELECT dn FROM matched_a) AS accepted_after
+         |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
     "index_refresh" ->
       s"""WITH ${Dedup.sigBandsCtes}
          |SELECT band, count(*) AS n_entries,

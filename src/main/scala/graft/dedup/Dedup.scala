@@ -402,6 +402,13 @@ object Dedup {
   val NumHashes = 32
   val BandRows = 4 // -> 8 bands
 
+  /** Algorithm-parameter fingerprint for MinHash-family artifacts in
+    * [[graft.IndexStore]] (shingle width 3 is [[shingleSet]]'s window):
+    * changing any constant re-keys the standing band/label artifacts so
+    * old-parameter indexes are never silently reused (round-9 advice). */
+  private[graft] def MinhashIndexParams =
+    s"sh=3,p=$P,h=$NumHashes,r=$BandRows,jac=0.5"
+
   /** 60-bit md5 prefix of the shingle, reduced mod p — the base hash the
     * permutation family acts on. Same bytes, same hex, same value in
     * DuckDB. */

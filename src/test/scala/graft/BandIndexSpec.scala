@@ -128,6 +128,68 @@ class BandIndexSpec extends AnyFunSuite with SharedSpark {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("IndexStore: a changed parameter fingerprint moves the artifact directory") {
+    val dir = tempCorpus(Seq((1L, "a b c")))
+    val d1 = IndexStore.indexDir(spark, dir, "documents", "spec_params", "h=32,r=4")
+    val d2 = IndexStore.indexDir(spark, dir, "documents", "spec_params", "h=64,r=4")
+    assert(d1.getName != d2.getName,
+      "an algorithm-parameter change must re-key the artifact " +
+        s"(else stale-parameter indexes are silently reused): $d1 vs $d2")
+  }
+
+  test("index_retract: erased docs vanish from both published artifacts; " +
+    "acceptance is monotone and a doc suppressed only by an erased dup flips") {
+    import spark.implicits._
+    // corpus (even ids): 24 is ERASED (24 % 10 == 4); 2 stays. batch
+    // (odd ids): 31 duplicates 24 exactly (its ONLY near-dup), 33 is
+    // unique. Expected: 31 rejected before, accepted after (the flip
+    // the verdict asks for); 33 accepted in both.
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val dir = tempCorpus(Seq(
+      (24L, dup),
+      (2L, "completely unrelated corpus text that matches nothing else here"),
+      (31L, dup),
+      (33L, "a unique batch document with its very own words throughout")))
+    val got = BandIndex.indexRetract(spark, dir)
+      .as[(Long, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((31L, false, true), (33L, true, true)))
+    // monotone everywhere: erasure only removes suppressors
+    got.foreach { case (id, before, after) =>
+      assert(!before || after, s"doc $id flipped accepted -> rejected")
+    }
+    // the published band artifact holds NO erased doc's bands
+    val bands = BandIndex.retractedBands(spark, dir)
+    assert(bands.filter(col("doc_id") % 10 === 4).count() == 0,
+      "erased doc bands survived in the published retracted index")
+    assert(bands.filter(col("doc_id") === 2L).count() > 0,
+      "non-erased corpus bands must survive retraction")
+  }
+
+  test("retracted CC labels: no erased ids, labels == union-find over the filtered pairs") {
+    import spark.implicits._
+    val got = BandIndex.retractedComponents(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keys.forall(_ % 10 != 4), "erased id present in retracted labels")
+    assert(got.values.forall(_ % 10 != 4), "erased id elected as a retracted label")
+    // driver-side union-find truth over the pair graph minus erased endpoints
+    val pairs = Dedup.cachedMinhashPairs(spark, sfDir)
+      .select("d1", "d2").as[(Long, Long)].collect()
+      .filter(p => p._1 % 10 != 4 && p._2 % 10 != 4)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val minOf = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+    val want = nodes.map(n => n -> minOf(find(n))).toMap
+    assert(got == want)
+  }
+
   test("pq codebooks: the stored artifact round-trips bit-identical to fresh training") {
     val viaStore = similarity.Similarity.trainPqCodebooks(spark, sfDir)
     val fresh = similarity.Similarity.trainPqCodebooksFresh(spark, sfDir)

@@ -235,11 +235,14 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     Dedup.cachedDocShingles(spark, sfDir).count()
     Dedup.cachedMinhashPairs(spark, sfDir).count()
     graft.operators.SqlSurface.minCostSupplier(spark, sfDir).count()
+    graft.streaming.IngestDedup.ingestDedupFold(spark, sfDir).count()
     Dedup.clearCaches(spark)
     graft.similarity.Similarity.clearCaches(spark)
     graft.operators.PageRank.clearCaches(spark)
     graft.text.CorpusOps.clearCaches(spark)
     graft.operators.SqlSurface.clearCaches(spark)
+    graft.streaming.IngestDedup.clearCaches(spark)
+    assert(graft.streaming.IngestDedup.ingestDedupFold(spark, sfDir).count() > 0)
     assert(Dedup.neardupClusters(spark, sfDir).count() > 0)
     assert(graft.similarity.Similarity.similarAnnIvf(spark, sfDir).count() > 0)
     assert(graft.operators.PageRank.pagerankTradeGraph(spark, sfDir).count() > 0)
@@ -353,6 +356,55 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
       val want = nodes.map(n => n -> minOf(roots(n))).toMap
       assert(got == want)
     }
+  }
+
+  test("alternating (large-star/small-star) components == label propagation") {
+    import spark.implicits._
+    // the hand-built graph plus random graphs: both modes must agree
+    // exactly (same (id, label=component-min) contract)
+    val path = (100L until 115L).map(i => (i, i + 1))
+    val handBuilt = (Seq(
+      (2L, 1L), (2L, 3L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L),
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L)
+    ) ++ path).toDF("a", "b")
+    val lp = graft.operators.ConnectedComponents.resolve(handBuilt, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val alt = graft.operators.ConnectedComponents
+      .resolveAlternating(handBuilt, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(alt == lp)
+    val rnd = new scala.util.Random(99) // fixed seed: deterministic test
+    for (_ <- 1 to 3) {
+      val edges = Seq.fill(40)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .toDF("a", "b") // self-loops allowed: both modes must keep the node
+      val a = graft.operators.ConnectedComponents.resolve(edges, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val b = graft.operators.ConnectedComponents
+        .resolveAlternating(edges, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(b == a)
+    }
+  }
+
+  test("alternating components contract a long chain in logarithmic rounds") {
+    import spark.implicits._
+    // a 256-node path has diameter 255: label propagation needs 255
+    // rounds (far past its loud-failure bound), the alternating star
+    // algorithm contracts it in O(log n). The bound here is generous
+    // (2·log2 n + 4 = 20) — regression room without hiding a linear
+    // slip; the observed count is ~log2 n.
+    val n = 256
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = graft.operators.ConnectedComponents
+      .resolveAlternatingWithRounds(chain, "a", "b")
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L), "every chain node joins component 0")
+    val bound = 2 * (math.log(n) / math.log(2)).ceil.toInt + 4
+    assert(rounds <= bound,
+      s"chain of $n should contract in <= $bound alternating rounds, took $rounds")
   }
 
   test("connected components: reliable-checkpoint mode labels == localCheckpoint labels") {

@@ -112,6 +112,18 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.15, s"LSH near-dup recall collapsed: $recall (${lsh.size}/${exact.size})")
   }
 
+  test("similar_ann_ivfpq: ADC reads the STORED codes artifact — FileScan in the " +
+    "plan, no query-time encode kernel") {
+    // warm the artifact so the plan under test is the steady-state read path
+    Similarity.embeddingPqCodesIndexed(spark, sfDir).count()
+    val p = Similarity.similarAnnIvfPq(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("pq_codes"),
+      s"ADC must scan the persisted codes artifact:\n$p")
+    assert(!p.contains("MapElements"),
+      s"no per-candidate PQ-encode kernel may remain in the query plan:\n$p")
+  }
+
   test("semdedup_prune: per-cluster accounting closes and min-id members survive") {
     import org.apache.spark.sql.functions._
     val rows = Similarity.semdedupPrune(spark, sfDir).collect()
