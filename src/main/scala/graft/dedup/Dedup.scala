@@ -107,8 +107,11 @@ object Dedup {
     * bounded (one entry per corpus) and MEMORY_AND_DISK-evictable, so
     * the driver harness never needs this — a long-lived multi-tenant
     * session calls it when a corpus is retired. */
-  def clearCaches(spark: SparkSession): Unit =
-    graft.SessionCaches.clear(spark, Seq(shingleCache, pairsCache, clusterCache))
+  def clearCaches(spark: SparkSession): Unit = {
+    graft.SessionCaches.clear(spark,
+      Seq(shingleCache, pairsCache, clusterCache, clusterCacheAlt))
+    clusterGateCache.keySet.removeIf(_._1 eq spark)
+  }
 
   private val shinglesSql =
     """list_distinct(CASE WHEN len(ws) < 3 THEN []
@@ -659,18 +662,59 @@ object Dedup {
         cachedMinhashPairs(spark, dir).select("d1", "d2"), "d1", "d2")
     })
 
+  private val clusterCacheAlt =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** [[neardupComponents]] resolved by the alternating large-star /
+    * small-star algorithm ([[ConnectedComponents.resolveAlternating]])
+    * instead of diameter-bound label propagation — the mode a
+    * long-chain pair graph needs at 100 TB (O(log n) rounds vs O(n)).
+    * Same memo discipline, same (id, label = component min) contract. */
+  def neardupComponentsBigstar(spark: SparkSession, dir: String): DataFrame =
+    clusterCacheAlt.computeIfAbsent((spark, dir), { _ =>
+      ConnectedComponents.resolveAlternating(
+        cachedMinhashPairs(spark, dir).select("d1", "d2"), "d1", "d2")
+    })
+
+  private val clusterGateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), java.lang.Long]()
+
+  /** Shared (labels → clusters) tail of both resolution modes: size
+    * census per label, then a CARDINALITY-GATED size join — broadcast
+    * under [[BandIndex.ClusterBroadcastMaxRows]] clusters, sort-merge
+    * above, the same round-9-advice gate
+    * [[BandIndex.neardupClustersIndexed]] applies (a pinned broadcast
+    * of a corpus-scale cluster census is a driver OOM at 100 TB). The
+    * gate count runs over the memoized, truncated label frame, so it
+    * costs one cheap job, memoized per (session, corpus, mode). */
+  private def clustersFrom(comp: DataFrame,
+                           gateKey: (SparkSession, String, String)): DataFrame = {
+    val sizes = comp.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val nClusters = clusterGateCache.computeIfAbsent(gateKey,
+      { _ => Long.box(sizes.count()) }).longValue()
+    val hinted =
+      if (nClusters <= BandIndex.ClusterBroadcastMaxRows) broadcast(sizes)
+      else sizes.hint("merge")
+    comp.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .join(hinted, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
   /** The missing stage between "pairs exist" and "the pipeline works":
     * minhash pairs grouped into clusters, one row per clustered doc
     * with its cluster id (= min member id = survivor) and cluster size.
     * Docs in no near-dup pair are absent (they survive trivially). */
-  def neardupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val comp = neardupComponents(spark, dir)
-    val sizes = comp.groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-    comp.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .join(broadcast(sizes), "cluster_id")
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-  }
+  def neardupClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersFrom(neardupComponents(spark, dir), (spark, dir, "prop"))
+
+  /** [[neardupClusters]] with the components resolved by the
+    * alternating-star algorithm — declared as its own query (oracle =
+    * `neardup_clusters`' SQL) so the logarithmic-round mode is
+    * certified at the ORACLE level, not only by the result-equality
+    * spec on hand-built graphs. */
+  def neardupClustersBigstar(spark: SparkSession, dir: String): DataFrame =
+    clustersFrom(neardupComponentsBigstar(spark, dir), (spark, dir, "bigstar"))
 
   // ---- SimHash ----
 
@@ -774,6 +818,7 @@ object Dedup {
     "minhash_incremental" -> (minhashIncremental _),
     "shingle_containment" -> (shingleContainment _),
     "neardup_clusters" -> (neardupClusters _),
+    "neardup_clusters_bigstar" -> (neardupClustersBigstar _),
     "simhash" -> (simhash _),
     "embedding_neardup" -> (embeddingNeardup _))
 
@@ -858,6 +903,15 @@ object Dedup {
        |$rounds,
        |comp AS (SELECT nd AS doc_id, l AS cluster_id FROM lp$ComponentOracleRounds)""".stripMargin
   }
+
+  /** Shared by `neardup_clusters` and `neardup_clusters_bigstar`: the
+    * two resolution modes must agree exactly, so they share one oracle. */
+  private val clustersOracleSql =
+    s"""$componentCtes
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size
+       |FROM comp c
+       |JOIN (SELECT cluster_id, count(*) AS cluster_size
+       |      FROM comp GROUP BY cluster_id) s USING (cluster_id)""".stripMargin
 
   private val substringDupStatsSql =
     """WITH toks AS (
@@ -968,12 +1022,9 @@ object Dedup {
          |            WHERE CAST(c AS DOUBLE)/(n1.n + n2.n - c) >= 0.5)
          |SELECT doc_id FROM documents
          |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT dn FROM matched)""".stripMargin,
-    "neardup_clusters" ->
-      s"""$componentCtes
-         |SELECT c.doc_id, c.cluster_id, s.cluster_size
-         |FROM comp c
-         |JOIN (SELECT cluster_id, count(*) AS cluster_size
-         |      FROM comp GROUP BY cluster_id) s USING (cluster_id)""".stripMargin,
+    "neardup_clusters" -> clustersOracleSql,
+    // the alternating-star mode must land on the identical clustering
+    "neardup_clusters_bigstar" -> clustersOracleSql,
     "simhash" ->
       s"""WITH t AS (SELECT doc_id,
          |                  unnest(list_filter(string_split(text,' '), w -> w <> '')) AS w

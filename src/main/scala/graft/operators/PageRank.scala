@@ -146,10 +146,15 @@ object PageRank {
     "pagerank_trade_graph" -> (pagerankTradeGraph _))
 
   /** Each CTE is one synchronous round over the same edge table —
-    * identical integer operations to the Spark loop. */
+    * identical integer operations to the Spark loop. MATERIALIZED on
+    * every round (and on the shared graph frames below) keeps DuckDB
+    * from inlining all [[Rounds]] rounds into one pipeline that
+    * re-derives the edge list per round — at sf3 that inlined tree
+    * spilled past the sandbox disk; materialized, peak state is one
+    * round's frame (the componentCtes lesson, round 9). */
   private def roundCtes: Seq[String] =
     (1 to Rounds).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
          |  SELECT n.node,
          |         $Teleport + 85 * COALESCE(CAST(SUM(r.rank_u // e.outdeg) AS BIGINT), 0) // 100 AS rank_u
          |  FROM nodes n
@@ -160,14 +165,14 @@ object PageRank {
 
   val oracles: Map[String, String] = Map(
     "pagerank_trade_graph" ->
-      s"""WITH pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      s"""WITH pairs AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
          |               FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-         |dedges AS (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+         |dedges AS MATERIALIZED (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
          |           UNION ALL
          |           SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs),
          |deg AS (SELECT src, count(*) AS outdeg FROM dedges GROUP BY src),
-         |edges AS (SELECT d.src, d.dst, g.outdeg FROM dedges d JOIN deg g ON g.src = d.src),
-         |nodes AS (SELECT DISTINCT src AS node FROM dedges),
+         |edges AS MATERIALIZED (SELECT d.src, d.dst, g.outdeg FROM dedges d JOIN deg g ON g.src = d.src),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM dedges),
          |r0 AS (SELECT node, ${RankInit}::BIGINT AS rank_u FROM nodes),
          |${roundCtes.mkString(",\n")}
          |SELECT node, rank_u FROM r$Rounds""".stripMargin)

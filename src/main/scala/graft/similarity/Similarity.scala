@@ -88,7 +88,7 @@ object Similarity {
   /** Lifecycle hook mirroring [[graft.dedup.Dedup.clearCaches]]: drop
     * this session's memoized IVF scoring frame and trained centroids. */
   def clearCaches(spark: SparkSession): Unit = {
-    graft.SessionCaches.clear(spark, Seq(ivfSimsCache))
+    graft.SessionCaches.clear(spark, Seq(ivfSimsCache, exactTopkCache))
     centroidCache.keySet.removeIf(_._1 eq spark)
     pqCache.keySet.removeIf(_._1 eq spark)
     vecCountCache.keySet.removeIf(_._1 eq spark)
@@ -183,6 +183,51 @@ object Similarity {
       .select(col("probe_id"), explode(col("top")).as("n"))
       .select(col("probe_id"), col("n.id").as("neighbor_id"),
         round(col("n.sim"), 6).as("sim"))
+  }
+
+  private val exactTopkCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** [[similarTopk]]'s (probe, neighbor) id pairs, persisted and
+    * memoized per (session, corpus): [[annRecall]] probes it once per
+    * ANN variant and the materialized frame is only K·NumProbes rows —
+    * the memo turns three corpus passes into one. */
+  private def cachedExactTopk(spark: SparkSession, dir: String): DataFrame =
+    exactTopkCache.computeIfAbsent((spark, dir), { _ =>
+      similarTopk(spark, dir).select("probe_id", "neighbor_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Recall@[[K]] of every ANN variant against the exact top-k scan —
+    * the certification number that decides whether an approximate
+    * index is SERVABLE. A 100 TB corpus can never audit recall
+    * exhaustively; what production does is exactly this query at a
+    * probe sample: exact top-K for [[NumProbes]] probes (one linear
+    * broadcast pass), each ANN variant's answer for the same probes,
+    * and the per-(probe, method) hit count. Composes the
+    * already-certified query frames, so the counts inherit their
+    * determinism (both sides are tie-broken id sets). A probe whose
+    * LSH bucket is empty still gets its row (left join from the probe
+    * census, found = 0) — dropping it would read as perfect recall.
+    * Candidate-set monotonicity (multiprobe's buckets ⊇ lsh's ⇒
+    * per-probe found never drops) is spec-pinned. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = cachedExactTopk(spark, dir)
+    val probes = exact.select("probe_id").distinct()
+    def one(method: String, ann: DataFrame): DataFrame = {
+      val hits = exact
+        .join(ann.select("probe_id", "neighbor_id"),
+          Seq("probe_id", "neighbor_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("found"))
+      probes.join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"), lit(method).as("method"),
+          coalesce(col("found"), lit(0L)).as("found"))
+    }
+    one("lsh", similarAnnLsh(spark, dir))
+      .union(one("multiprobe", similarAnnMultiprobe(spark, dir)))
+      .union(one("ivf", similarAnnIvf(spark, dir)))
+      .select(col("probe_id"), col("method"), col("found"),
+        round(col("found").cast("double") / K, 6).as("recall"))
   }
 
   /** IVF coarse-quantizer size FLOOR: the cell list a probe searches.
@@ -1063,6 +1108,7 @@ object Similarity {
     "embedding_neardup_lsh" -> (embeddingNeardupLsh _),
     "similar_ann_lsh" -> (similarAnnLsh _),
     "similar_ann_multiprobe" -> (similarAnnMultiprobe _),
+    "ann_recall" -> (annRecall _),
     "similar_ann_ivf" -> (similarAnnIvf _),
     "similar_ann_ivfpq" -> (similarAnnIvfPq _),
     "mmr_diversify" -> (mmrDiversify _),
@@ -1076,14 +1122,14 @@ object Similarity {
     * the L2/subspace twin of [[ivfTrainingCtes]]. */
   private def pqTrainingCtes: Seq[String] =
     (1 to PqIters).map { i =>
-      s"""passign$i AS (SELECT vec_id, m, cid FROM (
+      s"""passign$i AS MATERIALIZED (SELECT vec_id, m, cid FROM (
          |    SELECT s.vec_id, s.m, c.cid,
          |           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
          |             list_dot_product(s.s, s.s) - 2*list_dot_product(s.s, c.cv) + list_dot_product(c.cv, c.cv),
          |             c.cid) AS rn
          |    FROM sub s JOIN pcents${i - 1} c ON c.m = s.m) t
          |  WHERE rn = 1),
-         |pmeans$i AS (
+         |pmeans$i AS MATERIALIZED (
          |  SELECT m, cid, list(cd ORDER BY d) AS cv FROM (
          |    SELECT a.m, a.cid, rd.d,
          |           CAST(SUM(q.qs[rd.d]) AS DOUBLE) / COUNT(*) / 1000000.0 AS cd
@@ -1091,7 +1137,7 @@ object Similarity {
          |    WHERE q.vec_id = a.vec_id AND q.m = a.m
          |    GROUP BY a.m, a.cid, rd.d) s2
          |  GROUP BY m, cid),
-         |pcents$i AS (
+         |pcents$i AS MATERIALIZED (
          |  SELECT p.m, p.cid, COALESCE(mm.cv, p.cv) AS cv
          |  FROM pcents${i - 1} p LEFT JOIN pmeans$i mm ON mm.m = p.m AND mm.cid = p.cid)""".stripMargin
     }
@@ -1102,43 +1148,43 @@ object Similarity {
     * (probe quantized subvector vs the candidate's codebook centroid),
     * and the exact-cosine re-rank. */
   private def ivfPqOracleSql: String =
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
        |           WHERE vec_id < (SELECT GREATEST($IvfCells, COUNT(*) // $TargetCellSize) FROM embeddings)),
        |${ivfTrainingCtes.mkString(",\n")},
-       |sims AS (SELECT vec_id, c.cid,
+       |sims AS MATERIALIZED (SELECT vec_id, c.cid,
        |           list_dot_product(v.v, c.cv) /
        |           (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
        |         FROM v, cents$IvfIters c),
-       |assign AS (SELECT vec_id, cid FROM (
+       |assign AS MATERIALIZED (SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
        |    FROM sims) t
        |  WHERE rn = 1),
-       |probes AS (SELECT vec_id AS probe_id, cid FROM (
+       |probes AS MATERIALIZED (SELECT vec_id AS probe_id, cid FROM (
        |    SELECT vec_id, cid,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
        |    FROM sims WHERE vec_id < $NumProbes) t
        |  WHERE rn <= $IvfProbeCells),
-       |sub AS (SELECT vec_id, m,
+       |sub AS MATERIALIZED (SELECT vec_id, m,
        |               list_slice(v.v, m*$PqSubDim+1, m*$PqSubDim+$PqSubDim) AS s
        |        FROM v, range(0, $PqSubspaces) rm(m)),
-       |q AS (SELECT vec_id, m,
+       |q AS MATERIALIZED (SELECT vec_id, m,
        |             list_transform(s, x -> CAST(floor(x*1000000.0) AS BIGINT)) AS qs
        |      FROM sub),
        |pcents0 AS (SELECT m, vec_id AS cid, s AS cv FROM sub WHERE vec_id < $PqK),
        |${pqTrainingCtes.mkString(",\n")},
-       |qc AS (SELECT m, cid,
+       |qc AS MATERIALIZED (SELECT m, cid,
        |              list_transform(cv, x -> CAST(floor(x*1000000.0) AS BIGINT)) AS qcv
        |       FROM pcents$PqIters),
-       |fin AS (SELECT vec_id, m, cid FROM (
+       |fin AS MATERIALIZED (SELECT vec_id, m, cid FROM (
        |    SELECT s.vec_id, s.m, c.cid,
        |           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
        |             list_dot_product(s.s, s.s) - 2*list_dot_product(s.s, c.cv) + list_dot_product(c.cv, c.cv),
        |             c.cid) AS rn
        |    FROM sub s JOIN pcents$PqIters c ON c.m = s.m) t
        |  WHERE rn = 1),
-       |cand AS (SELECT p.probe_id, a.vec_id
+       |cand AS MATERIALIZED (SELECT p.probe_id, a.vec_id
        |         FROM probes p JOIN assign a
        |           ON a.cid = p.cid AND a.vec_id <> p.probe_id),
        |adc AS (SELECT probe_id, vec_id, CAST(SUM(dd*dd) AS BIGINT) AS adcq FROM (
@@ -1216,18 +1262,18 @@ object Similarity {
     * assignment, and the integer quantized reconstruction error. */
   private def pqOracleSql: String =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS fv FROM embeddings),
-       |sub AS (SELECT vec_id, m,
+       |sub AS MATERIALIZED (SELECT vec_id, m,
        |               list_slice(fv, m*$PqSubDim+1, m*$PqSubDim+$PqSubDim) AS s
        |        FROM v, range(0, $PqSubspaces) rm(m)),
-       |q AS (SELECT vec_id, m,
+       |q AS MATERIALIZED (SELECT vec_id, m,
        |             list_transform(s, x -> CAST(floor(x*1000000.0) AS BIGINT)) AS qs
        |      FROM sub),
        |pcents0 AS (SELECT m, vec_id AS cid, s AS cv FROM sub WHERE vec_id < $PqK),
        |${pqTrainingCtes.mkString(",\n")},
-       |qc AS (SELECT m, cid,
+       |qc AS MATERIALIZED (SELECT m, cid,
        |              list_transform(cv, x -> CAST(floor(x*1000000.0) AS BIGINT)) AS qcv
        |       FROM pcents$PqIters),
-       |fin AS (SELECT vec_id, m, cid FROM (
+       |fin AS MATERIALIZED (SELECT vec_id, m, cid FROM (
        |    SELECT s.vec_id, s.m, c.cid,
        |           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
        |             list_dot_product(s.s, s.s) - 2*list_dot_product(s.s, c.cv) + list_dot_product(c.cv, c.cv),
@@ -1247,10 +1293,16 @@ object Similarity {
       |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
       |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))""".stripMargin
 
-  /** One (assign, means, cents) CTE triple per Lloyd iteration. */
+  /** One (assign, means, cents) CTE triple per Lloyd iteration.
+    * MATERIALIZED throughout: cents$i is referenced by BOTH the next
+    * assignment and the next centroid COALESCE, and DuckDB inlining
+    * that doubly-referenced chain re-evaluates the whole training
+    * prefix per reference — at sf3 the inlined tree spilled past the
+    * sandbox disk (the componentCtes/pagerank lesson). Materialized,
+    * each frame is computed once; results are unchanged. */
   private def ivfTrainingCtes: Seq[String] =
     (1 to IvfIters).map { i =>
-      s"""assign$i AS (SELECT vec_id, cid FROM (
+      s"""assign$i AS MATERIALIZED (SELECT vec_id, cid FROM (
          |    SELECT v.vec_id, c.cid,
          |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
          |             list_dot_product(v.v, c.cv) /
@@ -1258,7 +1310,7 @@ object Similarity {
          |             c.cid) AS rn
          |    FROM v, cents${i - 1} c) t
          |  WHERE rn = 1),
-         |means$i AS (
+         |means$i AS MATERIALIZED (
          |  SELECT cid, list(cd ORDER BY d) AS cv FROM (
          |    SELECT a.cid, rd.d,
          |           CAST(SUM(CAST(floor(v.v[rd.d] * 1000000.0) AS BIGINT)) AS DOUBLE)
@@ -1267,7 +1319,7 @@ object Similarity {
          |    WHERE v.vec_id = a.vec_id
          |    GROUP BY a.cid, rd.d) s
          |  GROUP BY cid),
-         |cents$i AS (
+         |cents$i AS MATERIALIZED (
          |  SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
          |  FROM cents${i - 1} p LEFT JOIN means$i m ON m.cid = p.cid)""".stripMargin
     }
@@ -1363,20 +1415,20 @@ object Similarity {
     // regardless of aggregation order. COALESCE keeps an empty cell's
     // previous centroid, mirroring the Spark loop.
     "similar_ann_ivf" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
          |           WHERE vec_id < (SELECT GREATEST($IvfCells, COUNT(*) // $TargetCellSize) FROM embeddings)),
          |${ivfTrainingCtes.mkString(",\n")},
-         |sims AS (SELECT vec_id, c.cid,
+         |sims AS MATERIALIZED (SELECT vec_id, c.cid,
          |           list_dot_product(v.v, c.cv) /
          |           (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
          |         FROM v, cents$IvfIters c),
-         |assign AS (SELECT vec_id, cid FROM (
+         |assign AS MATERIALIZED (SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
          |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
          |    FROM sims) t
          |  WHERE rn = 1),
-         |probes AS (SELECT vec_id AS probe_id, cid FROM (
+         |probes AS MATERIALIZED (SELECT vec_id AS probe_id, cid FROM (
          |    SELECT vec_id, cid,
          |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
          |    FROM sims WHERE vec_id < $NumProbes) t
@@ -1398,20 +1450,20 @@ object Similarity {
     // election: a vector is pruned iff some SAME-cluster vector with a
     // lower id sits at or above the cosine threshold
     "semdedup_prune" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
          |           WHERE vec_id < (SELECT GREATEST($IvfCells, COUNT(*) // $TargetCellSize) FROM embeddings)),
          |${ivfTrainingCtes.mkString(",\n")},
-         |sims AS (SELECT vec_id, c.cid,
+         |sims AS MATERIALIZED (SELECT vec_id, c.cid,
          |           list_dot_product(v.v, c.cv) /
          |           (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
          |         FROM v, cents$IvfIters c),
-         |assign AS (SELECT vec_id, cid FROM (
+         |assign AS MATERIALIZED (SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
          |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
          |    FROM sims) t
          |  WHERE rn = 1),
-         |av AS (SELECT a.cid, a.vec_id, v.v FROM assign a JOIN v ON v.vec_id = a.vec_id),
+         |av AS MATERIALIZED (SELECT a.cid, a.vec_id, v.v FROM assign a JOIN v ON v.vec_id = a.vec_id),
          |dropped AS (
          |  SELECT DISTINCT b.cid, b.vec_id
          |  FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -1425,15 +1477,15 @@ object Similarity {
          |GROUP BY t.cid""".stripMargin,
     // same training replay, reduced to the final per-cell census
     "embedding_cluster_balance" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
          |           WHERE vec_id < (SELECT GREATEST($IvfCells, COUNT(*) // $TargetCellSize) FROM embeddings)),
          |${ivfTrainingCtes.mkString(",\n")},
-         |sims AS (SELECT vec_id, c.cid,
+         |sims AS MATERIALIZED (SELECT vec_id, c.cid,
          |           list_dot_product(v.v, c.cv) /
          |           (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
          |         FROM v, cents$IvfIters c),
-         |assign AS (SELECT vec_id, cid FROM (
+         |assign AS MATERIALIZED (SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
          |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
          |    FROM sims) t
@@ -1462,7 +1514,70 @@ object Similarity {
          |  FROM buckets a JOIN buckets b
          |    ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND b.vec_id <> a.vec_id
          |  WHERE a.vec_id < $NumProbes) t
-         |WHERE rn <= $K""".stripMargin)
+         |WHERE rn <= $K""".stripMargin,
+    // recall@K: each variant's id set replayed (the exact scan, the
+    // two bucket joins, the full IVF training + search), then the
+    // per-(probe, method) hit count against the exact set — a probe
+    // cross the method census so empty-candidate probes keep a 0 row
+    "ann_recall" -> {
+      def topkIds(from: String) =
+        s"""SELECT probe_id, neighbor_id FROM (
+           |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+           |         row_number() OVER (PARTITION BY a.vec_id
+           |                            ORDER BY $cosineSql DESC, b.vec_id) AS rn
+           |  FROM $from
+           |  WHERE a.vec_id < $NumProbes) t
+           |WHERE rn <= $K""".stripMargin
+      s"""WITH $lshBucketsCte,
+         |exact AS (${topkIds("embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id")}),
+         |lshq AS (${topkIds("buckets a JOIN buckets b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id")}),
+         |mpq AS (${topkIds("buckets a JOIN buckets b ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND b.vec_id <> a.vec_id")}),
+         |v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+         |           WHERE vec_id < (SELECT GREATEST($IvfCells, COUNT(*) // $TargetCellSize) FROM embeddings)),
+         |${ivfTrainingCtes.mkString(",\n")},
+         |sims AS MATERIALIZED (SELECT vec_id, c.cid,
+         |           list_dot_product(v.v, c.cv) /
+         |           (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+         |         FROM v, cents$IvfIters c),
+         |assign AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |    FROM sims) t
+         |  WHERE rn = 1),
+         |probes AS MATERIALIZED (SELECT vec_id AS probe_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |    FROM sims WHERE vec_id < $NumProbes) t
+         |  WHERE rn <= $IvfProbeCells),
+         |ivfq AS (SELECT probe_id, neighbor_id FROM (
+         |  SELECT p.probe_id, a.vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY p.probe_id
+         |           ORDER BY list_dot_product(pv.v, av.v) /
+         |             (sqrt(list_dot_product(pv.v, pv.v)) * sqrt(list_dot_product(av.v, av.v))) DESC,
+         |             a.vec_id) AS rn
+         |  FROM probes p
+         |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.probe_id
+         |  JOIN v pv ON pv.vec_id = p.probe_id
+         |  JOIN v av ON av.vec_id = a.vec_id) t
+         |WHERE rn <= $K),
+         |allm AS (SELECT 'lsh' AS method, probe_id, neighbor_id FROM lshq
+         |         UNION ALL SELECT 'multiprobe', probe_id, neighbor_id FROM mpq
+         |         UNION ALL SELECT 'ivf', probe_id, neighbor_id FROM ivfq),
+         |pm AS (SELECT p.probe_id, m.method
+         |       FROM (SELECT DISTINCT probe_id FROM exact) p
+         |       CROSS JOIN (SELECT 'lsh' AS method UNION ALL
+         |                   SELECT 'multiprobe' UNION ALL SELECT 'ivf') m),
+         |hits AS (SELECT am.method, e.probe_id, count(*) AS found
+         |         FROM exact e JOIN allm am
+         |           ON am.probe_id = e.probe_id AND am.neighbor_id = e.neighbor_id
+         |         GROUP BY am.method, e.probe_id)
+         |SELECT pm.probe_id, pm.method,
+         |       CAST(COALESCE(h.found, 0) AS BIGINT) AS found,
+         |       round(CAST(COALESCE(h.found, 0) AS DOUBLE) / $K, 6) AS recall
+         |FROM pm LEFT JOIN hits h
+         |  ON h.probe_id = pm.probe_id AND h.method = pm.method""".stripMargin
+    })
 
   private lazy val lshBucketsCte =
     s"""buckets AS (

@@ -476,4 +476,13 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(nd.intersect(losers).isEmpty)
     assert((base -- nd).subsetOf(losers))
   }
+
+  test("neardup_clusters_bigstar: alternating-star resolution lands on the identical clustering") {
+    import spark.implicits._
+    val prop = Dedup.neardupClusters(spark, sfDir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val star = Dedup.neardupClustersBigstar(spark, sfDir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(prop.nonEmpty && prop.sameElements(star))
+  }
 }

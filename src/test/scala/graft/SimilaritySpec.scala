@@ -345,4 +345,33 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       assert(byKey((id, m.toLong)) == (best.toLong, e), s"mismatch at ($id, $m)")
     }
   }
+
+  test("ann_recall: full probe×method census, truthful fractions, multiprobe never below lsh") {
+    import spark.implicits._
+    val rows = Similarity.annRecall(spark, sfDir)
+      .as[(Long, String, Long, Double)].collect()
+    // every probe appears once per method — no silent probe loss
+    assert(rows.length == 3 * Similarity.NumProbes)
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+    rows.foreach { case (p, m, found, recall) =>
+      assert(found >= 0 && found <= Similarity.K, s"probe $p $m found=$found")
+      assert(recall == math.round(found.toDouble / Similarity.K * 1e6) / 1e6,
+        s"probe $p $m recall=$recall found=$found")
+    }
+    // candidate-set monotonicity: multiprobe searches a superset of
+    // lsh's bucket, and an exact-top-K member beaten by < K candidates
+    // anywhere survives any superset's top-K cut
+    val byMethod = rows.groupBy(_._2).map { case (m, rs) =>
+      m -> rs.map(r => r._1 -> r._3).toMap
+    }
+    byMethod("lsh").foreach { case (p, f) =>
+      assert(byMethod("multiprobe")(p) >= f,
+        s"probe $p: multiprobe found ${byMethod("multiprobe")(p)} < lsh $f")
+    }
+    // the exact set against itself is perfect recall — the harness
+    // would catch a broken join, but say it explicitly
+    val exact = Similarity.similarTopk(spark, sfDir)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(exact.size == Similarity.K * Similarity.NumProbes)
+  }
 }

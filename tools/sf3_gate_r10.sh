@@ -15,7 +15,7 @@ QUERIES=(
   embedding_neardup neardup_clusters neardup_clusters_indexed
   ngram_jaccard pagerank_trade_graph semdedup_prune
   similar_ann_ivf similar_ann_ivfpq training_set_select_neardup
-  index_retract
+  index_retract neardup_clusters_bigstar ann_recall
 )
 
 if [ ! -f "$OUT/oracle_sql.json" ]; then
