@@ -133,6 +133,35 @@ object IndexStore {
     spark.read.parquet(target.getAbsolutePath)
   }
 
+  /** [[getOrBuild]] for artifacts with a CUSTOM directory layout (the
+    * streaming ingest store's per-batch partition dirs): the builder
+    * writes arbitrary content under a staging directory, publish is
+    * the same atomic rename, and completeness is a TOP-LEVEL
+    * `_SUCCESS` marker written here after the builder returns (the
+    * per-subdirectory markers Spark's writers leave don't cover the
+    * whole layout — a crash between two subdir writes must read as
+    * incomplete). Returns the artifact directory. */
+  def getOrBuildLayout(spark: SparkSession, dir: String, table: String,
+                       kind: String, params: String = "")
+                      (write: File => Unit): File = {
+    val target = indexDir(spark, dir, table, kind, params)
+    if (!isComplete(target)) {
+      sweepStaleTmpDirs()
+      builds.incrementAndGet()
+      val tmp = new File(target.getParentFile,
+        target.getName + ".tmp-" + java.util.UUID.randomUUID())
+      write(tmp)
+      tmp.mkdirs() // a builder that wrote nothing still publishes
+      new File(tmp, "_SUCCESS").createNewFile()
+      if (!tmp.renameTo(target) || !isComplete(target)) {
+        if (isComplete(target)) deleteRecursively(tmp)
+        else throw new IllegalStateException(
+          s"index publish failed for $target")
+      }
+    }
+    target
+  }
+
   /** Write `df` as a fresh versioned artifact under `kind`'s name
     * (unique suffix per call — safe under concurrent query streams)
     * and return a scan of the written copy. Used by refresh-style

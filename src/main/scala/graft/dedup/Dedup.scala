@@ -800,8 +800,35 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Band-bucket occupancy audit — the operational health view of the
+    * LSH banding that every query in this family rides: per (band,
+    * occupancy) the number of buckets at that occupancy, the candidate
+    * pairs those buckets generate (`occ·(occ−1)/2` each — the quantity
+    * the [[MaxBucket]] cap bounds), and whether the cap would drop
+    * them. At 100 TB this is the report run BEFORE trusting a banding
+    * config: a fat tail here (boilerplate shingles, templated text)
+    * means quadratic candidate work, and the fix — more rows per band,
+    * a cap, or shingle salting — is chosen from exactly this
+    * distribution. Occupancy 1 rows (the vast majority of buckets —
+    * they generate no candidates) are reported too: the singleton
+    * fraction is the recall-side health signal (an index that is ALL
+    * singletons matches nothing). Output is bounded by the number of
+    * distinct occupancies per band (tens of rows), never corpus-sized;
+    * integer DIV keeps the pair counts exact int64 in both engines. */
+  def lshBucketAudit(spark: SparkSession, dir: String): DataFrame =
+    bandsOf(minhashSignaturesOf(spark, cachedDocShingles(spark, dir)))
+      .groupBy("band", "sig")
+      .agg(count(lit(1)).as("occupancy"))
+      .groupBy("band", "occupancy")
+      .agg(count(lit(1)).as("n_buckets"))
+      .select(col("band"), col("occupancy"), col("n_buckets"),
+        expr("occupancy * (occupancy - 1) DIV 2 * n_buckets")
+          .as("candidate_pairs"),
+        (col("occupancy") > MaxBucket).as("over_cap"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "lsh_bucket_audit" -> (lshBucketAudit _),
     "dedup_exact_sha" -> (dedupExactSha _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_normalized" -> (dedupNormalized _),
@@ -936,6 +963,14 @@ object Dedup {
         |FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
         |GROUP BY lang""".stripMargin,
+    "lsh_bucket_audit" ->
+      s"""WITH $sigBandsCtes,
+         |occ AS (SELECT band, bsig, count(*) AS occupancy
+         |        FROM bands GROUP BY 1, 2)
+         |SELECT band, occupancy, count(*) AS n_buckets,
+         |       occupancy * (occupancy - 1) // 2 * count(*) AS candidate_pairs,
+         |       occupancy > $MaxBucket AS over_cap
+         |FROM occ GROUP BY band, occupancy""".stripMargin,
     "dedup_exact_sha" ->
       """SELECT lang, count(*) AS n_survivors
         |FROM documents

@@ -166,42 +166,131 @@ object IngestDedup {
       result
     })
 
+  /** Rows per compacted output file — the file-count bound the
+    * compaction writes toward. Constant-width (doc_id, band, sig)
+    * rows at ~60 B each put a 4 M-row file around 250 MB — the
+    * parquet sweet spot (big enough that footers/opens amortize,
+    * small enough that one file is one task's worth of scan). */
+  val CompactRowsPerFile = 4L * 1000 * 1000
+
+  /** The fragmented physical store the streaming ingest leaves behind,
+    * built ONCE per corpus fingerprint with the exact layout
+    * [[start]]'s foreachBatch produces: `batch=-1` holds the seed
+    * corpus bands, `batch=0/1/2` each fold step's accepted-doc bands —
+    * one directory of shuffle-partition-count files per batch. This is
+    * the input [[indexCompact]] exists for: after B batches the index
+    * is O(B · shuffle.partitions) small files, and at a crawl's batch
+    * cadence the file count (not the byte count) becomes the scan's
+    * bottleneck — every reader opens thousands of footers to read
+    * megabytes. */
+  private[graft] def fragmentedStore(spark: SparkSession, dir: String): java.io.File =
+    graft.IndexStore.getOrBuildLayout(spark, dir, "documents",
+      "ingest_band_store", Dedup.MinhashIndexParams) { root =>
+      val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      val accepted = ingestDedupFold(spark, dir)
+      def bandsFor(d: DataFrame): DataFrame =
+        Dedup.bandsOf(Dedup.minhashSignaturesOf(spark, shinglesOf(spark, d)))
+      bandsFor(docs.filter(col("doc_id") % 2 === 0))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(root, "batch=-1").getAbsolutePath)
+      // per-step membership is recoverable from the fold's accepted set
+      // because the three batches partition the odd ids by doc_id % 6
+      for ((k, b) <- Seq(1 -> 0, 3 -> 1, 5 -> 2)) {
+        val accDocs = docs.filter(col("doc_id") % 6 === k)
+          .join(accepted, Seq("doc_id"), "left_semi")
+        bandsFor(accDocs).write.mode("overwrite")
+          .parquet(new java.io.File(root, s"batch=$b").getAbsolutePath)
+      }
+    }
+
+  /** Index compaction — the MAINTENANCE verb of the standing-index
+    * lifecycle (build → refresh → append → retract → compact): rewrite
+    * the ingest store's per-batch small-file fragments into a bounded
+    * number of full-size files, row-identical, and report per-band
+    * stats READ BACK from the compacted copy (write/read loss breaks
+    * the oracle hash, which recomputes the same census from scratch —
+    * corpus bands plus the fold's accepted docs' bands).
+    *
+    * The compacted artifact drops the `batch` lineage column: compacted
+    * batches all sort before any live stream batch (the `batch < id`
+    * read guard treats the compacted base like the seed partition), so
+    * compaction never changes what a later batch dedups against. File
+    * count is `ceil(rows / CompactRowsPerFile)` via one repartition —
+    * at 100 TB this is the nightly job that keeps the index readable:
+    * cost is one scan + one shuffle of the index (constant-width keys,
+    * never the corpus), and the versioned publish keeps the previous
+    * generation for in-flight readers ([[graft.IndexStore]]'s
+    * keep-newest-two sweep). */
+  def indexCompact(spark: SparkSession, dir: String): DataFrame = {
+    val store = fragmentedStore(spark, dir)
+    val frag = spark.read.parquet(store.getAbsolutePath)
+    val nRows = frag.count()
+    val nFiles = math.max(1L, (nRows + CompactRowsPerFile - 1) / CompactRowsPerFile).toInt
+    val compacted = frag.select("doc_id", "band", "sig").repartition(nFiles)
+    graft.IndexStore.writeVersioned(spark, dir, "documents",
+        "ingest_bands_compacted", compacted, Dedup.MinhashIndexParams)
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n_entries"),
+        countDistinct("sig").as("n_buckets"),
+        countDistinct("doc_id").as("n_docs"))
+  }
+
   /** Lifecycle hook, [[graft.dedup.Dedup.clearCaches]]'s contract. */
   def clearCaches(spark: SparkSession): Unit =
     graft.SessionCaches.clear(spark, Seq(foldCache))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ingest_dedup_fold" -> (ingestDedupFold _))
+    "ingest_dedup_fold" -> (ingestDedupFold _),
+    "index_compact" -> (indexCompact _))
+
+  /** The fold unrolled as CTEs: vp = every verified (odd doc, other
+    * doc) near-dup pair; aK = batch k's accepted docs (no verified
+    * partner in the corpus or an EARLIER batch's accepted set). Shared
+    * by the fold oracle and the compaction oracle (whose certified
+    * content is exactly corpus ∪ accepted bands). */
+  private val foldAcceptCtes =
+    s"""${Dedup.sigBandsCtes},
+       |cand AS (SELECT DISTINCT b.doc_id AS dn, a.doc_id AS dc
+       |         FROM bands b JOIN bands a
+       |           ON a.band = b.band AND a.bsig = b.bsig
+       |        WHERE b.doc_id % 2 = 1 AND a.doc_id <> b.doc_id),
+       |n AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |inter AS (SELECT dn, dc, count(*) AS c
+       |          FROM cand JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e1 ON e1.doc_id = dn
+       |                    JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e2 ON e2.doc_id = dc
+       |          WHERE e1.s = e2.s GROUP BY 1, 2),
+       |vp AS (SELECT dn, dc FROM inter
+       |       JOIN n n1 ON n1.doc_id = dn
+       |       JOIN n n2 ON n2.doc_id = dc
+       |       WHERE CAST(c AS DOUBLE)/(n1.n + n2.n - c) >= 0.5),
+       |a1 AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 1
+       |       AND doc_id NOT IN (SELECT dn FROM vp WHERE dc % 2 = 0)),
+       |a2 AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 3
+       |       AND doc_id NOT IN (SELECT dn FROM vp
+       |         WHERE dc % 2 = 0 OR dc IN (SELECT doc_id FROM a1))),
+       |a3 AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 5
+       |       AND doc_id NOT IN (SELECT dn FROM vp
+       |         WHERE dc % 2 = 0 OR dc IN (SELECT doc_id FROM a1)
+       |            OR dc IN (SELECT doc_id FROM a2)))""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    // the fold unrolled: vp = every verified (odd doc, other doc)
-    // near-dup pair; batch k accepts docs with no verified partner in
-    // the corpus or an EARLIER batch's accepted set
     "ingest_dedup_fold" ->
-      s"""WITH ${Dedup.sigBandsCtes},
-         |cand AS (SELECT DISTINCT b.doc_id AS dn, a.doc_id AS dc
-         |         FROM bands b JOIN bands a
-         |           ON a.band = b.band AND a.bsig = b.bsig
-         |        WHERE b.doc_id % 2 = 1 AND a.doc_id <> b.doc_id),
-         |n AS (SELECT doc_id, len(sh) AS n FROM sh),
-         |inter AS (SELECT dn, dc, count(*) AS c
-         |          FROM cand JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e1 ON e1.doc_id = dn
-         |                    JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e2 ON e2.doc_id = dc
-         |          WHERE e1.s = e2.s GROUP BY 1, 2),
-         |vp AS (SELECT dn, dc FROM inter
-         |       JOIN n n1 ON n1.doc_id = dn
-         |       JOIN n n2 ON n2.doc_id = dc
-         |       WHERE CAST(c AS DOUBLE)/(n1.n + n2.n - c) >= 0.5),
-         |a1 AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 1
-         |       AND doc_id NOT IN (SELECT dn FROM vp WHERE dc % 2 = 0)),
-         |a2 AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 3
-         |       AND doc_id NOT IN (SELECT dn FROM vp
-         |         WHERE dc % 2 = 0 OR dc IN (SELECT doc_id FROM a1))),
-         |a3 AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 5
-         |       AND doc_id NOT IN (SELECT dn FROM vp
-         |         WHERE dc % 2 = 0 OR dc IN (SELECT doc_id FROM a1)
-         |            OR dc IN (SELECT doc_id FROM a2)))
+      s"""WITH $foldAcceptCtes
          |SELECT doc_id FROM a1
          |UNION ALL SELECT doc_id FROM a2
-         |UNION ALL SELECT doc_id FROM a3""".stripMargin)
+         |UNION ALL SELECT doc_id FROM a3""".stripMargin,
+    // the compacted store's content from scratch: bands of the seed
+    // corpus plus bands of every fold-accepted doc, per-band census
+    "index_compact" ->
+      s"""WITH $foldAcceptCtes
+         |SELECT band, count(*) AS n_entries,
+         |       count(DISTINCT bsig) AS n_buckets,
+         |       count(DISTINCT doc_id) AS n_docs
+         |FROM bands
+         |WHERE doc_id % 2 = 0
+         |   OR doc_id IN (SELECT doc_id FROM a1)
+         |   OR doc_id IN (SELECT doc_id FROM a2)
+         |   OR doc_id IN (SELECT doc_id FROM a3)
+         |GROUP BY band""".stripMargin)
 }

@@ -142,6 +142,68 @@ object CorpusOps {
         min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
   }
 
+  /** Distribution-drift monitor — the Population Stability Index of
+    * the incoming batch (odd doc_ids) against the standing corpus
+    * (even doc_ids), per quality feature, over the CORPUS's decile
+    * bins. This is the check a production pipeline runs on every
+    * ingest before the batch touches the training mix: a crawl whose
+    * length or token distribution shifts (new boilerplate, a broken
+    * extractor, a new domain mix) shows up here days before it shows
+    * up in model evals. Convention: PSI < 0.1 stable, 0.1–0.25 drift
+    * worth a look, > 0.25 act.
+    *
+    * Mechanics, all scale-safe: bin edges are the REFERENCE deciles
+    * (exact [[qualityDecileBins]]-style percentile — one tiny
+    * aggregate, broadcast), both populations are binned by
+    * counting edges below (narrow pass, no sort), and
+    * `PSI = Σ_bins (p_batch − p_ref) · ln(p_batch / p_ref)` with
+    * additive smoothing `p = (n + 0.5) / (N + 5)` so empty bins stay
+    * finite (10 bins × 0.5). Per-bin terms are rounded to 12 decimals
+    * and summed as DECIMAL so the per-feature total is
+    * order-independent — a raw double window-sum would make the hash
+    * depend on partition order. Output: one row per (feature, bin),
+    * 20 rows total, each carrying its feature's PSI. */
+  def qualityDriftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val feats = docs
+      .select(col("doc_id"), lit("n_chars").as("feature"),
+        col("n_chars").cast(DoubleType).as("v"))
+      .unionByName(docs.select(col("doc_id"), lit("n_tokens").as("feature"),
+        size(WordCount.tokens(col("text"))).cast(DoubleType).as("v")))
+    val cuts = feats.filter(col("doc_id") % 2 === 0)
+      .groupBy("feature")
+      .agg(percentile(col("v"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cuts"))
+    val binned = feats.join(broadcast(cuts), "feature")
+      .select(col("feature"), col("doc_id"),
+        (size(filter(col("cuts"), c => col("v") > c)) + 1)
+          .cast(LongType).as("bin"))
+    val perBin = binned.groupBy("feature", "bin")
+      .agg(
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("n_batch"))
+    // every (feature, bin 1..10) must appear — an EMPTY batch bin is
+    // exactly the drift signal the monitor exists to surface
+    val allBins = cuts.select("feature")
+      .crossJoin(spark.range(1, 11).select(col("id").as("bin")))
+    val totals = perBin.groupBy("feature")
+      .agg(sum("n_ref").as("tot_ref"), sum("n_batch").as("tot_batch"))
+    val pRef = (col("n_ref") + lit(0.5)) / (col("tot_ref") + lit(5.0))
+    val pBatch = (col("n_batch") + lit(0.5)) / (col("tot_batch") + lit(5.0))
+    val term = round((pBatch - pRef) * log(pBatch / pRef), 12)
+      .cast(DecimalType(24, 12))
+    val w = Window.partitionBy("feature")
+    allBins
+      .join(perBin, Seq("feature", "bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_batch"))
+      .join(broadcast(totals), "feature")
+      .withColumn("t", term)
+      .select(col("feature"), col("bin"), col("n_ref"), col("n_batch"),
+        round(pRef, 6).as("p_ref"), round(pBatch, 6).as("p_batch"),
+        round(col("t").cast(DoubleType), 6).as("psi_term"),
+        round(sum(col("t")).over(w).cast(DoubleType), 6).as("psi"))
+  }
+
   /** One round of the BPE-training inner loop: adjacent-symbol pair
     * frequencies over the word vocabulary, weighted by word count —
     * the top pair is the next merge. The 100 TB insight this query
@@ -509,6 +571,7 @@ object CorpusOps {
     "sequence_packing" -> (sequencePacking _),
     "source_mixing_weights" -> (sourceMixingWeights _),
     "quality_decile_bins" -> (qualityDecileBins _),
+    "quality_drift_psi" -> (qualityDriftPsi _),
     "bpe_pair_counts" -> (bpePairCounts _),
     "bpe_merge_rounds" -> (bpeMergeRounds _),
     "bpe_encode_stats" -> (bpeEncodeStats _),
@@ -516,6 +579,55 @@ object CorpusOps {
     "length_bucket_padding" -> (lengthBucketPadding _))
 
   val oracles: Map[String, String] = Map(
+    // the PSI replayed: same reference-decile edges (quantile_cont ==
+    // Spark's exact interpolating percentile on integer-valued
+    // doubles), same smoothing, terms rounded to 12 decimals and
+    // summed as DECIMAL for an order-independent per-feature total
+    "quality_drift_psi" ->
+      """WITH feats AS (
+        |  SELECT doc_id, 'n_chars' AS feature, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'n_tokens',
+        |         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS DOUBLE)
+        |  FROM documents),
+        |cuts AS (
+        |  SELECT feature,
+        |         quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts
+        |  FROM feats WHERE doc_id % 2 = 0 GROUP BY feature),
+        |binned AS (
+        |  SELECT f.feature, f.doc_id,
+        |         CAST(1 + len(list_filter(c.cuts, x -> f.v > x)) AS BIGINT) AS bin
+        |  FROM feats f JOIN cuts c ON c.feature = f.feature),
+        |per_bin AS (
+        |  SELECT feature, bin,
+        |         CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |         CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch
+        |  FROM binned GROUP BY 1, 2),
+        |all_bins AS (
+        |  SELECT feature, CAST(unnest(generate_series(1, 10)) AS BIGINT) AS bin
+        |  FROM cuts),
+        |tot AS (
+        |  SELECT feature, SUM(n_ref) AS tot_ref, SUM(n_batch) AS tot_batch
+        |  FROM per_bin GROUP BY feature),
+        |terms AS (
+        |  SELECT a.feature, a.bin,
+        |         coalesce(p.n_ref, 0) AS n_ref,
+        |         coalesce(p.n_batch, 0) AS n_batch,
+        |         (coalesce(p.n_ref, 0) + 0.5) / (t.tot_ref + 5.0) AS p_ref,
+        |         (coalesce(p.n_batch, 0) + 0.5) / (t.tot_batch + 5.0) AS p_batch
+        |  FROM all_bins a
+        |  LEFT JOIN per_bin p ON p.feature = a.feature AND p.bin = a.bin
+        |  JOIN tot t ON t.feature = a.feature),
+        |dec AS (
+        |  SELECT *, CAST(round((p_batch - p_ref) * ln(p_batch / p_ref), 12)
+        |                 AS DECIMAL(24, 12)) AS term
+        |  FROM terms)
+        |SELECT feature, bin, n_ref, n_batch,
+        |       round(p_ref, 6) AS p_ref, round(p_batch, 6) AS p_batch,
+        |       round(CAST(term AS DOUBLE), 6) AS psi_term,
+        |       round(CAST(SUM(term) OVER (PARTITION BY feature) AS DOUBLE), 6) AS psi
+        |FROM dec""".stripMargin,
     "domain_cap_topk" ->
       s"""SELECT source, doc_id, n_chars FROM (
          |  SELECT source, doc_id, n_chars,

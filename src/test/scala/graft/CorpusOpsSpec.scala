@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.text.CorpusOps
@@ -240,5 +241,33 @@ class CorpusOpsSpec extends AnyFunSuite with SharedSpark {
     // and the physical plan is the custom heap operator, not a sort+window
     val p = got.queryExecution.executedPlan.toString
     assert(p.contains("TopKPerKey"), s"expected TopKPerKeyExec in:\n$p")
+  }
+
+  test("quality_drift_psi: full bin grid, counts tie out, PSI >= 0 and equals its terms") {
+    val rows = CorpusOps.qualityDriftPsi(spark, sfDir).collect()
+    assert(rows.length == 20, s"expected 2 features x 10 bins, got ${rows.length}")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val nRef = docs.filter(col("doc_id") % 2 === 0).count()
+    val nBatch = docs.filter(col("doc_id") % 2 === 1).count()
+    rows.groupBy(_.getString(0)).foreach { case (feature, rs) =>
+      assert(rs.length == 10, s"$feature: missing bins")
+      assert(rs.map(_.getLong(2)).sum == nRef, s"$feature: n_ref total")
+      assert(rs.map(_.getLong(3)).sum == nBatch, s"$feature: n_batch total")
+      // every term (p_b - p_r)·ln(p_b/p_r) is >= 0 (same-sign product),
+      // so PSI >= 0; and the reported PSI is the sum of its own terms
+      // (up to the output rounding)
+      val psi = rs.head.getDouble(7)
+      assert(rs.forall(r => r.getDouble(7) == psi), s"$feature: PSI differs across rows")
+      assert(psi >= 0.0)
+      assert(rs.forall(_.getDouble(6) >= 0.0))
+      assert(math.abs(rs.map(_.getDouble(6)).sum - psi) < 1e-4,
+        s"$feature: terms ${rs.map(_.getDouble(6)).sum} vs psi $psi")
+      // even/odd halves of the same synthetic corpus: no actionable
+      // drift — but at sf0.001's 25-doc halves the 0.5-smoothing
+      // dominates and PSI sits near the 0.1 watch threshold, so the
+      // pin is the 0.25 "act" line (the sf0.01 oracle hashes the
+      // exact values; this spec guards the semantics)
+      assert(psi < 0.25, s"$feature: unexpected drift, PSI=$psi")
+    }
   }
 }

@@ -477,6 +477,23 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert((base -- nd).subsetOf(losers))
   }
 
+  test("lsh_bucket_audit: census ties out to the band table; pair formula exact; cap dormant at test SF") {
+    val audit = Dedup.lshBucketAudit(spark, sfDir).collect()
+    assert(audit.nonEmpty)
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    // each doc contributes exactly one row per band, so per band:
+    // Σ occupancy · n_buckets == corpus size
+    val perBand = audit.groupBy(_.getInt(0)).view
+      .mapValues(_.map(r => r.getLong(1) * r.getLong(2)).sum).toMap
+    assert(perBand.size == Dedup.NumHashes / Dedup.BandRows)
+    assert(perBand.values.forall(_ == nDocs), s"per-band census $perBand != $nDocs")
+    audit.foreach { r =>
+      val (occ, nb, pairs) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(pairs == occ * (occ - 1) / 2 * nb)
+      assert(!r.getBoolean(4), s"over-cap bucket at test SF: occupancy $occ")
+    }
+  }
+
   test("neardup_clusters_bigstar: alternating-star resolution lands on the identical clustering") {
     import spark.implicits._
     val prop = Dedup.neardupClusters(spark, sfDir)

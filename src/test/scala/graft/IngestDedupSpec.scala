@@ -114,4 +114,51 @@ class IngestDedupSpec extends AnyFunSuite with SharedSpark {
     assert(after.sorted.toSeq == fold.toSeq,
       "post-restart accepted set diverged from the fold")
   }
+
+  test("index_compact: bounded file count, row-identical content, no kernels in the stats plan") {
+    def partFiles(d: java.io.File): Seq[java.io.File] = {
+      val kids = Option(d.listFiles()).getOrElse(Array.empty)
+      kids.filter(_.isDirectory).flatMap(partFiles).toSeq ++
+        kids.filter(f => f.isFile && f.getName.startsWith("part-"))
+    }
+    // the fragmented store: one partition dir per batch (seed + 3
+    // fold steps), several part files each — the small-files problem
+    // in miniature
+    val store = streaming.IngestDedup.fragmentedStore(spark, sfDir)
+    val batchDirs = store.listFiles().filter(_.getName.startsWith("batch="))
+    assert(batchDirs.length == 4,
+      s"expected batch=-1..2 partitions, got ${batchDirs.map(_.getName).toSeq}")
+    // at sf0.001 each batch writes a single part file; the fragment
+    // count is the BATCH count (one dir per batch — what grows without
+    // bound at a crawl's cadence), compaction must land strictly below
+    val fragFiles = partFiles(store)
+    assert(fragFiles.size >= 4, s"fragmented store has ${fragFiles.size} files")
+
+    val stats = streaming.IngestDedup.indexCompact(spark, sfDir)
+    // the stats read the WRITTEN copy: a parquet scan + aggregate, no
+    // signature kernel anywhere in the plan
+    val plan = stats.queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions"),
+      "compaction stats must read the stored artifact, not recompute bands")
+    assert(stats.count() == graft.dedup.Dedup.NumHashes / graft.dedup.Dedup.BandRows)
+
+    // the newest compacted version: bounded files, identical rows
+    val versions = graft.IndexStore.root.listFiles()
+      .filter(_.getName.startsWith("ingest_bands_compacted"))
+      .filter(d => new java.io.File(d, "_SUCCESS").exists())
+    assert(versions.nonEmpty)
+    val newest = versions.maxBy(d => new java.io.File(d, "_SUCCESS").lastModified())
+    val frag = spark.read.parquet(store.getAbsolutePath)
+      .select("doc_id", "band", "sig")
+    val comp = spark.read.parquet(newest.getAbsolutePath)
+    val bound = math.max(1L,
+      (frag.count() + streaming.IngestDedup.CompactRowsPerFile - 1)
+        / streaming.IngestDedup.CompactRowsPerFile)
+    assert(partFiles(newest).size <= bound,
+      s"compacted to ${partFiles(newest).size} files, bound $bound")
+    assert(partFiles(newest).size < fragFiles.size,
+      "compaction must reduce the file count")
+    assert(comp.exceptAll(frag).isEmpty && frag.exceptAll(comp).isEmpty,
+      "compacted content differs from the fragmented store")
+  }
 }
