@@ -188,19 +188,20 @@ object IngestDedup {
       "ingest_band_store", Dedup.MinhashIndexParams) { root =>
       val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
       val accepted = ingestDedupFold(spark, dir)
-      def bandsFor(d: DataFrame): DataFrame =
-        Dedup.bandsOf(Dedup.minhashSignaturesOf(spark, shinglesOf(spark, d)))
-      bandsFor(docs.filter(col("doc_id") % 2 === 0))
+      // ONE signature pass over all fold-accepted docs, split to the
+      // per-batch partition dirs by the fold's doc_id % 6 attribution
+      // (the three batches partition the odd ids, so membership is
+      // recoverable without per-step state)
+      val accDocs = docs.join(accepted, Seq("doc_id"), "left_semi")
+      Dedup.bandsOf(Dedup.minhashSignaturesOf(spark, shinglesOf(spark, accDocs)))
+        .withColumn("batch", expr("CAST((doc_id % 6 - 1) DIV 2 AS INT)"))
+        .write.mode("overwrite").partitionBy("batch")
+        .parquet(root.getAbsolutePath)
+      // the seed partition is byte-identical to the standing band
+      // artifact: copy it with a FileScan, never a second kernel
+      BandIndex.standingBands(spark, dir)
         .write.mode("overwrite")
         .parquet(new java.io.File(root, "batch=-1").getAbsolutePath)
-      // per-step membership is recoverable from the fold's accepted set
-      // because the three batches partition the odd ids by doc_id % 6
-      for ((k, b) <- Seq(1 -> 0, 3 -> 1, 5 -> 2)) {
-        val accDocs = docs.filter(col("doc_id") % 6 === k)
-          .join(accepted, Seq("doc_id"), "left_semi")
-        bandsFor(accDocs).write.mode("overwrite")
-          .parquet(new java.io.File(root, s"batch=$b").getAbsolutePath)
-      }
     }
 
   /** Index compaction — the MAINTENANCE verb of the standing-index
