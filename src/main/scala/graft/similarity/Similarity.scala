@@ -439,6 +439,48 @@ object Similarity {
       .groupBy("cid")
       .agg(count(lit(1)).as("n_vectors"))
 
+  /** Embedding-space drift monitor — the PSI of the incoming batch
+    * (odd vec_ids) against the standing corpus (even) over the
+    * DEPLOYED coarse quantizer's cells: the semantic twin of
+    * `quality_drift_psi` (which watches scalar features; a crawl can
+    * hold length and token stats steady while its TOPICS shift, and
+    * only the embedding space sees that). Production shape: the
+    * quantizer is the one the IVF index already uses — trained once at
+    * index-build time, batches are monitored in ITS cell space, so the
+    * monitor costs one assignment pass (the shared, memoized scoring
+    * frame) + a C-row census. Same determinism discipline as the text
+    * PSI: 0.5-additive smoothing over C cells keeps empty cells — the
+    * loudest drift signal — finite; per-cell terms round to 12
+    * decimals and sum as DECIMAL so the total is partition-order-free.
+    * Output: one row per cell (C = `cellsFor(n)` rows, bounded model
+    * state, never corpus-sized). */
+  def embeddingDriftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val nCells = ivfCellCount(spark, dir)
+    val perCell = ivfAssign(spark, dir)
+      .groupBy("cid")
+      .agg(
+        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_batch"))
+    val allCells = spark.range(0, nCells).select(col("id").as("cid"))
+    val totals = perCell.agg(
+      sum("n_ref").as("tot_ref"), sum("n_batch").as("tot_batch"))
+    val pRef = (col("n_ref") + lit(0.5)) / (col("tot_ref") + lit(nCells * 0.5))
+    val pBatch = (col("n_batch") + lit(0.5)) / (col("tot_batch") + lit(nCells * 0.5))
+    val term = round((pBatch - pRef) * log(pBatch / pRef), 12)
+      .cast(org.apache.spark.sql.types.DecimalType(24, 12))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)) // one global window over C bounded rows
+    allCells
+      .join(perCell, Seq("cid"), "left")
+      .na.fill(0L, Seq("n_ref", "n_batch"))
+      .crossJoin(broadcast(totals))
+      .withColumn("t", term)
+      .select(col("cid"), col("n_ref"), col("n_batch"),
+        round(pRef, 6).as("p_ref"), round(pBatch, 6).as("p_batch"),
+        round(col("t").cast("double"), 6).as("psi_term"),
+        round(sum(col("t")).over(w).cast("double"), 6).as("psi"))
+  }
+
   def similarAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vecs = vectors(spark, dir)
@@ -1113,6 +1155,7 @@ object Similarity {
     "similar_ann_ivfpq" -> (similarAnnIvfPq _),
     "mmr_diversify" -> (mmrDiversify _),
     "embedding_cluster_balance" -> (embeddingClusterBalance _),
+    "embedding_drift_psi" -> (embeddingDriftPsi _),
     "semdedup_prune" -> (semdedupPrune _),
     "embedding_pq_codes" -> (embeddingPqCodes _),
     "embedding_pq_codes_indexed" -> (embeddingPqCodesIndexed _),
@@ -1141,6 +1184,25 @@ object Similarity {
          |  SELECT p.m, p.cid, COALESCE(mm.cv, p.cv) AS cv
          |  FROM pcents${i - 1} p LEFT JOIN pmeans$i mm ON mm.m = p.m AND mm.cid = p.cid)""".stripMargin
     }
+
+  /** Shared oracle prefix: full IVF training replay → every vector's
+    * trained-cell assignment (`assign(vec_id, cid)`, with `cents0`
+    * also providing the C cell ids) — the base of the cluster-balance
+    * and embedding-drift oracles. */
+  private def ivfAssignCtes: String =
+    s"""v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+       |           WHERE vec_id < (SELECT GREATEST($IvfCells, COUNT(*) // $TargetCellSize) FROM embeddings)),
+       |${ivfTrainingCtes.mkString(",\n")},
+       |sims AS MATERIALIZED (SELECT vec_id, c.cid,
+       |           list_dot_product(v.v, c.cv) /
+       |           (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+       |         FROM v, cents$IvfIters c),
+       |assign AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |    FROM sims) t
+       |  WHERE rn = 1)""".stripMargin
 
   /** The IVF-PQ search oracle: replay BOTH trainings (the IVF coarse
     * quantizer's 5 Lloyd rounds and the PQ codebooks' 2), the probe
@@ -1477,20 +1539,40 @@ object Similarity {
          |GROUP BY t.cid""".stripMargin,
     // same training replay, reduced to the final per-cell census
     "embedding_cluster_balance" ->
-      s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
-         |           WHERE vec_id < (SELECT GREATEST($IvfCells, COUNT(*) // $TargetCellSize) FROM embeddings)),
-         |${ivfTrainingCtes.mkString(",\n")},
-         |sims AS MATERIALIZED (SELECT vec_id, c.cid,
-         |           list_dot_product(v.v, c.cv) /
-         |           (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
-         |         FROM v, cents$IvfIters c),
-         |assign AS MATERIALIZED (SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-         |    FROM sims) t
-         |  WHERE rn = 1)
+      s"""WITH $ivfAssignCtes
          |SELECT cid, count(*) AS n_vectors FROM assign GROUP BY cid""".stripMargin,
+    // the PSI replayed over the same trained assignment: cells come
+    // from cents0 (exactly C rows, ids 0..C-1), smoothing uses the
+    // same C, terms rounded to 12 decimals and DECIMAL-summed
+    "embedding_drift_psi" ->
+      s"""WITH $ivfAssignCtes,
+         |per_cell AS (
+         |  SELECT cid,
+         |         CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         |         CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch
+         |  FROM assign GROUP BY cid),
+         |tot AS (
+         |  SELECT SUM(n_ref) AS tot_ref, SUM(n_batch) AS tot_batch,
+         |         (SELECT COUNT(*) FROM cents0) AS nc
+         |  FROM per_cell),
+         |terms AS (
+         |  SELECT c.cid,
+         |         coalesce(p.n_ref, 0) AS n_ref,
+         |         coalesce(p.n_batch, 0) AS n_batch,
+         |         (coalesce(p.n_ref, 0) + 0.5) / (t.tot_ref + t.nc * 0.5) AS p_ref,
+         |         (coalesce(p.n_batch, 0) + 0.5) / (t.tot_batch + t.nc * 0.5) AS p_batch
+         |  FROM (SELECT cid FROM cents0) c
+         |  LEFT JOIN per_cell p ON p.cid = c.cid
+         |  CROSS JOIN tot t),
+         |dec AS (
+         |  SELECT *, CAST(round((p_batch - p_ref) * ln(p_batch / p_ref), 12)
+         |                 AS DECIMAL(24, 12)) AS term
+         |  FROM terms)
+         |SELECT cid, n_ref, n_batch,
+         |       round(p_ref, 6) AS p_ref, round(p_batch, 6) AS p_batch,
+         |       round(CAST(term AS DOUBLE), 6) AS psi_term,
+         |       round(CAST(SUM(term) OVER () AS DOUBLE), 6) AS psi
+         |FROM dec""".stripMargin,
     "similar_ann_lsh" ->
       s"""WITH $lshBucketsCte
          |SELECT probe_id, neighbor_id, round(sim, 6) AS sim FROM (

@@ -374,4 +374,21 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(exact.size == Similarity.K * Similarity.NumProbes)
   }
+
+  test("embedding_drift_psi: full cell grid, counts tie out, PSI >= 0 and equals its terms") {
+    val rows = Similarity.embeddingDriftPsi(spark, sfDir).collect()
+    val nCells = Similarity.ivfCellCount(spark, sfDir)
+    assert(rows.length == nCells, s"expected $nCells cells, got ${rows.length}")
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    assert(rows.map(_.getLong(1)).sum ==
+      vecs.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 0).count())
+    assert(rows.map(_.getLong(2)).sum ==
+      vecs.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 1).count())
+    val psi = rows.head.getDouble(6)
+    assert(rows.forall(_.getDouble(6) == psi), "PSI differs across rows")
+    assert(psi >= 0.0)
+    assert(rows.forall(_.getDouble(5) >= 0.0), "a PSI term went negative")
+    assert(math.abs(rows.map(_.getDouble(5)).sum - psi) < 1e-4,
+      s"terms ${rows.map(_.getDouble(5)).sum} vs psi $psi")
+  }
 }
