@@ -72,6 +72,24 @@ object Bench {
   val AuditQueries: Set[String] = Set(
     "ngram_jaccard", "fuzzy_match_prefix", "embedding_neardup")
 
+  /** The near-dup PAIR-bound queries: their work/output tracks the
+    * VERIFIED candidate-pair volume, which is Σ_families f² — linear
+    * on a real corpus (family sizes don't grow with corpus size) but
+    * QUADRATIC in the copy factor of the synthetic `gen_sf.py` ladder,
+    * where every source doc/vector gains M−1 cross-copy near-dups
+    * (sf10: f≈100 → 25 M doc pairs, measured; sf30: f≈300 → 225 M
+    * pairs whose shingle-carrying verify join spills past this
+    * sandbox's disk — measured ENOSPC at 66 GB of spill). The sf30+
+    * rung therefore runs `SPARK_GRAFT_BENCH_TIER=scale` = shipping
+    * minus this set; the family itself is certified at sf0.01 (hash),
+    * sf3 (full-board hash), and sf10 (bench rung). */
+  val PairBoundQueries: Set[String] = Set(
+    "minhash_neardup", "minhash_incremental", "minhash_incremental_indexed",
+    "shingle_containment", "neardup_clusters", "neardup_clusters_indexed",
+    "neardup_clusters_bigstar", "index_retract", "ingest_dedup_fold",
+    "index_compact", "corpus_pipeline_funnel", "corpus_rejection_ledger",
+    "training_set_select_neardup", "embedding_neardup_lsh")
+
   /** Run one query to FULL materialization; (seconds, error). A failed
     * query reports its error message instead of masquerading as a fast
     * success (round-2 swallowed failures into a small timing). */
@@ -103,6 +121,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Long scale runs die on DISK, not memory: ContextCleaner only
+    // drops a finished query's shuffle files when its ShuffleDependency
+    // is garbage-collected, and a large barely-used heap may never GC —
+    // the sf30 attempt accumulated 60+ GB of dead shuffle files and hit
+    // ENOSPC. Ask the cleaner to force a GC once a minute (the conf's
+    // own purpose; default 30 min is tuned for clusters with big local
+    // disks), and explicitly System.gc() between queries below.
+    if (System.getProperty("spark.cleaner.periodicGC.interval") == null)
+      System.setProperty("spark.cleaner.periodicGC.interval", "60s")
     val spark = Sessions.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     val counters = new RecordCounterListener
@@ -142,10 +169,13 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     // tier filter: "all" (default — complete per-query data),
     // "shipping" (exclude the quadratic audit baselines; the headline
-    // number for sf>=1 runs), "audit" (only the baselines)
+    // number for sf>=1 runs), "audit" (only the baselines), "scale"
+    // (shipping minus the pair-bound set — the sf30+ rung where the
+    // synthetic ladder's f² pair volume exceeds the sandbox disk)
     val tier = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIER", "all")
     val inTier: String => Boolean = tier match {
       case "shipping" => name => !AuditQueries(name)
+      case "scale" => name => !AuditQueries(name) && !PairBoundQueries(name)
       case "audit" => AuditQueries
       case _ => _ => true
     }
@@ -172,6 +202,10 @@ object Bench {
       // total and total_first silently cover different query sets
       if (samples.contains(-1.0)) firsts(name) = -1.0
       mins(name) = if (samples.contains(-1.0)) -1.0 else samples.min
+      // release the finished query's shuffle files NOW (see the
+      // periodicGC note above) — outside the timed region, so the
+      // pause never lands in a sample
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") != "0") System.gc()
       name -> (if (samples.contains(-1.0)) -1.0 else median(samples))
     }
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
