@@ -237,6 +237,46 @@ object IngestDedup {
         countDistinct("doc_id").as("n_docs"))
   }
 
+  /** In-place compaction of a LIVE ingest store — the maintenance twin
+    * of the [[indexCompact]] query, operating on the store the stream
+    * actually reads: every batch partition with id ≤ `upTo` is folded
+    * into the base partition (`batch=-1`), so the store's file count
+    * resets while every `batch < id` read a later micro-batch performs
+    * sees EXACTLY the same row set (base rows sort before any live id).
+    *
+    * Protocol (single maintenance writer, runs between micro-batches):
+    * (1) stage the compacted base — reading the store while
+    * overwriting `batch=-1` in place would be the read-your-own-
+    * overwrite footgun; (2) swap the base (delete + rename, a
+    * millisecond window); (3) drop the folded batch dirs. A crash
+    * between (2) and (3) leaves folded rows DUPLICATED (present in
+    * the new base and their old dirs) — harmless by construction,
+    * because candidate generation `distinct()`s before verify, so
+    * re-running compaction is the only repair needed. On object
+    * storage this whole dance is one table-format snapshot commit
+    * (Delta/Iceberg); the protocol, not the design, changes. */
+  def compactStore(spark: SparkSession, storePath: String, upTo: Long): Unit = {
+    val staged = new java.io.File(storePath, ".base-staging")
+    spark.read.parquet(storePath)
+      .filter(col("batch") <= upTo)
+      .drop("batch")
+      .write.mode("overwrite").parquet(staged.getAbsolutePath)
+    def rmTree(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rmTree); f.delete(); ()
+    }
+    val base = new java.io.File(storePath, "batch=-1")
+    rmTree(base)
+    if (!staged.renameTo(base))
+      throw new IllegalStateException(s"compaction swap failed for $base")
+    new java.io.File(storePath).listFiles()
+      .filter { d =>
+        val n = d.getName
+        n.startsWith("batch=") && n != "batch=-1" &&
+          n.stripPrefix("batch=").toLong <= upTo
+      }
+      .foreach(rmTree)
+  }
+
   /** Lifecycle hook, [[graft.dedup.Dedup.clearCaches]]'s contract. */
   def clearCaches(spark: SparkSession): Unit =
     graft.SessionCaches.clear(spark, Seq(foldCache))

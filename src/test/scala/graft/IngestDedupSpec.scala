@@ -115,6 +115,50 @@ class IngestDedupSpec extends AnyFunSuite with SharedSpark {
       "post-restart accepted set diverged from the fold")
   }
 
+  test("compactStore: mid-stream compaction leaves rows and later decisions unchanged") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    def store(suffix: String): (String, String) = (tmp(s"cmp_idx$suffix"), tmp(s"cmp_acc$suffix"))
+    val (idxA, accA) = store("a"); val (idxB, accB) = store("b")
+    // identical seed + two driven batches in both stores
+    for ((idx, acc) <- Seq((idxA, accA), (idxB, accB))) {
+      IngestDedup.seed(spark, docs.filter(col("doc_id") % 2 === 0), idx, acc)
+      for ((k, id) <- Seq(1 -> 0L, 3 -> 1L)) {
+        val batch = docs.filter(col("doc_id") % 6 === k)
+        val index = spark.read.parquet(idx).filter(col("batch") < id)
+          .select("doc_id", "band", "sig")
+        val known = spark.read.parquet(acc).filter(col("batch") < id)
+          .select("doc_id", "text")
+        val accepted = batch.join(
+          IngestDedup.dedupStep(spark, batch, index, known), Seq("doc_id"), "left_semi")
+        accepted.write.mode("overwrite").parquet(s"$acc/batch=$id")
+        graft.dedup.Dedup.bandsOf(graft.dedup.Dedup.minhashSignaturesOf(spark,
+            accepted.select(col("doc_id"), col("text")).as[(Long, String)]
+              .map { case (i, t) => (i, graft.dedup.Dedup.shingleSet(t)) }
+              .toDF("doc_id", "sh")))
+          .write.mode("overwrite").parquet(s"$idx/batch=$id")
+      }
+    }
+    val before = spark.read.parquet(idxA).select("doc_id", "band", "sig")
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    // compact store A only; store B stays fragmented as the reference
+    IngestDedup.compactStore(spark, idxA, upTo = 1L)
+    val dirs = new java.io.File(idxA).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted.toSeq
+    assert(dirs == Seq("batch=-1"), s"expected only the base, got $dirs")
+    val after = spark.read.parquet(idxA).select("doc_id", "band", "sig")
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    assert(after == before, "compaction changed the store's row set")
+    // batch 3's decision over the compacted store == over the reference
+    val batch3 = docs.filter(col("doc_id") % 6 === 5)
+    def decide(idx: String, acc: String) = IngestDedup.dedupStep(spark, batch3,
+        spark.read.parquet(idx).filter(col("batch") < 2).select("doc_id", "band", "sig"),
+        spark.read.parquet(acc).filter(col("batch") < 2).select("doc_id", "text"))
+      .as[Long].collect().sorted.toSeq
+    assert(decide(idxA, accA) == decide(idxB, accB),
+      "post-compaction decisions diverged from the uncompacted store")
+  }
+
   test("index_compact: bounded file count, row-identical content, no kernels in the stats plan") {
     def partFiles(d: java.io.File): Seq[java.io.File] = {
       val kids = Option(d.listFiles()).getOrElse(Array.empty)
