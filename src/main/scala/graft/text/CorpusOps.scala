@@ -163,25 +163,35 @@ object CorpusOps {
     * order-independent — a raw double window-sum would make the hash
     * depend on partition order. Output: one row per (feature, bin),
     * 20 rows total, each carrying its feature's PSI. */
-  def qualityDriftPsi(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val feats = docs
+  /** Per-doc quality features as (doc_id, feature, v) rows — the
+    * frame both the batch PSI query and the streaming monitor bin. */
+  private[graft] def qualityFeats(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), lit("n_chars").as("feature"),
         col("n_chars").cast(DoubleType).as("v"))
       .unionByName(docs.select(col("doc_id"), lit("n_tokens").as("feature"),
         size(WordCount.tokens(col("text"))).cast(DoubleType).as("v")))
-    val cuts = feats.filter(col("doc_id") % 2 === 0)
+
+  /** The PSI core over two feature frames: decile edges from `ref`
+    * (exact percentile, one tiny broadcast aggregate), both
+    * populations binned by counting edges below, smoothed PSI with
+    * DECIMAL-summed terms (see [[qualityDriftPsi]]'s Scaladoc). */
+  private[graft] def psiBetween(spark: SparkSession, refFeats: DataFrame,
+                                batchFeats: DataFrame): DataFrame = {
+    val feats = refFeats.withColumn("is_ref", lit(true))
+      .unionByName(batchFeats.withColumn("is_ref", lit(false)))
+    val cuts = refFeats
       .groupBy("feature")
       .agg(percentile(col("v"),
         array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cuts"))
     val binned = feats.join(broadcast(cuts), "feature")
-      .select(col("feature"), col("doc_id"),
+      .select(col("feature"), col("is_ref"),
         (size(filter(col("cuts"), c => col("v") > c)) + 1)
           .cast(LongType).as("bin"))
     val perBin = binned.groupBy("feature", "bin")
       .agg(
-        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_ref"),
-        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("n_batch"))
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_batch"))
     // every (feature, bin 1..10) must appear — an EMPTY batch bin is
     // exactly the drift signal the monitor exists to surface
     val allBins = cuts.select("feature")
@@ -202,6 +212,13 @@ object CorpusOps {
         round(pRef, 6).as("p_ref"), round(pBatch, 6).as("p_batch"),
         round(col("t").cast(DoubleType), 6).as("psi_term"),
         round(sum(col("t")).over(w).cast(DoubleType), 6).as("psi"))
+  }
+
+  def qualityDriftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    psiBetween(spark,
+      qualityFeats(docs.filter(col("doc_id") % 2 === 0)),
+      qualityFeats(docs.filter(col("doc_id") % 2 === 1)))
   }
 
   /** One round of the BPE-training inner loop: adjacent-symbol pair

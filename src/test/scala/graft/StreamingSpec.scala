@@ -576,4 +576,37 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       .as[(Timestamp, String, Long)].collect().toSet
     assert(got == Set((ts(0), "click", 2L), (ts(60), "view", 1L)))
   }
+
+  test("drift monitor: every micro-batch's sink PSI == batch-mode psiBetween on the same slice") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "n_chars")
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val slices = Seq(
+      docs.filter(col("doc_id") % 6 === 1),
+      docs.filter(col("doc_id") % 6 === 3))
+    val sink = java.nio.file.Files.createTempDirectory("drift_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("drift_ckpt").toString
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.DriftMonitor.start(spark, ref,
+      mem.toDF.toDF("doc_id", "text", "n_chars"), sink, ckpt)
+    try {
+      slices.foreach { s =>
+        mem.addData(s.as[(Long, String, Long)].collect().toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    slices.zipWithIndex.foreach { case (s, id) =>
+      val got = spark.read.parquet(s"$sink/batch=$id")
+        .drop("batch").collect().map(_.toString).sorted.toSeq
+      val want = graft.text.CorpusOps.psiBetween(spark,
+          graft.text.CorpusOps.qualityFeats(ref),
+          graft.text.CorpusOps.qualityFeats(s))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want, s"batch $id: stream PSI diverged from batch PSI")
+      assert(got.size == 20)
+    }
+  }
 }
