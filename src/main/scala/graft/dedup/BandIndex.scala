@@ -220,18 +220,45 @@ object BandIndex {
     // Scaladoc — filtering rows out of the stored labels is NOT a
     // correct retraction), published beside the bands
     retractedComponents(spark, dir)
-    val before = acceptedAgainst(spark, dir, standingBands(spark, dir))
-      .withColumn("b", lit(true))
-    val after = acceptedAgainst(spark, dir, retracted)
-      .withColumn("a", lit(true))
+    // ONE signature kernel and ONE shingle-carrying verify join serve
+    // both decisions (through round 10 each decision ran its own —
+    // the verify is the pairs-bound cost, so this halves the query).
+    // The "after" candidates still come from a FileScan of the
+    // PUBLISHED retracted artifact, so the write/read cycle stays
+    // under the oracle hash: verified pairs that survive in the
+    // retracted copy's buckets (the left join's marker) are exactly
+    // the suppressors the erasure did not remove.
+    val docs = Dedup.cachedDocShingles(spark, dir)
+    val batch = batchBands(spark, dir)
+      .select(col("doc_id").as("dn"), col("band"), col("sig"))
+    val candB = batch
+      .join(standingBands(spark, dir)
+        .select(col("doc_id").as("dc"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select("dn", "dc").distinct()
+    val candA = batch
+      .join(retracted
+        .select(col("doc_id").as("dc"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select("dn", "dc").distinct()
+    val jac = col("c").cast("double") /
+      (col("n1") + col("n2") - col("c")).cast("double")
+    val verified = Dedup.verifiedIntersections(docs, candB, "dn", "dc")
+      .filter(jac >= 0.5)
+      .select("dn", "dc")
+    // flags: a row means "matched before"; m_after = some verified
+    // suppressor is still present in the retracted index
+    val flags = verified
+      .join(candA.withColumn("in_after", lit(true)), Seq("dn", "dc"), "left")
+      .groupBy(col("dn").as("doc_id"))
+      .agg(max(coalesce(col("in_after"), lit(false))).as("m_after"))
     Tables.load(spark, dir, "documents")
       .filter(batchFilter)
       .select("doc_id")
-      .join(before, Seq("doc_id"), "left")
-      .join(after, Seq("doc_id"), "left")
+      .join(flags, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("b"), lit(false)).as("accepted_before"),
-        coalesce(col("a"), lit(false)).as("accepted_after"))
+        col("m_after").isNull.as("accepted_before"),
+        coalesce(!col("m_after"), lit(true)).as("accepted_after"))
   }
 
   /** The retracted CC label artifact: a fresh resolution over the
