@@ -31,7 +31,9 @@ import graft.Tables
   * key, or an unapplied update all shift the counts/sums. */
 object MergeUpsert {
 
-  def mergeUpsertOrders(spark: SparkSession, dir: String): DataFrame = {
+  /** The (base, merged) snapshot pair behind [[mergeUpsertOrders]] —
+    * also the input of [[snapshotDiff]]'s audit. */
+  private def upsertSnapshots(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
         col("o_totalprice").as("price"))
@@ -52,10 +54,49 @@ object MergeUpsert {
       .groupBy("k")
       .agg(max(struct(col("v"), col("status"), col("price"))).as("top"))
       .select(col("k"), col("top.status").as("status"), col("top.price").as("price"))
+    (base, merged)
+  }
+
+  def mergeUpsertOrders(spark: SparkSession, dir: String): DataFrame = {
+    val (_, merged) = upsertSnapshots(spark, dir)
     merged.groupBy("status")
       .agg(count(lit(1)).as("n_rows"),
         sum(col("price").cast(DecimalType(18, 2)))
           .cast(DoubleType).as("sum_price"))
+  }
+
+  /** Snapshot diff — the audit a merge pipeline runs AFTER a merge
+    * lands: per change category, how many keys and how much value
+    * moved between snapshot A (the base) and snapshot B (the merged
+    * result). One full-outer join on the key; a key is `added` (B
+    * only), `removed` (A only), `changed` (both sides, any column
+    * differs), or `unchanged`. Under upsert-only merge `removed` is
+    * structurally impossible — the oracle recomputes the diff from
+    * scratch, so a merge that DROPPED a key would surface as a
+    * `removed` row the oracle doesn't have (hash mismatch), which is
+    * the failure the audit exists to catch. Value deltas in exact
+    * DECIMAL. At 100 TB this is one co-partitioned join between two
+    * snapshot versions (both hash on the merge key — with bucketed or
+    * Delta/Iceberg storage it is shuffle-free) and a four-row output. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val (base, merged) = upsertSnapshots(spark, dir)
+    val a = base.select(col("k"),
+      col("status").as("a_status"), col("price").as("a_price"))
+    val b = merged.select(col("k"),
+      col("status").as("b_status"), col("price").as("b_price"))
+    val dec = (c: org.apache.spark.sql.Column) =>
+      coalesce(c.cast(DecimalType(18, 2)), lit(0).cast(DecimalType(18, 2)))
+    a.join(b, Seq("k"), "full_outer")
+      .select(
+        when(col("a_status").isNull, "added")
+          .when(col("b_status").isNull, "removed")
+          .when(col("a_status") =!= col("b_status")
+            || col("a_price") =!= col("b_price"), "changed")
+          .otherwise("unchanged").as("category"),
+        (dec(col("b_price")) - dec(col("a_price"))).as("delta"))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("delta")).cast(DoubleType).as("price_delta"))
   }
 
   /** Full-CDC survivor election over a versioned change feed with an
@@ -187,6 +228,7 @@ object MergeUpsert {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert_orders" -> (mergeUpsertOrders _),
+    "snapshot_diff" -> (snapshotDiff _),
     "merge_cdc_tombstones" -> (mergeCdcOrders _),
     "incremental_rollup_merge" -> (incrementalRollupMerge _),
     "retraction_rollup" -> (retractionRollup _))
@@ -239,6 +281,37 @@ object MergeUpsert {
         |       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM merged
         |GROUP BY status""".stripMargin,
+    // the diff recomputed from scratch: same synthesized changes,
+    // same arg_max merge, full outer on the key, exact DECIMAL deltas
+    "snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+        |  FROM orders),
+        |mk AS (SELECT max(k) AS mk FROM base),
+        |changes AS (
+        |  SELECT k, 'U' AS status, price + 10.0 AS price
+        |  FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k + mk + 1 AS k, 'I' AS status, 99.99 AS price
+        |  FROM base, mk WHERE k % 100 = 0),
+        |tagged AS (
+        |  SELECT k, 0 AS v, status, price FROM base
+        |  UNION ALL
+        |  SELECT k, 1 AS v, status, price FROM changes),
+        |merged AS (
+        |  SELECT k, arg_max(status, v) AS status, arg_max(price, v) AS price
+        |  FROM tagged GROUP BY k),
+        |diff AS (
+        |  SELECT CASE WHEN a.status IS NULL THEN 'added'
+        |              WHEN b.status IS NULL THEN 'removed'
+        |              WHEN a.status <> b.status OR a.price <> b.price THEN 'changed'
+        |              ELSE 'unchanged' END AS category,
+        |         coalesce(CAST(b.price AS DECIMAL(18,2)), 0)
+        |           - coalesce(CAST(a.price AS DECIMAL(18,2)), 0) AS delta
+        |  FROM base a FULL OUTER JOIN merged b ON b.k = a.k)
+        |SELECT category, count(*) AS n_keys,
+        |       CAST(SUM(delta) AS DOUBLE) AS price_delta
+        |FROM diff GROUP BY category""".stripMargin,
     "merge_cdc_tombstones" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price

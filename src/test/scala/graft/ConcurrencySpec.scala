@@ -42,6 +42,35 @@ class ConcurrencySpec extends AnyFunSuite with SharedSpark {
       "racing builders returned different pair lists")
   }
 
+  test("getOrBuildLayout: racing builders publish one store, losers clean up, reads agree") {
+    import org.apache.spark.sql.functions.lit
+    // unique params => a fresh artifact key, so the race is on a cold
+    // store every run (the artifact root accumulates one tiny dir per
+    // run; the hourly tmp sweep covers crashed leftovers)
+    val params = "spec-race-" + java.util.UUID.randomUUID()
+    val dirs = inThreads(4) { i =>
+      IndexStore.getOrBuildLayout(spark, sfDir, "documents",
+        "race_layout", params) { root =>
+        spark.range(100).withColumn("builder", lit(i))
+          .write.mode("overwrite")
+          .parquet(new java.io.File(root, "batch=0").getAbsolutePath)
+      }
+    }
+    assert(dirs.map(_.getAbsolutePath).distinct.size == 1,
+      "racing builders resolved to different artifact dirs")
+    val target = dirs.head
+    assert(new java.io.File(target, "_SUCCESS").exists())
+    // one winner's content, readable, consistent: all 100 ids, ONE
+    // builder id (a torn mix of two builders' files would show here)
+    val rows = spark.read.parquet(target.getAbsolutePath)
+    assert(rows.count() == 100)
+    assert(rows.select("builder").distinct().count() == 1)
+    // losers removed their staging dirs
+    val leftovers = target.getParentFile.listFiles()
+      .filter(_.getName.startsWith(target.getName + ".tmp-"))
+    assert(leftovers.isEmpty, s"orphaned staging dirs: ${leftovers.toSeq}")
+  }
+
   test("4 concurrent streams of mixed queries equal their serial results") {
     // memo-heavy + join-heavy + kernel queries, the mix a multi-tenant
     // session serves; FAIR pool labels exercise per-thread scheduling

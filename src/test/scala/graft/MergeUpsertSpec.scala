@@ -78,4 +78,23 @@ class MergeUpsertSpec extends AnyFunSuite with SharedSpark {
     assert(got("click") == ((2L, 30.0)), s"click retraction wrong: $got")
     assert(got("buy") == ((1L, 9.5)))
   }
+
+  test("snapshot_diff: categories tie out to the synthesized change batch, deltas exact") {
+    import org.apache.spark.sql.functions.col
+    val rows = MergeUpsert.snapshotDiff(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val base = Tables.load(spark, sfDir, "orders")
+    val nBase = base.count()
+    val nIns = base.filter(col("o_orderkey") % 100 === 0).count()
+    val nUpd = base.filter(col("o_orderkey") % 10 === 0).count()
+    // upsert-only merge: a key can never vanish
+    assert(!rows.contains("removed"), s"merge dropped keys: $rows")
+    assert(rows("added")._1 == nIns)
+    // every updated key changes (price moves by exactly +10.00)
+    assert(rows("changed")._1 == nUpd)
+    assert(math.abs(rows("changed")._2 - 10.0 * nUpd) < 1e-6)
+    assert(math.abs(rows("added")._2 - 99.99 * nIns) < 1e-6)
+    assert(rows("unchanged")._1 == nBase - nUpd)
+    assert(rows("unchanged")._2 == 0.0)
+  }
 }
