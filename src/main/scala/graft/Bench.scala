@@ -88,7 +88,8 @@ object Bench {
     "shingle_containment", "neardup_clusters", "neardup_clusters_indexed",
     "neardup_clusters_bigstar", "index_retract", "ingest_dedup_fold",
     "index_compact", "corpus_pipeline_funnel", "corpus_rejection_ledger",
-    "training_set_select_neardup", "embedding_neardup_lsh")
+    "training_set_select_neardup", "train_eval_split_neardup",
+    "embedding_neardup_lsh")
 
   /** Run one query to FULL materialization; (seconds, error). A failed
     * query reports its error message instead of masquerading as a fast

@@ -487,6 +487,40 @@ object TextAnalysis {
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Per-doc assignment of the LEAKAGE-SAFE split (see
+    * [[trainEvalSplitNeardup]]) — exposed for the spec, which pins the
+    * structural guarantee on the pair level. */
+  private[graft] def neardupSplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val comp = graft.dedup.Dedup.neardupComponents(spark, dir)
+      .select(col("id").as("doc_id"), col("label"))
+    docs.join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("label"), col("doc_id")).as("cid"))
+      .select(col("doc_id"), col("lang"),
+        when(conv(substring(md5(col("cid").cast("string")), 1, 15), 16, 10)
+          .cast(LongType) % 100 < lit(100 - EvalPct), "train")
+          .otherwise("eval").as("split"))
+  }
+
+  /** LEAKAGE-SAFE train/eval split — [[trainEvalSplit]] hashes CONTENT,
+    * which keeps exact duplicates on one side but lets NEAR-duplicates
+    * straddle the boundary (an eval doc whose 0.9-Jaccard twin sits in
+    * train is contamination `eval_decontamination` then has to catch
+    * after the fact). This split assigns whole near-dup CLUSTERS: a
+    * doc's side is the hash of its cluster id (component min label;
+    * docs outside any cluster are their own), so no verified near-dup
+    * pair can EVER cross the boundary — leakage is impossible by
+    * construction rather than detected later. Cost beyond the pair
+    * graph + CC labels the cluster family already memoizes: one narrow
+    * hash pass and the same tiny census. The oracle replays the full
+    * component resolution, the cluster-id hash, and the census. */
+  def trainEvalSplitNeardup(spark: SparkSession, dir: String): DataFrame =
+    neardupSplitAssign(spark, dir)
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Eval-set DECONTAMINATION — the audit every benchmark-holdout
     * pipeline runs: for each eval-split doc, the fraction of its
     * word-3-gram shingles that also occur anywhere in the train split.
@@ -1009,6 +1043,7 @@ object TextAnalysis {
     "corpus_balance_sample" -> (corpusBalanceSample _),
     "length_trim_filter" -> (lengthTrimFilter _),
     "train_eval_split" -> (trainEvalSplit _),
+    "train_eval_split_neardup" -> (trainEvalSplitNeardup _),
     "eval_decontamination" -> (evalDecontamination _),
     // no-oracle by the sketch rule (Bloom layouts are engine-specific);
     // declared anyway so Verify/Bench/PlanAudit exercise the actual
@@ -1362,6 +1397,18 @@ object TextAnalysis {
          |       $splitCaseSql AS split,
          |       count(*) AS n_docs
          |FROM documents GROUP BY 1, 2""".stripMargin,
+    // the full component resolution replayed, then the cluster-id hash
+    // (docs outside any cluster are their own cluster)
+    "train_eval_split_neardup" ->
+      s"""${graft.dedup.Dedup.componentCtes},
+         |cl AS (SELECT d.lang, coalesce(c.cluster_id, d.doc_id) AS cid
+         |       FROM documents d LEFT JOIN comp c USING (doc_id))
+         |SELECT lang,
+         |       CASE WHEN CAST(('0x' || substring(md5(CAST(cid AS VARCHAR)), 1, 15)) AS BIGINT)
+         |                 % 100 < ${100 - EvalPct}
+         |            THEN 'train' ELSE 'eval' END AS split,
+         |       count(*) AS n_docs
+         |FROM cl GROUP BY 1, 2""".stripMargin,
     "eval_decontamination" ->
       s"""WITH sh AS (${graft.dedup.Dedup.docShinglesSql}),
          |sp AS (SELECT doc_id, $splitCaseSql AS split

@@ -277,4 +277,25 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(got.toSeq == Seq((1L, 1L, 666666L), (2L, 1L, 666666L), (3L, 1L, 333333L)))
   }
+
+  test("train_eval_split_neardup: no verified near-dup pair ever crosses the split") {
+    import spark.implicits._
+    val assign = graft.text.TextAnalysis.neardupSplitAssign(spark, sfDir)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(assign.size == docs.count())
+    assert(assign.values.toSet.subsetOf(Set("train", "eval")))
+    // the structural guarantee: both endpoints of every verified
+    // near-dup pair share a cluster, hence a side
+    val pairs = graft.dedup.Dedup.cachedMinhashPairs(spark, sfDir)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "corpus has no near-dup pairs; spec is vacuous")
+    pairs.foreach { case (a, b) =>
+      assert(assign(a) == assign(b), s"pair ($a,$b) crosses the split")
+    }
+    // and the census the query reports is this assignment's census
+    val census = graft.text.TextAnalysis.trainEvalSplitNeardup(spark, sfDir)
+      .as[(String, String, Long)].collect().map(r => r._3).sum
+    assert(census == assign.size)
+  }
 }
