@@ -237,6 +237,78 @@ object IngestDedup {
         countDistinct("doc_id").as("n_docs"))
   }
 
+  /** The ingest stream with RETRACTION — `index_retract`'s erasure verb
+    * arriving ON the stream, which is how GDPR deletes reach a crawl
+    * pipeline in production: each micro-batch carries (doc_id, text,
+    * op) rows with op `ingest` or `erase`. Erasures append to a
+    * TOMBSTONE store (their own `batch=<id>` partition — the same
+    * overwrite-idempotent layout as the band/accepted stores), and
+    * every read anti-joins the tombstones: erased docs' bands stop
+    * suppressing, their text stops being readable, and a later
+    * near-dup of an erased doc flips to ACCEPTED — the `index_retract`
+    * semantics, live. Within a batch, erasures apply FIRST (an ingest
+    * and an erasure of related docs in one batch behave as if the
+    * erasure landed a moment earlier) — the deterministic order the
+    * spec pins.
+    *
+    * Scale: an erasure batch costs one tombstone append; the
+    * anti-join adds a broadcast-able (tombstones are erased-id rows,
+    * tiny relative to the index) filter to reads the stream already
+    * does. The erased docs' text is never touched — it may already be
+    * legally gone. Physical removal of tombstoned rows happens at the
+    * next [[compactStore]]-style rewrite, exactly like merge-on-read
+    * deletes. IngestDedupSpec pins the acceptance flip, the read-side
+    * erasure of bands and text, and exactly-once through a
+    * torn-commit replay. */
+  def startWithRetraction(spark: SparkSession, eventsStream: DataFrame,
+                          indexPath: String, acceptedPath: String,
+                          tombPath: String, checkpoint: String): StreamingQuery =
+    eventsStream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ing = batch.filter(col("op") === "ingest").select("doc_id", "text")
+        val era = batch.filter(col("op") === "erase").select("doc_id")
+        // tombstones visible to THIS batch: all earlier ones plus this
+        // batch's own (erase-before-ingest within the batch); the
+        // union is the same set on a torn-commit replay, because the
+        // replay overwrites its own partition below
+        val priorTombs = readStore(spark, tombPath, id).select("doc_id")
+        val tombs = priorTombs.unionByName(era)
+        val index = readStore(spark, indexPath, id)
+          .select("doc_id", "band", "sig")
+          .join(tombs, Seq("doc_id"), "left_anti")
+        val known = readStore(spark, acceptedPath, id)
+          .select("doc_id", "text")
+          .join(tombs, Seq("doc_id"), "left_anti")
+        val accepted = ing
+          .join(dedupStep(spark, ing, index, known), Seq("doc_id"), "left_semi")
+          .persist()
+        try {
+          accepted.write.mode("overwrite").parquet(s"$acceptedPath/batch=$id")
+          Dedup.bandsOf(Dedup.minhashSignaturesOf(spark,
+              shinglesOf(spark, accepted)))
+            .write.mode("overwrite").parquet(s"$indexPath/batch=$id")
+          era.write.mode("overwrite").parquet(s"$tombPath/batch=$id")
+        } finally { accepted.unpersist(); () }
+      }
+      .start()
+
+  /** `batch < id` read of a per-batch partitioned store, tolerating a
+    * store with no partitions yet (the tombstone store before the
+    * first erasure): an empty/missing store reads as an empty frame
+    * with the right columns. */
+  private def readStore(spark: SparkSession, path: String, id: Long): DataFrame = {
+    val dirs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("batch="))
+    if (dirs.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(Long, String, Int, String)]
+        .toDF("doc_id", "text", "band", "sig")
+        .withColumn("batch", lit(-1))
+    } else spark.read.parquet(path).filter(col("batch") < id)
+  }
+
   /** In-place compaction of a LIVE ingest store — the maintenance twin
     * of the [[indexCompact]] query, operating on the store the stream
     * actually reads: every batch partition with id ≤ `upTo` is folded

@@ -115,6 +115,76 @@ class IngestDedupSpec extends AnyFunSuite with SharedSpark {
       "post-restart accepted set diverged from the fold")
   }
 
+  test("startWithRetraction: an erasure flips a suppressed near-dup to accepted, erased state unreadable, replay exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again every day"
+    val corpusText = "completely different seed text about maritime law and harbors ports"
+    val corpus = Seq((0L, corpusText)).toDF("doc_id", "text")
+
+    // two identical streams; only `withErase` carries the erasure event
+    case class Run(idx: String, acc: String, tmb: String, ckpt: String,
+                   mem: MemoryStream[(Long, String, String)],
+                   accepted: Seq[(Long, Long)])
+    def run(withErase: Boolean): Run = {
+      val idx = tmp("ret_idx"); val acc = tmp("ret_acc")
+      val tmb = tmp("ret_tmb"); val ckpt = tmp("ret_ckpt")
+      IngestDedup.seed(spark, corpus, idx, acc)
+      val mem = MemoryStream[(Long, String, String)]
+      val q = IngestDedup.startWithRetraction(spark,
+        mem.toDF.toDF("doc_id", "text", "op"), idx, acc, tmb, ckpt)
+      try {
+        mem.addData((1L, base, "ingest"))
+        q.processAllAvailable()
+        val b1 = Seq((3L, base + " extra", "ingest"),
+          (5L, corpusText + " extra", "ingest")) ++
+          (if (withErase) Seq((1L, "", "erase")) else Nil)
+        mem.addData(b1)
+        q.processAllAvailable()
+        mem.addData((7L, base + " more", "ingest"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val accepted = spark.read.parquet(acc).filter(col("batch") >= 0)
+        .select("doc_id", "batch").as[(Long, Long)].collect().sorted.toSeq
+      Run(idx, acc, tmb, ckpt, mem, accepted)
+    }
+
+    assert(run(withErase = false).accepted == Seq((1L, 0L)),
+      "control stream (no erasure): doc 3 suppressed by accepted doc 1, 5 by corpus, 7 by 1")
+
+    val Run(idx, acc, tmb, ckpt, mem, accepted) = run(withErase = true)
+    // erasure of doc 1 in batch 1 applies before that batch's ingests:
+    // doc 3's only suppressor is gone -> ACCEPTED (the index_retract
+    // flip, live); doc 5 still suppressed by the living corpus doc;
+    // doc 7 then suppressed by the newly-accepted doc 3
+    assert(accepted == Seq((1L, 0L), (3L, 1L)), s"retraction stream accepted $accepted")
+    // erased state is unreadable through the tombstoned view
+    val tombs = spark.read.parquet(tmb).select("doc_id").as[Long].collect().toSeq
+    assert(tombs == Seq(1L))
+    val liveBands = spark.read.parquet(idx)
+      .join(spark.read.parquet(tmb).select("doc_id"), Seq("doc_id"), "left_anti")
+    assert(liveBands.filter(col("doc_id") === 1L).count() == 0)
+
+    // torn-commit replay: drop the newest commit marker, restart on the
+    // same checkpoint + stores — the replayed batch must overwrite its
+    // own partitions (same accepted set, no duplicated tombstones)
+    val commits = new java.io.File(s"$ckpt/commits")
+      .listFiles().filter(_.getName.forall(_.isDigit))
+    val torn = commits.maxBy(_.getName.toInt)
+    val tornCrc = new java.io.File(torn.getParent, s".${torn.getName}.crc")
+    assert(torn.delete())
+    if (tornCrc.exists()) assert(tornCrc.delete())
+    val q2 = IngestDedup.startWithRetraction(spark,
+      mem.toDF.toDF("doc_id", "text", "op"), idx, acc, tmb, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val replayed = spark.read.parquet(acc).filter(col("batch") >= 0)
+      .select("doc_id", "batch").as[(Long, Long)].collect().sorted.toSeq
+    assert(replayed == accepted, s"replay diverged: $replayed")
+    assert(spark.read.parquet(tmb).select("doc_id").as[Long].collect().toSeq == Seq(1L),
+      "replay duplicated tombstones")
+  }
+
   test("compactStore: mid-stream compaction leaves rows and later decisions unchanged") {
     import spark.implicits._
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
