@@ -327,12 +327,32 @@ object IngestDedup {
     * re-running compaction is the only repair needed. On object
     * storage this whole dance is one table-format snapshot commit
     * (Delta/Iceberg); the protocol, not the design, changes. */
-  def compactStore(spark: SparkSession, storePath: String, upTo: Long): Unit = {
+  /** [[compactStore]] variant that also APPLIES tombstones: rows whose
+    * doc_id is tombstoned at batch ≤ `upTo` are dropped from the
+    * compacted base — the merge-on-read physical delete, done at the
+    * rewrite the compaction is already paying for. The tombstone
+    * partitions themselves must outlive this call (later batches'
+    * reads still anti-join them for the UNcompacted stores; sweeping
+    * them is safe only once every store is compacted past `upTo`). */
+  def compactStore(spark: SparkSession, storePath: String, upTo: Long,
+                   tombPath: Option[String]): Unit = {
     val staged = new java.io.File(storePath, ".base-staging")
-    spark.read.parquet(storePath)
+    val folded = spark.read.parquet(storePath)
       .filter(col("batch") <= upTo)
       .drop("batch")
-      .write.mode("overwrite").parquet(staged.getAbsolutePath)
+    val cleaned = tombPath.fold(folded) { tp =>
+      folded.join(
+        readStore(spark, tp, upTo + 1).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    }
+    cleaned.write.mode("overwrite").parquet(staged.getAbsolutePath)
+    swapBase(storePath, staged, upTo)
+  }
+
+  def compactStore(spark: SparkSession, storePath: String, upTo: Long): Unit =
+    compactStore(spark, storePath, upTo, None)
+
+  private def swapBase(storePath: String, staged: java.io.File, upTo: Long): Unit = {
     def rmTree(f: java.io.File): Unit = {
       val cs = f.listFiles(); if (cs != null) cs.foreach(rmTree); f.delete(); ()
     }

@@ -183,6 +183,19 @@ class IngestDedupSpec extends AnyFunSuite with SharedSpark {
     assert(replayed == accepted, s"replay diverged: $replayed")
     assert(spark.read.parquet(tmb).select("doc_id").as[Long].collect().toSeq == Seq(1L),
       "replay duplicated tombstones")
+
+    // tombstone-aware compaction: the rewrite PHYSICALLY removes the
+    // erased doc's rows, and the compacted base equals what readers
+    // already saw through the anti-join (no behavior change)
+    val visibleBefore = spark.read.parquet(idx)
+      .join(spark.read.parquet(tmb).select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("doc_id", "band", "sig")
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    IngestDedup.compactStore(spark, idx, upTo = 2L, Some(tmb))
+    val compacted = spark.read.parquet(idx).select("doc_id", "band", "sig")
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    assert(!compacted.exists(_._1 == 1L), "erased doc's bands survived the rewrite")
+    assert(compacted == visibleBefore, "compaction changed the readable row set")
   }
 
   test("compactStore: mid-stream compaction leaves rows and later decisions unchanged") {
