@@ -293,6 +293,57 @@ object Dedup {
 
   private val WinTokens = 8
 
+  /** Exact-substring SCRUB audit — the transform behind the stats:
+    * which tokens survive after removing every cross-doc duplicated
+    * [[WinTokens]]-token window (the exact-substring dedup of
+    * training-data pipelines: boilerplate, licenses, and templated
+    * spans vanish; unique prose stays). A token is dropped iff ANY
+    * window occurrence covering it is duplicated (appears in ≥ 2
+    * docs); per doc the audit reports total / dropped / kept tokens
+    * and the kept fraction — the number a curation run budgets with
+    * before committing to the rewrite. Same scale shape as
+    * [[substringDupStats]] plus one coverage explode (≤ 8 positions
+    * per duplicated occurrence, distinct-collapsed): windows are
+    * linear in corpus tokens, the flag join is 1:n on window COUNTS
+    * (never doc pairs), and nothing is quadratic. */
+  def substringDupScrub(spark: SparkSession, dir: String): DataFrame =
+    substringDupScrubOf(spark, Tables.load(spark, dir, "documents"))
+
+  /** [[substringDupScrub]] over an explicit (doc_id, text) frame, for
+    * the hand-corpus spec. */
+  def substringDupScrubOf(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val toks = documents.select(col("doc_id"),
+      size(graft.operators.WordCount.tokens(col("text")))
+        .cast("long").as("n_tokens"))
+    // positioned windows (1-based), via the same typed kernel as the
+    // stats form — positions are needed for coverage, so no distinct
+    val wins = documents
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val ws = t.split(" ").filter(_.nonEmpty)
+        if (ws.length < WinTokens) Iterator.empty
+        else (0 to ws.length - WinTokens).iterator
+          .map(i => (id, i + 1, ws.slice(i, i + WinTokens).mkString(" ")))
+      }
+      .toDF("doc_id", "pos", "w")
+    val dup = wins.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select("w")
+    val covered = wins.join(dup, "w")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(WinTokens - 1))).as("p"))
+      .distinct()
+    val dropped = covered.groupBy("doc_id").agg(count(lit(1)).as("n_dropped"))
+    toks.join(dropped, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dropped"))
+      .select(col("doc_id"), col("n_tokens"), col("n_dropped"),
+        (col("n_tokens") - col("n_dropped")).as("n_kept"),
+        when(col("n_tokens") === 0, 1.0)
+          .otherwise(round((col("n_tokens") - col("n_dropped")).cast("double")
+            / col("n_tokens").cast("double"), 6)).as("kept_frac"))
+  }
+
   /** Shared tail of both substring-dup forms: docs-per-window count,
     * flag join back (1:n on COUNTS, never doc pairs), per-doc rollup.
     * `w` may be the raw window string or its 60-bit hash — the plan is
@@ -834,6 +885,7 @@ object Dedup {
     "dedup_normalized" -> (dedupNormalized _),
     "fuzzy_match_prefix" -> (fuzzyMatchPrefix _),
     "substring_dup_stats" -> (substringDupStats _),
+    "substring_dup_scrub" -> (substringDupScrub _),
     "substring_dup_stats_hashed" -> (substringDupStatsHashed _),
     "ngram_jaccard" -> (ngramJaccard _),
     // NOTE: the declared query maps to the UNcached builder so its
@@ -940,6 +992,30 @@ object Dedup {
        |JOIN (SELECT cluster_id, count(*) AS cluster_size
        |      FROM comp GROUP BY cluster_id) s USING (cluster_id)""".stripMargin
 
+  private val substringDupScrubSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(text, ' '), x -> x <> '') AS ts
+       |  FROM documents),
+       |wins AS (
+       |  SELECT doc_id, i, array_to_string(ts[i:i+${WinTokens - 1}], ' ') AS w
+       |  FROM toks, LATERAL unnest(generate_series(1, len(ts) - ${WinTokens - 1})) t(i)
+       |  WHERE len(ts) >= $WinTokens),
+       |dup AS (SELECT w FROM (
+       |          SELECT w, count(DISTINCT doc_id) AS nd FROM wins GROUP BY w) x
+       |        WHERE nd > 1),
+       |cov AS (SELECT DISTINCT doc_id, p
+       |        FROM wins JOIN dup USING (w),
+       |             LATERAL unnest(generate_series(i, i + ${WinTokens - 1})) c(p)),
+       |drp AS (SELECT doc_id, count(*) AS n_dropped FROM cov GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       |       coalesce(d.n_dropped, 0) AS n_dropped,
+       |       CAST(len(t.ts) AS BIGINT) - coalesce(d.n_dropped, 0) AS n_kept,
+       |       CASE WHEN len(t.ts) = 0 THEN 1.0
+       |            ELSE round(CAST(len(t.ts) - coalesce(d.n_dropped, 0) AS DOUBLE)
+       |                       / len(t.ts), 6) END AS kept_frac
+       |FROM toks t LEFT JOIN drp d USING (doc_id)""".stripMargin
+
   private val substringDupStatsSql =
     """WITH toks AS (
       |  SELECT doc_id,
@@ -1014,6 +1090,7 @@ object Dedup {
          |WHERE blk.n <= $MaxBlock
          |  AND levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) <= 5""".stripMargin,
     "substring_dup_stats" -> substringDupStatsSql,
+    "substring_dup_scrub" -> substringDupScrubSql,
     // the hashed twin's oracle IS the string-form SQL: identical output
     // unless a 60-bit window-hash collision merges two windows (~1e-7
     // at sf0.1) — so hash fidelity is continuously verified, not assumed

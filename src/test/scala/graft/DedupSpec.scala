@@ -477,6 +477,23 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert((base -- nd).subsetOf(losers))
   }
 
+  test("substring_dup_scrub: exact coverage on a hand corpus; short and clean docs keep everything") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),           // shares window [a..h] with doc 2
+      (2L, "x a b c d e f g h y z"),         // ...at position 2
+      (3L, "p q"),                           // too short for any window
+      (4L, "entirely unique words one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDupScrubOf(spark, docs)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 10L, 8L, 2L, 0.2),     // tokens 1-8 covered by the shared window
+      (2L, 11L, 8L, 3L, 0.272727),// tokens 2-9 covered; x, y, z survive
+      (3L, 2L, 0L, 2L, 1.0),
+      (4L, 10L, 0L, 10L, 1.0)), s"got $got")
+  }
+
   test("lsh_bucket_audit: census ties out to the band table; pair formula exact; cap dormant at test SF") {
     val audit = Dedup.lshBucketAudit(spark, sfDir).collect()
     assert(audit.nonEmpty)
