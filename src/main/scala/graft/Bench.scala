@@ -180,6 +180,11 @@ object Bench {
       case "audit" => AuditQueries
       case _ => _ => true
     }
+    // the tier's exclusion list rides the emitted JSON (round-10
+    // advice): an sf30 "scale" total and an sf10 "shipping" total cover
+    // different query sets, and a consumer comparing them must be able
+    // to see that from the artifact alone — not from SCALING.md prose
+    val excluded = SparkEntry.queries.keys.filterNot(inTier).toSeq.sorted
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) && inTier(name) }
       .map { case (name, fn) =>
@@ -229,7 +234,8 @@ object Bench {
     val auditTotal = results.collect {
       case (k, v) if v >= 0 && AuditQueries(k) => v }.sum
     val shippingTotal = total - auditTotal
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first":$fs,"queries_min":$ms,"records":$rs,"errors":$es,"baseline_subset_sec":$baselineSubset,"total_first_sec":$totalFirst,"tier":${jstr(tier)},"audit_total_sec":$auditTotal,"shipping_total_sec":$shippingTotal,"reps":$reps,"n_queries":${results.size},"sf":"$sfDir"}"""
+    val ex = excluded.map(jstr).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first":$fs,"queries_min":$ms,"records":$rs,"errors":$es,"baseline_subset_sec":$baselineSubset,"total_first_sec":$totalFirst,"tier":${jstr(tier)},"excluded_queries":$ex,"audit_total_sec":$auditTotal,"shipping_total_sec":$shippingTotal,"reps":$reps,"n_queries":${results.size},"sf":"$sfDir"}"""
     println(line)
     // stdout tail gets truncated in transit two rounds running
     // (BENCH_r03/r04.json carried parsed:null) — persist the same line

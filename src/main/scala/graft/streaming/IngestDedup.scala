@@ -243,13 +243,18 @@ object IngestDedup {
     * op) rows with op `ingest` or `erase`. Erasures append to a
     * TOMBSTONE store (their own `batch=<id>` partition — the same
     * overwrite-idempotent layout as the band/accepted stores), and
-    * every read anti-joins the tombstones: erased docs' bands stop
-    * suppressing, their text stops being readable, and a later
-    * near-dup of an erased doc flips to ACCEPTED — the `index_retract`
-    * semantics, live. Within a batch, erasures apply FIRST (an ingest
-    * and an erasure of related docs in one batch behave as if the
-    * erasure landed a moment earlier) — the deterministic order the
-    * spec pins.
+    * every read anti-joins the tombstones BATCH-SCOPED: a tombstone at
+    * batch t erases store rows written at batch ≤ t, so erased docs'
+    * bands stop suppressing, their text stops being readable, and a
+    * later near-dup of an erased doc flips to ACCEPTED — the
+    * `index_retract` semantics, live. The scoping makes erasure an
+    * EVENT, not a permanent ban: a later batch may re-ingest the same
+    * doc_id (a re-crawl of content whose earlier copy was erased), and
+    * the re-ingested rows — written at a batch above the tombstone —
+    * are fully live for every subsequent read. Within a batch,
+    * erasures apply FIRST (an ingest and an erasure of related docs in
+    * one batch behave as if the erasure landed a moment earlier) — the
+    * deterministic order the spec pins.
     *
     * Scale: an erasure batch costs one tombstone append; the
     * anti-join adds a broadcast-able (tombstones are erased-id rows,
@@ -272,15 +277,32 @@ object IngestDedup {
         // tombstones visible to THIS batch: all earlier ones plus this
         // batch's own (erase-before-ingest within the batch); the
         // union is the same set on a torn-commit replay, because the
-        // replay overwrites its own partition below
-        val priorTombs = readStore(spark, tombPath, id).select("doc_id")
-        val tombs = priorTombs.unionByName(era)
-        val index = readStore(spark, indexPath, id)
+        // replay overwrites its own partition below.
+        //
+        // Erasure is BATCH-SCOPED (round-10 advice): a tombstone at
+        // batch t erases only store rows written at batch ≤ t. An
+        // unscoped doc_id anti-join would make erasure permanent —
+        // a doc_id erased once could be re-ingested and ACCEPTED, but
+        // its bands/text would stay invisible to every later read (and
+        // be physically dropped at compaction), silently disabling
+        // dedup against re-crawled content forever.
+        val priorTombs = readStore(spark, tombPath, id)
+          .select(col("doc_id").as("t_id"), col("batch").cast("long").as("t_batch"))
+        val tombs = priorTombs.unionByName(
+          era.select(col("doc_id").as("t_id"), lit(id).as("t_batch")))
+        // tombstones are erased-id rows — tiny relative to the index —
+        // so the scoped anti-join broadcasts them
+        def live(store: DataFrame): DataFrame =
+          store.join(broadcast(tombs),
+            col("doc_id") === col("t_id") &&
+              col("batch").cast("long") <= col("t_batch"),
+            "left_anti")
+        val index = live(readStore(spark, indexPath, id)
+            .select(col("doc_id"), col("band"), col("sig"), col("batch")))
           .select("doc_id", "band", "sig")
-          .join(tombs, Seq("doc_id"), "left_anti")
-        val known = readStore(spark, acceptedPath, id)
+        val known = live(readStore(spark, acceptedPath, id)
+            .select(col("doc_id"), col("text"), col("batch")))
           .select("doc_id", "text")
-          .join(tombs, Seq("doc_id"), "left_anti")
         val accepted = ing
           .join(dedupStep(spark, ing, index, known), Seq("doc_id"), "left_semi")
           .persist()
@@ -327,24 +349,42 @@ object IngestDedup {
     * re-running compaction is the only repair needed. On object
     * storage this whole dance is one table-format snapshot commit
     * (Delta/Iceberg); the protocol, not the design, changes. */
-  /** [[compactStore]] variant that also APPLIES tombstones: rows whose
-    * doc_id is tombstoned at batch ≤ `upTo` are dropped from the
+  /** [[compactStore]] variant that also APPLIES tombstones: rows
+    * written at batch b and tombstoned at batch ≥ b (the same
+    * batch-scoped rule the stream reads with) are dropped from the
     * compacted base — the merge-on-read physical delete, done at the
-    * rewrite the compaction is already paying for. The tombstone
-    * partitions themselves must outlive this call (later batches'
-    * reads still anti-join them for the UNcompacted stores; sweeping
-    * them is safe only once every store is compacted past `upTo`). */
+    * rewrite the compaction is already paying for.
+    *
+    * Tombstone lifecycle: the tombstone partitions must outlive this
+    * call while OTHER stores still read them, and must be swept
+    * ([[sweepTombstones]]) once every store sharing them is compacted
+    * past `upTo`. The sweep is REQUIRED, not just allowed: folded rows
+    * lose their batch lineage (the base reads as batch −1, below every
+    * tombstone), so a surviving pre-`upTo` tombstone would re-erase a
+    * re-ingested doc the fold correctly kept. */
   def compactStore(spark: SparkSession, storePath: String, upTo: Long,
                    tombPath: Option[String]): Unit = {
+    // recover any previous compaction that crashed mid-swap BEFORE
+    // reading the store: without this, a crash between demoting the
+    // base and promoting the staged copy would make this run read the
+    // store base-less and then publish that hole as the new base —
+    // permanent row loss (the round-10 advice finding)
+    recoverBase(storePath)
     val staged = new java.io.File(storePath, ".base-staging")
+    // batch stays on the frame through the tombstone join (the scoped
+    // condition needs it: rows re-ingested ABOVE their doc_id's
+    // tombstone survive — the same view the stream reads) and is
+    // dropped only at the write
     val folded = spark.read.parquet(storePath)
       .filter(col("batch") <= upTo)
-      .drop("batch")
     val cleaned = tombPath.fold(folded) { tp =>
-      folded.join(
-        readStore(spark, tp, upTo + 1).select("doc_id"),
-        Seq("doc_id"), "left_anti")
-    }
+      val tombs = readStore(spark, tp, upTo + 1)
+        .select(col("doc_id").as("t_id"), col("batch").cast("long").as("t_batch"))
+      folded.join(broadcast(tombs),
+        col("doc_id") === col("t_id") &&
+          col("batch").cast("long") <= col("t_batch"),
+        "left_anti")
+    }.drop("batch")
     cleaned.write.mode("overwrite").parquet(staged.getAbsolutePath)
     swapBase(storePath, staged, upTo)
   }
@@ -352,14 +392,66 @@ object IngestDedup {
   def compactStore(spark: SparkSession, storePath: String, upTo: Long): Unit =
     compactStore(spark, storePath, upTo, None)
 
-  private def swapBase(storePath: String, staged: java.io.File, upTo: Long): Unit = {
-    def rmTree(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(rmTree); f.delete(); ()
-    }
+  /** Drop tombstone partitions with batch ≤ `upTo` — the maintenance
+    * step PAIRED with tombstone-applying compaction: run it after
+    * every store sharing `tombPath` has been compacted past `upTo`
+    * (see [[compactStore]]'s lifecycle note for why leaving them would
+    * re-erase re-ingested docs in the folded base). */
+  def sweepTombstones(tombPath: String, upTo: Long): Unit =
+    Option(new java.io.File(tombPath).listFiles()).getOrElse(Array.empty)
+      .filter { d =>
+        val n = d.getName
+        n.startsWith("batch=") && n.stripPrefix("batch=").toLong <= upTo
+      }
+      .foreach(rmTree)
+
+  private def rmTree(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(rmTree); f.delete(); ()
+  }
+
+  /** Crash repair for [[swapBase]]'s two-rename protocol. States a
+    * crash can leave behind (dot-prefixed dirs are invisible to every
+    * parquet reader, so readers see a consistent store throughout):
+    *  - `.base-old` present, `batch=-1` missing → died between demote
+    *    and promote: restore the old base (the staged copy, if any, is
+    *    re-derivable — the folded batch dirs were not yet deleted).
+    *  - `.base-old` AND `batch=-1` present → died after promote,
+    *    before cleanup: the swap committed; drop the demoted copy.
+    *  - `.base-staging` leftovers need no handling — the next run's
+    *    overwrite-mode write replaces them. */
+  private[graft] def recoverBase(storePath: String): Unit = {
     val base = new java.io.File(storePath, "batch=-1")
-    rmTree(base)
-    if (!staged.renameTo(base))
+    val old = new java.io.File(storePath, ".base-old")
+    if (old.exists()) {
+      if (!base.exists()) {
+        if (!old.renameTo(base))
+          throw new IllegalStateException(s"base recovery failed for $base")
+      } else rmTree(old)
+    }
+  }
+
+  /** Commit the staged base via two renames (never a delete-then-
+    * rename: the round-10 advice showed that protocol loses the base
+    * forever if the writer dies in the millisecond between them —
+    * the documented repair, re-running compaction, would read the
+    * base-less store and publish the hole). Here the live base is
+    * DEMOTED to `.base-old` (a rename, not a delete), the staged copy
+    * promoted, and only then is the demoted copy dropped; every
+    * intermediate state is repaired by [[recoverBase]] at the next
+    * compaction's entry. */
+  private def swapBase(storePath: String, staged: java.io.File, upTo: Long): Unit = {
+    val base = new java.io.File(storePath, "batch=-1")
+    val old = new java.io.File(storePath, ".base-old")
+    rmTree(old) // recoverBase ran at entry; any residue here is dead
+    if (base.exists() && !base.renameTo(old))
+      throw new IllegalStateException(s"compaction demote failed for $base")
+    if (!staged.renameTo(base)) {
+      // promote failed with the old base already demoted: restore it
+      // so the store is never left base-less
+      old.renameTo(base)
       throw new IllegalStateException(s"compaction swap failed for $base")
+    }
+    rmTree(old)
     new java.io.File(storePath).listFiles()
       .filter { d =>
         val n = d.getName

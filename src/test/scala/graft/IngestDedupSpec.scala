@@ -198,6 +198,91 @@ class IngestDedupSpec extends AnyFunSuite with SharedSpark {
     assert(compacted == visibleBefore, "compaction changed the readable row set")
   }
 
+  test("batch-scoped erasure: an erased doc_id can be re-ingested and dedups later content") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again every day"
+    val corpus = Seq((0L, "completely different seed text about maritime law and harbors ports"))
+      .toDF("doc_id", "text")
+    val idx = tmp("rei_idx"); val acc = tmp("rei_acc")
+    val tmb = tmp("rei_tmb"); val ckpt = tmp("rei_ckpt")
+    IngestDedup.seed(spark, corpus, idx, acc)
+    val mem = MemoryStream[(Long, String, String)]
+    val q = IngestDedup.startWithRetraction(spark,
+      mem.toDF.toDF("doc_id", "text", "op"), idx, acc, tmb, ckpt)
+    try {
+      mem.addData((1L, base, "ingest"))          // batch 0: accepted
+      q.processAllAvailable()
+      mem.addData((1L, "", "erase"))             // batch 1: erased
+      q.processAllAvailable()
+      mem.addData((1L, base, "ingest"))          // batch 2: RE-ingest
+      q.processAllAvailable()
+      mem.addData((9L, base + " more", "ingest")) // batch 3: near-dup of 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val accepted = spark.read.parquet(acc).filter(col("batch") >= 0)
+      .select("doc_id", "batch").as[(Long, Long)].collect().sorted.toSeq
+    // the re-ingest is accepted (its only possible suppressor was
+    // erased BELOW it), and — the round-10 advice fix — its bands are
+    // LIVE again: doc 9 is rejected against the re-crawled content.
+    // Under unscoped tombstones doc 9 would be accepted (doc 1's
+    // batch-2 rows invisible forever).
+    assert(accepted == Seq((1L, 0L), (1L, 2L)),
+      s"re-ingest lifecycle accepted $accepted")
+
+    // compaction + the PAIRED tombstone sweep: the erased batch-0 copy
+    // is physically dropped, the re-ingested batch-2 copy folds into
+    // the base and stays visible (the sweep is what protects it — a
+    // surviving tombstone would re-erase the batch=-1 fold)
+    IngestDedup.compactStore(spark, idx, upTo = 3L, Some(tmb))
+    IngestDedup.compactStore(spark, acc, upTo = 3L, Some(tmb))
+    IngestDedup.sweepTombstones(tmb, 3L)
+    val accAfter = spark.read.parquet(acc)
+      .filter(col("doc_id") === 1L)
+    assert(accAfter.count() == 1, "compaction must keep exactly the re-ingested copy")
+    // decisions over the compacted store: a fresh near-dup of the
+    // re-ingested doc is still rejected
+    val batchNext = Seq((11L, base + " extra")).toDF("doc_id", "text")
+    val dec = IngestDedup.dedupStep(spark, batchNext,
+        spark.read.parquet(idx).select("doc_id", "band", "sig"),
+        spark.read.parquet(acc).select("doc_id", "text"))
+      .as[Long].collect().toSeq
+    assert(dec.isEmpty, s"post-compaction dedup lost the re-ingested doc: accepted $dec")
+  }
+
+  test("swapBase crash states are recovered, never lost (round-10 advice)") {
+    import spark.implicits._
+    val store = tmp("swp_idx")
+    Seq((0L, 0, "a"), (2L, 1, "b")).toDF("doc_id", "band", "sig")
+      .write.mode("overwrite").parquet(s"$store/batch=-1")
+    Seq((1L, 0, "c")).toDF("doc_id", "band", "sig")
+      .write.mode("overwrite").parquet(s"$store/batch=0")
+    def rows() = spark.read.parquet(store).select("doc_id", "band", "sig")
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    val before = rows()
+
+    // crash window 1: base demoted, staged copy not yet promoted — the
+    // state the old delete-then-rename protocol turned into permanent
+    // loss. The documented repair (re-running compaction) must restore
+    // the base BEFORE reading the store.
+    assert(new java.io.File(store, "batch=-1")
+      .renameTo(new java.io.File(store, ".base-old")))
+    IngestDedup.compactStore(spark, store, upTo = 0L)
+    assert(rows() == before, "rows lost across a mid-swap crash repair")
+    assert(new java.io.File(store, "batch=-1").exists())
+    assert(!new java.io.File(store, ".base-old").exists())
+
+    // crash window 2: promoted but demoted copy not yet dropped — the
+    // swap committed; recovery just finishes the cleanup
+    val stale = new java.io.File(store, ".base-old")
+    assert(stale.mkdirs())
+    new java.io.File(stale, "leftover").createNewFile()
+    IngestDedup.recoverBase(store)
+    assert(!stale.exists(), "committed-swap residue not cleaned")
+    assert(rows() == before)
+  }
+
   test("compactStore: mid-stream compaction leaves rows and later decisions unchanged") {
     import spark.implicits._
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")

@@ -148,9 +148,8 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     // genuinely depends on the coarse quantizer placing true neighbors
     // in the probed cells. Pin a measured floor so quantizer drift (or
     // a training regression) can't silently hollow the index out.
-    val sf1 = "/root/repo/testdata/sf1"
-    assume(new java.io.File(s"$sf1/embeddings.parquet").exists(),
-      "sf1 testdata not generated on this machine")
+    assume(sf1Dir.isDefined, "sf1 testdata not generated on this machine")
+    val sf1 = sf1Dir.get
     import spark.implicits._
     val exact = Similarity.similarTopk(spark, sf1)
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
