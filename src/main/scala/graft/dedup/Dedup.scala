@@ -111,6 +111,8 @@ object Dedup {
     graft.SessionCaches.clear(spark,
       Seq(shingleCache, pairsCache, clusterCache, clusterCacheAlt))
     clusterGateCache.keySet.removeIf(_._1 eq spark)
+    docCountCache.keySet.removeIf(_._1 eq spark)
+    ()
   }
 
   private val shinglesSql =
@@ -851,6 +853,100 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Probe budget for [[minhashRecall]] — the sampled-recall audit runs
+    * a CONSTANT number of probes regardless of corpus size (the same
+    * posture as [[graft.similarity.Similarity.annRecall]]'s NumProbes),
+    * so its exact-truth side stays bounded at every SF. */
+  val RecallProbes = 64L
+
+  /** Probe stride for an n-doc corpus: every `recallEvery(n)`-th doc_id
+    * is a probe → ≈[[RecallProbes]] probes. The oracle derives the SAME
+    * expression from COUNT(*) (the [[graft.similarity.Similarity
+    * .cellsFor]] replay contract). */
+  def recallEvery(n: Long): Long = math.max(1L, n / RecallProbes)
+
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+
+  /** Corpus doc count, memoized per (session, corpus). Reads the
+    * parquet directly (not Tables.load) so the count is a pure metadata
+    * job — the [[graft.similarity.Similarity]] vecCount idiom. */
+  private def docCount(spark: SparkSession, dir: String): Long =
+    docCountCache.computeIfAbsent((spark, dir),
+      { _ => Long.box(spark.read.parquet(s"$dir/documents.parquet").count()) })
+
+  /** MinHash banding RECALL certification — the quality number the
+    * whole text near-dup family rides on, put under the oracle (round-10
+    * verdict #1): for a bounded probe sample, compare the docs whose
+    * exact word-3gram Jaccard with the probe is ≥ 0.5 (the TRUTH, from
+    * the same shingle algebra as [[ngramJaccard]], restricted to the
+    * probe sample) against the PRODUCTION candidate generation — shared
+    * (band, sig) buckets under the [[MaxBucket]] cap, exactly what
+    * [[minhashCandidates]] feeds the verify stage. Per probe:
+    * `n_true` exact partners, `n_found` of them banded-reachable, and
+    * recall = found/true. Probes with no true partner emit no row
+    * (recall of an empty set is undefined, and at banding-audit time
+    * the singleton fraction is [[lshBucketAudit]]'s job).
+    *
+    * This is how a 100 TB run certifies banding recall — never the full
+    * quadratic truth, always a probe sample: the exact side's
+    * shared-shingle join is bounded by the [[RecallProbes]] budget (one
+    * side of the join is ~64 docs' shingles), the banded side is one
+    * linear banding pass + a probe-filtered bucket join, and the output
+    * is ≤ probes rows. A banding config change (rows per band, hash
+    * count, the cap) lands here as a measured recall shift BEFORE it
+    * ships — the [[graft.similarity.Similarity.annRecall]] pattern
+    * applied to text. */
+  def minhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = cachedDocShingles(spark, dir)
+    val every = recallEvery(docCount(spark, dir))
+    val isProbe = (c: Column) => c % every === 0
+
+    // exact truth, probe-restricted: the ngram_jaccard machinery with
+    // one join side cut to the probe sample — O(probe shingle
+    // occurrences), never the corpus-quadratic baseline
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val exP = ex.filter(isProbe(col("doc_id")))
+      .select(col("doc_id").as("p"), col("s"))
+    val jac = col("c").cast(DoubleType) /
+      (col("n1") + col("n2") - col("c")).cast(DoubleType)
+    val truePairs = exP.join(ex, Seq("s"))
+      .filter(col("p") =!= col("doc_id"))
+      .groupBy(col("p"), col("doc_id").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("p"), col("n").as("n1")), Seq("p"))
+      .join(sizes.select(col("doc_id").as("d"), col("n").as("n2")), Seq("d"))
+      .filter(jac >= 0.5)
+      .select("p", "d")
+
+    // production candidates, probe-filtered: same bands, same bucket
+    // cap as minhashCandidates — a pair is reachable iff the two docs
+    // share any under-cap (band, sig) bucket
+    val bands = bandsOf(minhashSignaturesOf(spark, docs))
+    val okBuckets = bands.groupBy("band", "sig")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= MaxBucket)
+      .select("band", "sig")
+    val bandsP = bands.filter(isProbe(col("doc_id")))
+      .select(col("doc_id").as("p"), col("band"), col("sig"))
+    val cand = bandsP
+      .join(bands.join(okBuckets, Seq("band", "sig"), "left_semi"),
+        Seq("band", "sig"))
+      .filter(col("p") =!= col("doc_id"))
+      .select(col("p"), col("doc_id").as("d"))
+      .distinct()
+
+    val truth = truePairs.groupBy("p").agg(count(lit(1)).as("n_true"))
+    val found = truePairs.join(cand, Seq("p", "d"), "left_semi")
+      .groupBy("p").agg(count(lit(1)).as("n_found"))
+    truth.join(found, Seq("p"), "left")
+      .na.fill(0L, Seq("n_found"))
+      .select(col("p").as("probe_id"), col("n_true"), col("n_found"),
+        round(col("n_found").cast(DoubleType)
+          / col("n_true").cast(DoubleType), 6).as("recall"))
+  }
+
   /** Band-bucket occupancy audit — the operational health view of the
     * LSH banding that every query in this family rides: per (band,
     * occupancy) the number of buckets at that occupancy, the candidate
@@ -880,6 +976,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "lsh_bucket_audit" -> (lshBucketAudit _),
+    "minhash_recall" -> (minhashRecall _),
     "dedup_exact_sha" -> (dedupExactSha _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_normalized" -> (dedupNormalized _),
@@ -1052,6 +1149,38 @@ object Dedup {
         |FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))
         |GROUP BY lang""".stripMargin,
+    // truth = exact probe-restricted Jaccard; candidates = the
+    // production banding under the SAME occupancy cap — the oracle
+    // derives the probe stride from COUNT(*) exactly like the Spark
+    // side's recallEvery(docCount)
+    "minhash_recall" ->
+      s"""WITH $sigBandsCtes,
+         |prb AS (SELECT greatest(1, count(*) // $RecallProbes) AS e FROM documents),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+         |exs AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |tp AS (SELECT a.doc_id AS p, b.doc_id AS d, count(*) AS c
+         |       FROM exs a JOIN exs b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |       WHERE a.doc_id % (SELECT e FROM prb) = 0
+         |       GROUP BY 1, 2),
+         |truep AS (SELECT p, d FROM tp
+         |          JOIN sz s1 ON s1.doc_id = p
+         |          JOIN sz s2 ON s2.doc_id = d
+         |          WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= 0.5),
+         |ok AS (SELECT band, bsig FROM bands
+         |       GROUP BY band, bsig HAVING count(*) <= $MaxBucket),
+         |cand AS (SELECT DISTINCT a.doc_id AS p, b.doc_id AS d
+         |         FROM bands a
+         |         JOIN bands b ON b.band = a.band AND b.bsig = a.bsig
+         |                     AND b.doc_id <> a.doc_id
+         |         JOIN ok ON ok.band = a.band AND ok.bsig = a.bsig
+         |         WHERE a.doc_id % (SELECT e FROM prb) = 0),
+         |tru AS (SELECT p, count(*) AS n_true FROM truep GROUP BY p),
+         |fnd AS (SELECT p, count(*) AS n_found
+         |        FROM truep JOIN cand USING (p, d) GROUP BY p)
+         |SELECT t.p AS probe_id, t.n_true,
+         |       CAST(coalesce(f.n_found, 0) AS BIGINT) AS n_found,
+         |       round(CAST(coalesce(f.n_found, 0) AS DOUBLE) / t.n_true, 6) AS recall
+         |FROM tru t LEFT JOIN fnd f USING (p)""".stripMargin,
     "dedup_incremental" ->
       """SELECT min_id AS doc_id FROM (
         |  SELECT text, min(doc_id) AS min_id FROM documents

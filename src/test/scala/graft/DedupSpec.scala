@@ -47,6 +47,33 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(exact.nonEmpty, "fixture should contain injected near-dups")
   }
 
+  test("minhash_recall: probe census consistent with the exact/banded pair sets") {
+    import spark.implicits._
+    val every = Dedup.recallEvery(
+      Tables.load(spark, sfDir, "documents").count())
+    val rows = Dedup.minhashRecall(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty, "fixture should yield probes with true partners")
+    // structural invariants: found never exceeds truth; recall is the
+    // quotient; every probe rides the declared stride
+    for ((p, nt, nf, r) <- rows) {
+      assert(p % every == 0)
+      assert(nf <= nt && nt >= 1)
+      assert(math.abs(r - (nf.toDouble / nt)) < 1e-6)
+    }
+    // cross-check against the independently-certified frames: truth
+    // per probe == ngram_jaccard pairs touching the probe; at this
+    // fixture's j≈0.98 dups the banding misses nothing (the r1 floor),
+    // so found == true and recall == 1.0
+    val exact = Dedup.ngramJaccard(spark, sfDir)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    val truthByProbe = (exact.map(p => (p._1, p._2)) ++ exact.map(p => (p._2, p._1)))
+      .filter(_._1 % every == 0).groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    assert(rows.map(r => r._1 -> r._2).toMap == truthByProbe)
+    assert(rows.forall(_._4 == 1.0),
+      s"banding missed true pairs on the high-jaccard fixture: ${rows.toSeq}")
+  }
+
   test("simhash: near-dup docs have small hamming distance, others large") {
     import spark.implicits._
     val sh = Dedup.simhash(spark, sfDir).as[(Long, Long)].collect().toMap
