@@ -99,6 +99,70 @@ object MergeUpsert {
         sum(col("delta")).cast(DoubleType).as("price_delta"))
   }
 
+  // ---- snapshot log + time travel ----
+
+  /** Generations present in a snapshot log, ascending. */
+  private def listGens(root: java.io.File): Seq[Int] =
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith("gen="))
+      .map(_.getName.stripPrefix("gen=").toInt).toSeq.sorted
+
+  /** Append `df` as the next generation of the snapshot log at `root`
+    * (`gen=<n>` partition directories — a minimal Delta-style version
+    * log: every publish is a NEW immutable generation, never an
+    * overwrite of a readable one, so in-flight readers of gen n are
+    * undisturbed by the publish of n+1). Returns the generation id. */
+  def appendSnapshot(root: java.io.File, df: DataFrame): Int = {
+    val next = listGens(root).lastOption.fold(0)(_ + 1)
+    df.write.mode("overwrite")
+      .parquet(new java.io.File(root, s"gen=$next").getAbsolutePath)
+    next
+  }
+
+  /** Time travel: read the snapshot log as of `back` generations before
+    * the newest (back = 0 → current, 1 → the pre-publish state, …).
+    * The read is a partition-pruned scan — `gen` is a partition column,
+    * so only the target generation's files are touched; at 100 TB the
+    * historical generations cost nothing until someone asks for them,
+    * and retention is a directory sweep of generations past the policy
+    * window. */
+  def readAsOf(spark: SparkSession, root: java.io.File, back: Int): DataFrame = {
+    val gens = listGens(root)
+    require(back >= 0 && back < gens.length,
+      s"snapshot log at $root has ${gens.length} generations; cannot go back $back")
+    spark.read.parquet(root.getAbsolutePath)
+      .filter(col("gen") === gens(gens.length - 1 - back))
+      .drop("gen")
+  }
+
+  /** The orders snapshot log: gen 0 = the pre-merge base, gen 1 = the
+    * merged result of [[mergeUpsertOrders]]'s publish. Built once per
+    * corpus fingerprint and atomically published
+    * ([[graft.IndexStore.getOrBuildLayout]]). */
+  private def ordersSnapshotLog(spark: SparkSession, dir: String): java.io.File =
+    graft.IndexStore.getOrBuildLayout(spark, dir, "orders",
+      "orders_snapshot_log") { root =>
+      val (base, merged) = upsertSnapshots(spark, dir)
+      root.mkdirs()
+      appendSnapshot(root, base)
+      appendSnapshot(root, merged)
+      ()
+    }
+
+  /** Declared time-travel query — the read half of the lakehouse verb
+    * set the merge family writes (merge / tombstones / diff / compact /
+    * AS-OF): after the merge publish, read the log as of one generation
+    * BACK and aggregate it. The oracle replays the pre-merge state from
+    * the raw orders table, so a publish that overwrote the old
+    * generation in place, a log that mis-ordered generations, or an
+    * as-of read that leaked post-merge rows all break the hash. */
+  def snapshotReadAsof(spark: SparkSession, dir: String): DataFrame =
+    readAsOf(spark, ordersSnapshotLog(spark, dir), back = 1)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+
   /** Full-CDC survivor election over a versioned change feed with an
     * `op` column (`U` upsert / `D` delete): per key, the
     * highest-version row wins — base rows are version 0 upserts — and
@@ -229,11 +293,20 @@ object MergeUpsert {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert_orders" -> (mergeUpsertOrders _),
     "snapshot_diff" -> (snapshotDiff _),
+    "snapshot_read_asof" -> (snapshotReadAsof _),
     "merge_cdc_tombstones" -> (mergeCdcOrders _),
     "incremental_rollup_merge" -> (incrementalRollupMerge _),
     "retraction_rollup" -> (retractionRollup _))
 
   val oracles: Map[String, String] = Map(
+    // as-of one generation back == the PRE-merge snapshot, replayed
+    // from the raw table — certifies reader-visible handoff across a
+    // versioned publish
+    "snapshot_read_asof" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
     // the oracle is the FULL recompute WITHOUT the erased users — the
     // subtracted view must be indistinguishable from it, including
     // groups that vanish at count zero

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.MergeUpsert
@@ -96,5 +97,50 @@ class MergeUpsertSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(rows("added")._2 - 99.99 * nIns) < 1e-6)
     assert(rows("unchanged")._1 == nBase - nUpd)
     assert(rows("unchanged")._2 == 0.0)
+  }
+
+  test("snapshot log: as-of reads shift across publishes, old generations undisturbed") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snaplog").toFile
+    def snap(v: String) = Seq((1L, v, 10.0), (2L, v, 20.0))
+      .toDF("k", "status", "price")
+    def readBack(b: Int) = MergeUpsert.readAsOf(spark, root, b)
+      .select("k", "status", "price").as[(Long, String, Double)]
+      .collect().sorted.toSeq
+
+    assert(MergeUpsert.appendSnapshot(root, snap("A")) == 0)
+    assert(readBack(0).forall(_._2 == "A"))
+
+    // a publish: current shifts, the PREVIOUS generation stays readable
+    // and byte-identical — the handoff the time-travel verb certifies
+    assert(MergeUpsert.appendSnapshot(root, snap("B")) == 1)
+    assert(readBack(0).forall(_._2 == "B"))
+    assert(readBack(1).forall(_._2 == "A"))
+
+    assert(MergeUpsert.appendSnapshot(root, snap("C")) == 2)
+    assert(readBack(0).forall(_._2 == "C"))
+    assert(readBack(1).forall(_._2 == "B"))
+    assert(readBack(2).forall(_._2 == "A"))
+    intercept[IllegalArgumentException] { readBack(3) }
+
+    // the as-of read is a partition-pruned scan: the generation filter
+    // lands in PartitionFilters (metadata-only), never a data filter
+    val plan = MergeUpsert.readAsOf(spark, root, 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("(gen"),
+      s"as-of generation filter did not prune partitions:\n$plan")
+  }
+
+  test("snapshot_read_asof: one generation back equals the pre-merge base") {
+    import spark.implicits._
+    val asOf = MergeUpsert.snapshotReadAsof(spark, sfDir)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val base = Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("s"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(asOf == base, "as-of 1 diverged from the pre-merge snapshot")
   }
 }
