@@ -316,6 +316,74 @@ object IngestDedup {
       }
       .start()
 
+  /** PSI threshold above which an incoming batch is quarantined by
+    * [[startGated]] — the "act" line of the drift convention
+    * ([[graft.text.CorpusOps.qualityDriftPsi]]: <0.1 stable, 0.1–0.25
+    * watch, >0.25 act). */
+  val PsiGate = 0.25
+
+  /** The drift gate COMPOSED with the ingest dedup — the shape a
+    * production crawl actually ships (round-10 verdict #7): each
+    * micro-batch is first scored against the static reference corpus's
+    * quality deciles ([[DriftMonitor]]'s PSI math); a batch whose worst
+    * per-feature PSI exceeds [[PsiGate]] is QUARANTINED — its docs land
+    * in the quarantine store for human review and the dedup fold never
+    * sees them, so a broken extractor (the classic drift cause: a
+    * million empty or truncated docs) cannot poison the standing index
+    * with degenerate bands before anyone looks. Healthy batches flow
+    * through the exact [[start]] pipeline. Either way the batch's full
+    * PSI table is appended to the monitor sink — the drift history is
+    * complete even for batches that passed.
+    *
+    * Exactly-once: every sink (monitor, quarantine, accepted, index)
+    * writes the batch's own partition in overwrite mode; a gated batch
+    * still writes EMPTY accepted/index partitions so a torn-commit
+    * replay — which recomputes the same deterministic PSI and takes
+    * the same branch — overwrites identical state. Scale: the gate
+    * adds one narrow feature pass over the batch + a broadcast decile
+    * join (the [[DriftMonitor]] costs), nothing corpus-sized. */
+  def startGated(spark: SparkSession, refDocs: DataFrame, docsStream: DataFrame,
+                 indexPath: String, acceptedPath: String, quarantinePath: String,
+                 monitorPath: String, checkpoint: String): StreamingQuery = {
+    // the gate derives n_chars from the text on BOTH sides (stream rows
+    // carry only (doc_id, text); a stored n_chars column would let the
+    // reference and the batch disagree on the feature definition)
+    def feats(docs: DataFrame): DataFrame =
+      graft.text.CorpusOps.qualityFeats(
+        docs.select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_chars")))
+    val refFeats = feats(refDocs)
+    docsStream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch.select("doc_id", "text").persist()
+        try {
+          val psiTable = graft.text.CorpusOps.psiBetween(spark, refFeats,
+            feats(b)).persist()
+          psiTable.write.mode("overwrite").parquet(s"$monitorPath/batch=$id")
+          val worst = psiTable.agg(max("psi")).head().getDouble(0)
+          psiTable.unpersist()
+          val accepted =
+            if (worst > PsiGate) {
+              b.write.mode("overwrite").parquet(s"$quarantinePath/batch=$id")
+              b.filter(lit(false))
+            } else {
+              val index = spark.read.parquet(indexPath)
+                .filter(col("batch") < id).select("doc_id", "band", "sig")
+              val known = spark.read.parquet(acceptedPath)
+                .filter(col("batch") < id).select("doc_id", "text")
+              b.join(dedupStep(spark, b, index, known), Seq("doc_id"), "left_semi")
+            }
+          accepted.write.mode("overwrite").parquet(s"$acceptedPath/batch=$id")
+          Dedup.bandsOf(Dedup.minhashSignaturesOf(spark,
+              shinglesOf(spark, accepted)))
+            .write.mode("overwrite").parquet(s"$indexPath/batch=$id")
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+
   /** `batch < id` read of a per-batch partitioned store, tolerating a
     * store with no partitions yet (the tombstone store before the
     * first erasure): an empty/missing store reads as an empty frame

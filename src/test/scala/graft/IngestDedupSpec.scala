@@ -251,6 +251,78 @@ class IngestDedupSpec extends AnyFunSuite with SharedSpark {
     assert(dec.isEmpty, s"post-compaction dedup lost the re-ingested doc: accepted $dec")
   }
 
+  test("startGated: drifted batch quarantined before the fold, healthy batches dedup normally") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // reference corpus: 20 docs, 5..24 tokens — its deciles are the gate
+    def mkText(tag: String, n: Int) = (0 until n).map(j => s"$tag$j").mkString(" ")
+    val ref = (0 until 20).map(i => (i.toLong, mkText(s"r${i}t", 5 + i)))
+      .toDF("doc_id", "text")
+    // healthy batches mirror the reference length spread; the drifted
+    // batch is uniformly 60 tokens — every doc lands in the top decile
+    val batch0 = (0 until 10).map(i => (101L + i, mkText(s"a${i}t", 5 + 2 * i)))
+    val driftText = mkText("d0t", 60)
+    val batch1 = (201L, driftText) +:
+      (1 until 10).map(i => (201L + i, mkText(s"d${i}t", 60))).toSeq
+    val batch2 = Seq(
+      (301L, driftText + " extra"),                    // near-dup of QUARANTINED 201
+      (302L, mkText("a1t", 7) + " extra")) ++          // near-dup of accepted 102
+      (2 until 10).map(i => (301L + i, mkText(s"c${i}t", 5 + 2 * i)))
+
+    val idx = tmp("gat_idx"); val acc = tmp("gat_acc")
+    val qua = tmp("gat_qua"); val mon = tmp("gat_mon"); val ckpt = tmp("gat_ckpt")
+    IngestDedup.seed(spark, ref, idx, acc)
+    val mem = MemoryStream[(Long, String)]
+    val q = IngestDedup.startGated(spark, ref, mem.toDF.toDF("doc_id", "text"),
+      idx, acc, qua, mon, ckpt)
+    try {
+      for (b <- Seq(batch0, batch1, batch2)) {
+        mem.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // the monitor sink has every batch's PSI table; only the drifted
+    // batch crosses the gate
+    def worstPsi(id: Int) = spark.read.parquet(s"$mon/batch=$id")
+      .agg(max("psi")).head().getDouble(0)
+    assert(worstPsi(0) <= IngestDedup.PsiGate, s"healthy batch 0 gated: ${worstPsi(0)}")
+    assert(worstPsi(1) > IngestDedup.PsiGate, s"drifted batch passed: ${worstPsi(1)}")
+    assert(worstPsi(2) <= IngestDedup.PsiGate, s"healthy batch 2 gated: ${worstPsi(2)}")
+
+    // quarantine holds exactly the drifted batch; its docs never
+    // reached the index — so 301 (near-dup of quarantined 201) is
+    // ACCEPTED while 302 (near-dup of accepted 102) is rejected
+    val quarantined = spark.read.parquet(qua)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(quarantined == (201L to 210L))
+    val accepted = spark.read.parquet(acc).filter(col("batch") >= 0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val expected = (101L to 110L) ++ Seq(301L) ++ (303L to 310L)
+    assert(accepted == expected, s"gated stream accepted $accepted")
+
+    // stream == the batch fold with the gated batch EXCLUDED
+    def bands(docs: org.apache.spark.sql.DataFrame) =
+      graft.dedup.Dedup.bandsOf(graft.dedup.Dedup.minhashSignaturesOf(spark,
+        docs.select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (i, t) => (i, graft.dedup.Dedup.shingleSet(t)) }
+          .toDF("doc_id", "sh")))
+    var index = bands(ref).select("doc_id", "band", "sig")
+    var known = ref
+    val foldAccepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (b <- Seq(batch0, batch2)) {
+      val bdf = b.toDF("doc_id", "text")
+      val acc2 = bdf.join(IngestDedup.dedupStep(spark, bdf, index, known),
+        Seq("doc_id"), "left_semi")
+      foldAccepted ++= acc2.select("doc_id").as[Long].collect()
+      index = index.unionByName(bands(acc2).select("doc_id", "band", "sig"))
+      known = known.unionByName(acc2)
+    }
+    assert(foldAccepted.sorted.toSeq == accepted,
+      "gated stream diverged from the fold-without-the-gated-batch")
+  }
+
   test("swapBase crash states are recovered, never lost (round-10 advice)") {
     import spark.implicits._
     val store = tmp("swp_idx")
