@@ -226,6 +226,7 @@ object Similarity {
     one("lsh", similarAnnLsh(spark, dir))
       .union(one("multiprobe", similarAnnMultiprobe(spark, dir)))
       .union(one("ivf", similarAnnIvf(spark, dir)))
+      .union(one("ivfpq", similarAnnIvfPq(spark, dir)))
       .select(col("probe_id"), col("method"), col("found"),
         round(col("found").cast("double") / K, 6).as("recall"))
   }
@@ -419,7 +420,7 @@ object Similarity {
 
   /** Every vector's trained-cluster assignment: argmax centroid with
     * cid tie-break == min over (-s, cid) structs. */
-  private def ivfAssign(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def ivfAssign(spark: SparkSession, dir: String): DataFrame =
     ivfSims(spark, dir)
       .groupBy("vec_id")
       .agg(min(struct(negate(col("s")).as("ns"), col("cid"))).as("b"))
@@ -529,39 +530,46 @@ object Similarity {
   val PqRerank = 40
 
   /** IVF-PQ search — the canonical billion-scale ANN query path
-    * (FAISS IVFPQ): the trained coarse quantizer picks each probe's
-    * [[IvfProbeCells]] cells, cell members become candidates, each
-    * candidate is scored by ASYMMETRIC distance computation (ADC)
-    * against its PQ code — probe subvector vs the candidate's codebook
-    * centroid, never the full candidate vector — and only the
+    * (FAISS IVFPQ, RESIDUAL layout): the trained coarse quantizer picks
+    * each probe's [[IvfProbeCells]] cells, cell members become
+    * candidates, each candidate is scored by ASYMMETRIC distance
+    * computation (ADC) against its stored RESIDUAL code — the probe's
+    * residual vs the probed cell's centroid against the candidate's
+    * codebook centroid, never the full candidate vector — and only the
     * [[PqRerank]]-deep ADC shortlist is re-ranked with exact cosine to
     * the final top-[[K]].
     *
-    * Determinism: the ADC is the INTEGER Σ_{m,d}(qp−qc)² over
-    * 10⁶-quantized values (the `embedding_pq_codes` error metric, as a
-    * distance) — exact int64, so the shortlist cut is order-free and
-    * replayed verbatim by the oracle; only the final re-rank touches
-    * doubles, with the shared sequential cosine.
+    * Determinism: the ADC is the INTEGER Σ_{m,d}(qr−qc)² over
+    * 10⁶-quantized residual values (the `embedding_pq_codes` error
+    * metric, as a distance) — exact int64, so the shortlist cut is
+    * order-free and replayed verbatim by the oracle; only the final
+    * re-rank touches doubles, with the shared sequential cosine.
     *
     * Scale shape: both trained structures are memoized bounded driver
-    * state; probe cells and probe subvectors broadcast; the ADC pass
-    * is joins + a hash aggregate over cell members (candidates ≈
-    * probes · cells · occupancy, never the corpus); the exact re-rank
-    * touches PqRerank vectors per probe. The PQ codes ARE a stored
-    * column: the ADC pass scans the persisted `embedding_pq_codes`
-    * artifact ([[embeddingPqCodesIndexed]]) and never reads a
-    * candidate's embedding — the deployment split the 100 TB posture
-    * calls for, with the per-probe distance table broadcast as
-    * NumProbes·M·K rows of exact-int64 driver state. */
+    * state; probe cells, probe vectors, and the distance table
+    * broadcast; the ADC pass is joins + a hash aggregate over cell
+    * members (candidates ≈ probes · cells · occupancy, never the
+    * corpus); the exact re-rank touches PqRerank vectors per probe.
+    * The PQ codes ARE a stored column: the ADC pass scans the
+    * persisted `embedding_pq_codes` artifact
+    * ([[embeddingPqCodesIndexed]]) and never reads a candidate's
+    * embedding — the deployment split the 100 TB posture calls for,
+    * with the per-(probe, probed cell) distance table broadcast as
+    * NumProbes·IvfProbeCells·M·K rows of exact-int64 driver state. */
   def similarAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cents = trainPqCodebooks(spark, dir)
     val qcents: Array[Array[Array[Long]]] =
       cents.map(_.map(_.map(x => math.floor(x * QuantScale).toLong)))
-    // probe quantized subvectors: NumProbes·M·subdim longs of driver state
-    val probesQ: Map[Long, Array[Array[Long]]] =
-      pqSubvectors(spark, dir, Some(col("vec_id") < NumProbes)).collect()
-        .groupBy(_._1).map { case (id, rows) => id -> rows.sortBy(_._2).map(_._4) }
+    val ivfCents = trainIvfCentroids(spark, dir)
+    // probe raw vectors: NumProbes·Dim doubles of driver state — the
+    // residual ADC needs them per PROBED CELL (q − centroid(cell)),
+    // which is not any single stored residual
+    val probeVecs: Map[Long, Array[Double]] =
+      Tables.load(spark, dir, "embeddings")
+        .filter(col("vec_id") < NumProbes)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Array[Double])].collect().toMap
 
     // IVF candidate generation — same shape as similarAnnIvf
     val sims = ivfSims(spark, dir)
@@ -578,10 +586,13 @@ object Similarity {
       .select(col("probe_id"), explode(col("top")).as("c"))
       .select(col("probe_id"), col("c.id").as("cid"))
     val assign = ivfAssign(spark, dir)
+    // cand carries the cell: the residual ADC distance table is keyed
+    // per (probe, PROBED cell) — a candidate's code decodes relative to
+    // its cell's centroid, so the probe side must subtract the same one
     val cand = assign.join(broadcast(probeCells),
         assign("cid") === probeCells("cid") &&
           assign("vec_id") =!= probeCells("probe_id"))
-      .select(col("probe_id"), col("vec_id"))
+      .select(col("probe_id"), col("vec_id"), assign("cid").as("cid"))
 
     // Candidate codes come from the STORED artifact (the full
     // `embedding_pq_codes` output persisted by IndexStore) — one
@@ -597,27 +608,35 @@ object Similarity {
     val codes = embeddingPqCodesIndexed(spark, dir)
       .select(col("vec_id"), col("subspace"), col("code"))
 
-    // ADC via a precomputed per-probe distance table (the classic
-    // IVFPQ trick): table[(probe, m, code)] = Σ_d (qp[m][d] −
-    // qcents[m][code][d])² — NumProbes·M·K rows of exact-int64 driver
-    // state, broadcast and summed per (probe, candidate). Same integer
-    // sum as the former per-pair loop, now whole-stage-codegen joins +
-    // a hash aggregate instead of a typed kernel.
+    // ADC via a precomputed per-(probe, probed cell) distance table
+    // (the classic IVFPQ trick, residual form): table[(probe, cell, m,
+    // code)] = Σ_d (floor((q−c_cell)·10⁶)[m][d] − qcents[m][code][d])²
+    // — NumProbes·IvfProbeCells·M·K rows of exact-int64 driver state,
+    // broadcast and summed per (probe, candidate). The probe's residual
+    // is taken against the CANDIDATE's cell centroid — the same origin
+    // the candidate's stored code quantized — which is what makes the
+    // asymmetric distance comparable.
+    val probeCellPairs: Array[(Long, Long)] =
+      probeCells.as[(Long, Long)].collect()
     val adcTable = spark.createDataset(
       for {
-        (pid, qp) <- probesQ.toSeq
+        (pid, cellId) <- probeCellPairs.toSeq
         m <- 0 until PqSubspaces
         j <- qcents(m).indices
       } yield {
+        val pv = probeVecs(pid)
+        val cc = ivfCents(cellId.toInt)
         var d2 = 0L; var d = 0
         while (d < PqSubDim) {
-          val dd = qp(m)(d) - qcents(m)(j)(d); d2 += dd * dd; d += 1
+          val i = m * PqSubDim + d
+          val qr = math.floor((pv(i) - cc(i)) * QuantScale).toLong
+          val dd = qr - qcents(m)(j)(d); d2 += dd * dd; d += 1
         }
-        (pid, m.toLong, j.toLong, d2)
-      }).toDF("probe_id", "subspace", "code", "d2")
+        (pid, cellId, m.toLong, j.toLong, d2)
+      }).toDF("probe_id", "cid", "subspace", "code", "d2")
 
     val adc = cand.join(codes, "vec_id")
-      .join(broadcast(adcTable), Seq("probe_id", "subspace", "code"))
+      .join(broadcast(adcTable), Seq("probe_id", "cid", "subspace", "code"))
       .groupBy("probe_id", "vec_id")
       .agg(sum("d2").as("adcq"))
 
@@ -812,15 +831,27 @@ object Similarity {
   val PqIters = 2
 
   /** PQ twin of [[IvfIndexParams]] — keys the codebook and codes
-    * artifacts on the constants they were trained/encoded with. */
+    * artifacts on the constants they were trained/encoded with. The
+    * `res=ivf(...)` component records that codes are RESIDUAL-encoded
+    * against the IVF coarse quantizer (round-10 verdict #5): a coarse
+    * quantizer parameter change re-keys the PQ artifacts too, because
+    * residuals — and so codebooks and codes — depend on it. */
   private[graft] def PqIndexParams =
-    s"dim=$Dim,m=$PqSubspaces,k=$PqK,iters=$PqIters,q=$QuantScale"
+    s"dim=$Dim,m=$PqSubspaces,k=$PqK,iters=$PqIters,q=$QuantScale,res=ivf($IvfIndexParams)"
 
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Array[Array[Double]]]]()
 
   /** The per-subspace (vec_id, m, subvector, quantized subvector)
-    * exploded frame the PQ trainer and scorer both consume. */
+    * exploded frame the PQ trainer and scorer both consume — RESIDUAL
+    * form (the FAISS IVF-PQ layout, round-10 verdict #5): each vector's
+    * assigned coarse centroid is subtracted BEFORE slicing, so the
+    * codebooks quantize what the coarse quantizer failed to explain
+    * (the residual's dynamic range is a fraction of the raw vector's,
+    * worth ~2× code efficiency at the same M×K). The assignment rides
+    * the memoized [[ivfSims]] frame and the centroids broadcast as
+    * bounded driver state — the residual pass stays one narrow
+    * flatMap, no new corpus shuffle. */
   /** `preFilter` applies BEFORE the subvector kernel so a probe-only
     * caller reads its handful of rows with parquet pushdown instead of
     * running the kernel over the corpus (the sf10 probe measured the
@@ -828,13 +859,20 @@ object Similarity {
   private def pqSubvectors(spark: SparkSession, dir: String,
                            preFilter: Option[Column] = None) = {
     import spark.implicits._
+    val bc = spark.sparkContext.broadcast(trainIvfCentroids(spark, dir))
     val base = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     preFilter.fold(base)(base.filter)
-      .as[(Long, Array[Double])]
-      .flatMap { case (id, v) =>
+      .join(ivfAssign(spark, dir), "vec_id")
+      .select(col("vec_id"), col("v"), col("cid"))
+      .as[(Long, Array[Double], Long)]
+      .flatMap { case (id, v, cid) =>
+        val c = bc.value(cid.toInt)
+        val r = new Array[Double](v.length)
+        var d0 = 0
+        while (d0 < v.length) { r(d0) = v(d0) - c(d0); d0 += 1 }
         (0 until PqSubspaces).iterator.map { m =>
-          val s = java.util.Arrays.copyOfRange(v, m * PqSubDim, (m + 1) * PqSubDim)
+          val s = java.util.Arrays.copyOfRange(r, m * PqSubDim, (m + 1) * PqSubDim)
           val q = new Array[Long](PqSubDim)
           var d = 0
           while (d < PqSubDim) { q(d) = math.floor(s(d) * QuantScale).toLong; d += 1 }
@@ -942,19 +980,25 @@ object Similarity {
 
   /** Product-quantization codes + reconstruction error — the vector
     * compression every billion-scale ANN index (IVF-PQ / DiskANN-style)
-    * sits on: each vector's m-th subvector is replaced by the id of its
-    * nearest codebook centroid. Output is one row per (vector,
-    * subspace): the code and the INTEGER quantized reconstruction error
-    * err_q = Σ_d (floor(x_d·10⁶) − floor(c_d·10⁶))² — exact int64
+    * sits on, in the RESIDUAL layout production FAISS IVF-PQ uses: the
+    * m-th subvector of each vector's residual against its assigned
+    * coarse centroid (x − c_ivf(x)) is replaced by the id of its
+    * nearest codebook centroid — the codebooks themselves are trained
+    * on residuals, so the M×K budget models the part of the vector the
+    * coarse quantizer cannot, worth ~2× code efficiency over raw-vector
+    * PQ at the same size. Output is one row per (vector, subspace):
+    * the code and the INTEGER quantized reconstruction error
+    * err_q = Σ_d (floor(r_d·10⁶) − floor(c_d·10⁶))² — exact int64
     * arithmetic, so the hash compare is immune to aggregation order
     * (the assignment itself rides double [[sqDist]], whose operation
     * sequence both engines share).
     *
     * Plan: codebooks broadcast (M·K·subdim doubles); scoring is ONE
-    * narrow flatMap pass over the corpus — no shuffle at all after the
-    * training memo, which is the 100 TB posture: PQ encode is
-    * embarrassingly parallel, the only hard part is the codebook, and
-    * that is bounded driver state. */
+    * narrow flatMap pass over the corpus — after the training memo the
+    * only addition over raw-vector PQ is the assignment join against
+    * the memoized [[ivfSims]] frame, which is the 100 TB posture: PQ
+    * encode is embarrassingly parallel, the only hard part is the
+    * codebook, and that is bounded driver state. */
   def embeddingPqCodes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cents = trainPqCodebooks(spark, dir)
@@ -1204,33 +1248,31 @@ object Similarity {
        |    FROM sims) t
        |  WHERE rn = 1)""".stripMargin
 
-  /** The IVF-PQ search oracle: replay BOTH trainings (the IVF coarse
-    * quantizer's 5 Lloyd rounds and the PQ codebooks' 2), the probe
-    * cell election, candidate generation, the INTEGER ADC shortlist
-    * (probe quantized subvector vs the candidate's codebook centroid),
-    * and the exact-cosine re-rank. */
-  private def ivfPqOracleSql: String =
-    s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
-       |           WHERE vec_id < (SELECT GREATEST($IvfCells, COUNT(*) // $TargetCellSize) FROM embeddings)),
-       |${ivfTrainingCtes.mkString(",\n")},
-       |sims AS MATERIALIZED (SELECT vec_id, c.cid,
-       |           list_dot_product(v.v, c.cv) /
-       |           (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
-       |         FROM v, cents$IvfIters c),
-       |assign AS MATERIALIZED (SELECT vec_id, cid FROM (
-       |    SELECT vec_id, cid,
-       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-       |    FROM sims) t
-       |  WHERE rn = 1),
+  /** [[ivfAssignCtes]] + the probe-cell election — the IVF search
+    * prefix shared by the ivfpq and ann_recall oracles. */
+  private def ivfSearchPrefixCtes: String =
+    s"""$ivfAssignCtes,
        |probes AS MATERIALIZED (SELECT vec_id AS probe_id, cid FROM (
        |    SELECT vec_id, cid,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
        |    FROM sims WHERE vec_id < $NumProbes) t
-       |  WHERE rn <= $IvfProbeCells),
+       |  WHERE rn <= $IvfProbeCells)""".stripMargin
+
+  /** The RESIDUAL-PQ encode replay (requires `v`, `assign`,
+    * `cents$IvfIters` in scope): residual vectors vs the assigned
+    * coarse cell, subvector slices, quantization, the PQ codebooks'
+    * Lloyd rounds, quantized codebooks (`qc`), and the final code
+    * assignment (`fin`). Shared by the codes and ivfpq oracles. */
+  private def pqEncodeCtes: String =
+    s"""rv AS MATERIALIZED (
+       |  SELECT v.vec_id,
+       |         list_transform(generate_series(1, $Dim), d -> v.v[d] - c.cv[d]) AS rv
+       |  FROM v
+       |  JOIN assign a ON a.vec_id = v.vec_id
+       |  JOIN cents$IvfIters c ON c.cid = a.cid),
        |sub AS MATERIALIZED (SELECT vec_id, m,
-       |               list_slice(v.v, m*$PqSubDim+1, m*$PqSubDim+$PqSubDim) AS s
-       |        FROM v, range(0, $PqSubspaces) rm(m)),
+       |               list_slice(rv, m*$PqSubDim+1, m*$PqSubDim+$PqSubDim) AS s
+       |        FROM rv, range(0, $PqSubspaces) rm(m)),
        |q AS MATERIALIZED (SELECT vec_id, m,
        |             list_transform(s, x -> CAST(floor(x*1000000.0) AS BIGINT)) AS qs
        |      FROM sub),
@@ -1245,22 +1287,39 @@ object Similarity {
        |             list_dot_product(s.s, s.s) - 2*list_dot_product(s.s, c.cv) + list_dot_product(c.cv, c.cv),
        |             c.cid) AS rn
        |    FROM sub s JOIN pcents$PqIters c ON c.m = s.m) t
-       |  WHERE rn = 1),
-       |cand AS MATERIALIZED (SELECT p.probe_id, a.vec_id
+       |  WHERE rn = 1)""".stripMargin
+
+  /** The IVF-PQ search replay (requires [[ivfSearchPrefixCtes]] and
+    * [[pqEncodeCtes]] names in scope): per-(probe, probed cell)
+    * quantized probe residuals, cell-member candidates carrying their
+    * cell, the INTEGER residual-ADC shortlist, and the exact-cosine
+    * re-rank as `ivfpqq(probe_id, neighbor_id, sim)`. */
+  private def ivfPqSearchCtes: String =
+    s"""prv AS MATERIALIZED (
+       |  SELECT p.probe_id, p.cid,
+       |         list_transform(generate_series(1, $Dim), d -> pv.v[d] - c.cv[d]) AS rv
+       |  FROM probes p
+       |  JOIN v pv ON pv.vec_id = p.probe_id
+       |  JOIN cents$IvfIters c ON c.cid = p.cid),
+       |ppq AS MATERIALIZED (SELECT probe_id, cid, m,
+       |         list_transform(list_slice(rv, m*$PqSubDim+1, m*$PqSubDim+$PqSubDim),
+       |                        x -> CAST(floor(x*1000000.0) AS BIGINT)) AS qs
+       |       FROM prv, range(0, $PqSubspaces) rm(m)),
+       |cand AS MATERIALIZED (SELECT p.probe_id, p.cid, a.vec_id
        |         FROM probes p JOIN assign a
        |           ON a.cid = p.cid AND a.vec_id <> p.probe_id),
        |adc AS (SELECT probe_id, vec_id, CAST(SUM(dd*dd) AS BIGINT) AS adcq FROM (
        |    SELECT cd.probe_id, cd.vec_id, pp.qs[rd.d] - c.qcv[rd.d] AS dd
-       |    FROM cand cd, fin f, qc c, q pp, range(1, ${PqSubDim + 1}) rd(d)
+       |    FROM cand cd, fin f, qc c, ppq pp, range(1, ${PqSubDim + 1}) rd(d)
        |    WHERE f.vec_id = cd.vec_id AND c.m = f.m AND c.cid = f.cid
-       |      AND pp.vec_id = cd.probe_id AND pp.m = f.m) t
+       |      AND pp.probe_id = cd.probe_id AND pp.cid = cd.cid AND pp.m = f.m) t
        |  GROUP BY probe_id, vec_id),
        |shortlist AS (SELECT probe_id, vec_id FROM (
        |    SELECT probe_id, vec_id,
        |           row_number() OVER (PARTITION BY probe_id ORDER BY adcq, vec_id) AS rn
        |    FROM adc) t
-       |  WHERE rn <= $PqRerank)
-       |SELECT probe_id, neighbor_id, round(sim, 6) AS sim FROM (
+       |  WHERE rn <= $PqRerank),
+       |ivfpqq AS (SELECT probe_id, neighbor_id, sim FROM (
        |  SELECT s.probe_id, s.vec_id AS neighbor_id,
        |         list_dot_product(pv.v, av.v) /
        |         (sqrt(list_dot_product(pv.v, pv.v)) * sqrt(list_dot_product(av.v, av.v))) AS sim,
@@ -1271,7 +1330,17 @@ object Similarity {
        |  FROM shortlist s
        |  JOIN v pv ON pv.vec_id = s.probe_id
        |  JOIN v av ON av.vec_id = s.vec_id) t
-       |WHERE rn <= $K""".stripMargin
+       |WHERE rn <= $K)""".stripMargin
+
+  /** The IVF-PQ search oracle: replay BOTH trainings (the IVF coarse
+    * quantizer's 5 Lloyd rounds and the PQ codebooks' 2, on residuals),
+    * the probe cell election, candidate generation, the INTEGER
+    * residual-ADC shortlist, and the exact-cosine re-rank. */
+  private def ivfPqOracleSql: String =
+    s"""WITH $ivfSearchPrefixCtes,
+       |$pqEncodeCtes,
+       |$ivfPqSearchCtes
+       |SELECT probe_id, neighbor_id, round(sim, 6) AS sim FROM ivfpqq""".stripMargin
 
   /** The MMR oracle: candidate shortlist + pairwise sims, then the
     * greedy loop as [[MmrK]] unrolled argmax CTEs — step t excludes
@@ -1320,28 +1389,13 @@ object Similarity {
        |${out.mkString("\nUNION ALL ")}""".stripMargin
   }
 
-  /** The PQ oracle: replay seeding, both Lloyd iterations, the final
-    * assignment, and the integer quantized reconstruction error. */
+  /** The PQ oracle: replay the IVF coarse training + assignment (the
+    * residual origin), the residual seeding, both PQ Lloyd iterations,
+    * the final assignment, and the integer quantized reconstruction
+    * error — all via the shared [[pqEncodeCtes]]. */
   private def pqOracleSql: String =
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS fv FROM embeddings),
-       |sub AS MATERIALIZED (SELECT vec_id, m,
-       |               list_slice(fv, m*$PqSubDim+1, m*$PqSubDim+$PqSubDim) AS s
-       |        FROM v, range(0, $PqSubspaces) rm(m)),
-       |q AS MATERIALIZED (SELECT vec_id, m,
-       |             list_transform(s, x -> CAST(floor(x*1000000.0) AS BIGINT)) AS qs
-       |      FROM sub),
-       |pcents0 AS (SELECT m, vec_id AS cid, s AS cv FROM sub WHERE vec_id < $PqK),
-       |${pqTrainingCtes.mkString(",\n")},
-       |qc AS MATERIALIZED (SELECT m, cid,
-       |              list_transform(cv, x -> CAST(floor(x*1000000.0) AS BIGINT)) AS qcv
-       |       FROM pcents$PqIters),
-       |fin AS MATERIALIZED (SELECT vec_id, m, cid FROM (
-       |    SELECT s.vec_id, s.m, c.cid,
-       |           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
-       |             list_dot_product(s.s, s.s) - 2*list_dot_product(s.s, c.cv) + list_dot_product(c.cv, c.cv),
-       |             c.cid) AS rn
-       |    FROM sub s JOIN pcents$PqIters c ON c.m = s.m) t
-       |  WHERE rn = 1)
+    s"""WITH $ivfAssignCtes,
+       |$pqEncodeCtes
        |SELECT vec_id, subspace, code, CAST(SUM(dd*dd) AS BIGINT) AS err_q FROM (
        |  SELECT a.vec_id, a.m AS subspace, a.cid AS code,
        |         q.qs[rd.d] - c.qcv[rd.d] AS dd
@@ -1598,9 +1652,10 @@ object Similarity {
          |  WHERE a.vec_id < $NumProbes) t
          |WHERE rn <= $K""".stripMargin,
     // recall@K: each variant's id set replayed (the exact scan, the
-    // two bucket joins, the full IVF training + search), then the
-    // per-(probe, method) hit count against the exact set — a probe
-    // cross the method census so empty-candidate probes keep a 0 row
+    // two bucket joins, the full IVF training + search, and the
+    // complete residual IVF-PQ pipeline), then the per-(probe, method)
+    // hit count against the exact set — a probe cross the method
+    // census so empty-candidate probes keep a 0 row
     "ann_recall" -> {
       def topkIds(from: String) =
         s"""SELECT probe_id, neighbor_id FROM (
@@ -1614,24 +1669,7 @@ object Similarity {
          |exact AS (${topkIds("embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id")}),
          |lshq AS (${topkIds("buckets a JOIN buckets b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id")}),
          |mpq AS (${topkIds("buckets a JOIN buckets b ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND b.vec_id <> a.vec_id")}),
-         |v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
-         |           WHERE vec_id < (SELECT GREATEST($IvfCells, COUNT(*) // $TargetCellSize) FROM embeddings)),
-         |${ivfTrainingCtes.mkString(",\n")},
-         |sims AS MATERIALIZED (SELECT vec_id, c.cid,
-         |           list_dot_product(v.v, c.cv) /
-         |           (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
-         |         FROM v, cents$IvfIters c),
-         |assign AS MATERIALIZED (SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-         |    FROM sims) t
-         |  WHERE rn = 1),
-         |probes AS MATERIALIZED (SELECT vec_id AS probe_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-         |    FROM sims WHERE vec_id < $NumProbes) t
-         |  WHERE rn <= $IvfProbeCells),
+         |$ivfSearchPrefixCtes,
          |ivfq AS (SELECT probe_id, neighbor_id FROM (
          |  SELECT p.probe_id, a.vec_id AS neighbor_id,
          |         row_number() OVER (PARTITION BY p.probe_id
@@ -1643,13 +1681,17 @@ object Similarity {
          |  JOIN v pv ON pv.vec_id = p.probe_id
          |  JOIN v av ON av.vec_id = a.vec_id) t
          |WHERE rn <= $K),
+         |$pqEncodeCtes,
+         |$ivfPqSearchCtes,
          |allm AS (SELECT 'lsh' AS method, probe_id, neighbor_id FROM lshq
          |         UNION ALL SELECT 'multiprobe', probe_id, neighbor_id FROM mpq
-         |         UNION ALL SELECT 'ivf', probe_id, neighbor_id FROM ivfq),
+         |         UNION ALL SELECT 'ivf', probe_id, neighbor_id FROM ivfq
+         |         UNION ALL SELECT 'ivfpq', probe_id, neighbor_id FROM ivfpqq),
          |pm AS (SELECT p.probe_id, m.method
          |       FROM (SELECT DISTINCT probe_id FROM exact) p
          |       CROSS JOIN (SELECT 'lsh' AS method UNION ALL
-         |                   SELECT 'multiprobe' UNION ALL SELECT 'ivf') m),
+         |                   SELECT 'multiprobe' UNION ALL SELECT 'ivf'
+         |                   UNION ALL SELECT 'ivfpq') m),
          |hits AS (SELECT am.method, e.probe_id, count(*) AS found
          |         FROM exact e JOIN allm am
          |           ON am.probe_id = e.probe_id AND am.neighbor_id = e.neighbor_id

@@ -316,17 +316,24 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     val n = Tables.load(spark, sfDir, "embeddings").count()
     assert(rows.length == n * Similarity.PqSubspaces)
     assert(rows.forall(r => r._3 >= 0 && r._3 < Similarity.PqK))
-    // recompute a sample's codes + errors from the collected codebooks
+    // recompute a sample's codes + errors from the collected codebooks,
+    // RESIDUAL form: the encoded subvector is (x − ivf_centroid(x))
+    // sliced, exactly what pqSubvectors feeds the kernel
     val cents = Similarity.trainPqCodebooks(spark, sfDir)
     val qcents = cents.map(_.map(_.map(x => math.floor(x * Similarity.QuantScale).toLong)))
+    val ivfCents = Similarity.trainIvfCentroids(spark, sfDir)
+    val assign = Similarity.ivfAssign(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
     val vecs = Tables.load(spark, sfDir, "embeddings")
       .select(org.apache.spark.sql.functions.col("vec_id"),
         org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])].collect().toMap
     val byKey = rows.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
     for (id <- vecs.keys.take(25); m <- 0 until Similarity.PqSubspaces) {
+      val cIvf = ivfCents(assign(id).toInt)
+      val res = vecs(id).indices.map(d => vecs(id)(d) - cIvf(d)).toArray
       val s = java.util.Arrays.copyOfRange(
-        vecs(id), m * Similarity.PqSubDim, (m + 1) * Similarity.PqSubDim)
+        res, m * Similarity.PqSubDim, (m + 1) * Similarity.PqSubDim)
       def d2(c: Array[Double]): Double = {
         def dot(a: Array[Double], b: Array[Double]) = {
           var acc = 0.0; var i = 0
@@ -350,7 +357,7 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     val rows = Similarity.annRecall(spark, sfDir)
       .as[(Long, String, Long, Double)].collect()
     // every probe appears once per method — no silent probe loss
-    assert(rows.length == 3 * Similarity.NumProbes)
+    assert(rows.length == 4 * Similarity.NumProbes)
     assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
     rows.foreach { case (p, m, found, recall) =>
       assert(found >= 0 && found <= Similarity.K, s"probe $p $m found=$found")
