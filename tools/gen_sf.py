@@ -42,25 +42,32 @@ def card(table):
 def scale(table, mutate):
     """Read SRC table, emit M key-shifted copies via `mutate(df, k)`,
     write DST preserving the original arrow schema (incl. int32 cols
-    and timestamp[ns])."""
+    and timestamp[ns]).
+
+    Copies STREAM through one ParquetWriter (round 11): the previous
+    concat-all-M-copies form held M+2 table images in pandas at once,
+    which is fine at M=3 from sf10 but blows past this box's RAM at
+    the sf100 rung (M=10 from sf10, ~60 M-row lineitem copies). Peak
+    memory is now ~2 table images regardless of M; rows and their
+    order are identical to the concat form."""
     orig = pq.read_table(f"{SRC}/{table}.parquet")
     df = orig.to_pandas()
-    copies = []
-    for k in range(M):
-        c = df.copy()
-        mutate(c, k)
-        copies.append(c)
-    out = pd.concat(copies, ignore_index=True)
-    tbl = pa.Table.from_pandas(out, schema=orig.schema, preserve_index=False)
+    total = orig.num_rows * M
     # Row-group layout matters as much as row count for a scale stress:
     # pyarrow's default left sf3 documents as ONE row group, and Spark
     # cannot split a parquet scan below row-group granularity — the
     # whole doc-kernel family ran single-task. A real corpus at this
     # scale is many files/groups; emit >=64 groups per table so scans
     # parallelize like production data.
-    pq.write_table(tbl, f"{DST}/{table}.parquet",
-                   row_group_size=max(1000, tbl.num_rows // 64))
-    print(f"{table}: {orig.num_rows} -> {tbl.num_rows}")
+    rg = max(1000, total // 64)
+    with pq.ParquetWriter(f"{DST}/{table}.parquet", orig.schema) as w:
+        for k in range(M):
+            c = df.copy()
+            mutate(c, k)
+            w.write_table(
+                pa.Table.from_pandas(c, schema=orig.schema, preserve_index=False),
+                row_group_size=rg)
+    print(f"{table}: {orig.num_rows} -> {total}")
 
 
 def copy_fixed(table):
