@@ -89,7 +89,15 @@ object Bench {
     "neardup_clusters_bigstar", "index_retract", "ingest_dedup_fold",
     "index_compact", "corpus_pipeline_funnel", "corpus_rejection_ledger",
     "training_set_select_neardup", "train_eval_split_neardup",
-    "embedding_neardup_lsh")
+    "embedding_neardup_lsh",
+    // near-identical vectors share every sign-LSH band bucket, so the
+    // kNN graph's scored-pair volume tracks Σ_families f² in bucket
+    // space — linear on a real corpus, n·f on the copy ladder. Held
+    // through sf30 (f≈300: 62.9 s, 160 M shuffle records); at sf100
+    // (f≈1000 → ~8 G vector-carrying scored pairs) the sort-merge
+    // join measured ENOSPC twice with the sandbox's full ~59 GB
+    // headroom (round-11 sf100 rung)
+    "knn_graph_lsh")
 
   /** Run one query to FULL materialization; (seconds, error). A failed
     * query reports its error message instead of masquerading as a fast
