@@ -89,15 +89,14 @@ object Bench {
     "neardup_clusters_bigstar", "index_retract", "ingest_dedup_fold",
     "index_compact", "corpus_pipeline_funnel", "corpus_rejection_ledger",
     "training_set_select_neardup", "train_eval_split_neardup",
-    "embedding_neardup_lsh",
-    // near-identical vectors share every sign-LSH band bucket, so the
-    // kNN graph's scored-pair volume tracks Σ_families f² in bucket
-    // space — linear on a real corpus, n·f on the copy ladder. Held
-    // through sf30 (f≈300: 62.9 s, 160 M shuffle records); at sf100
-    // (f≈1000 → ~8 G vector-carrying scored pairs) the sort-merge
-    // join measured ENOSPC twice with the sandbox's full ~59 GB
-    // headroom (round-11 sf100 rung)
-    "knn_graph_lsh")
+    "embedding_neardup_lsh")
+    // knn_graph_lsh was briefly in this set mid-round-11: the sf100
+    // rung measured its scored-pair volume going family-bound
+    // (near-identical vectors share every band bucket, so pairs track
+    // Σ_families f² — ~8 G vector-carrying pairs at f≈1000, ENOSPC
+    // twice solo). Fixed the same round by KnnBucketCap (the MaxBucket
+    // move on the neighbor side): 112.6 s / 545 M shuffle records at
+    // sf100 — back in the scale tier.
 
   /** Run one query to FULL materialization; (seconds, error). A failed
     * query reports its error message instead of masquerading as a fast

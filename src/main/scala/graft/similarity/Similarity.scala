@@ -1085,6 +1085,20 @@ object Similarity {
   val KnnTargetOcc = 32
   val KnnMaxBits = 20
 
+  /** Per-(band, bucket) NEIGHBOR-side candidate cap for [[knnGraphLsh]]
+    * — the bound the [[knnBitsFor]] ladder cannot provide against HOT
+    * buckets (a near-dup family shares every band bucket at any bit
+    * width, so its bucket holds the whole family). The cap keeps the
+    * [[KnnBucketCap]] lowest vec_ids of each bucket as JOIN CANDIDATES;
+    * probing stays uncapped, so every vector still gets k neighbors —
+    * from a slice of its family that is near-identical to the rest of
+    * it. 2× the target occupancy: dormant on every honest bucket, and
+    * on the adversarial copy-ladder it bounds scored pairs at
+    * n · bands · cap (the sf100 blowup it exists for: f≈1000 families
+    * → ~8 G uncapped pairs, measured ENOSPC). The oracle replays the
+    * identical lowest-id slice. */
+  val KnnBucketCap = 64
+
   def knnBitsFor(n: Long): Int = {
     var b = LshBits
     while (b < KnnMaxBits && n > (KnnTargetOcc.toLong << b)) b += 1
@@ -1139,21 +1153,48 @@ object Similarity {
     *
     * 100 TB shape: candidate count per vector ≈ bands · occupancy
     * (n/2^bits), so the [[knnBitsFor]] ladder raises bits with corpus
-    * size to hold occupancy ≤ [[KnnTargetOcc]] — scored-pair volume is
-    * then O(n · bands · occupancy), LINEAR in n, never the n²
-    * brute-force graph (the fixed-bits form measured 23× for 3× data
-    * at sf3 before the ladder; the oracle derives the identical bits
-    * from COUNT(*)). */
-  def knnGraphLsh(spark: SparkSession, dir: String): DataFrame = {
+    * size to hold AVERAGE occupancy ≤ [[KnnTargetOcc]] — scored-pair
+    * volume is then O(n · bands · occupancy), LINEAR in n, never the
+    * n² brute-force graph (the fixed-bits form measured 23× for 3×
+    * data at sf3 before the ladder; the oracle derives the identical
+    * bits from COUNT(*)). The ladder cannot bound a HOT bucket,
+    * though: near-identical vectors share every band bucket, so a
+    * near-dup family of f members puts f vectors in one bucket
+    * regardless of bits, and scored pairs grow as Σ_families f² —
+    * the round-11 sf100 rung measured that blowup for real (f≈1000 →
+    * ~8 G vector-carrying pairs, ENOSPC twice with the sandbox's full
+    * headroom). [[KnnBucketCap]] is the [[graft.dedup.Dedup.MaxBucket]]
+    * move applied here: the NEIGHBOR side of the bucket join keeps
+    * only a bounded, deterministic slice per bucket. */
+  def knnGraphLsh(spark: SparkSession, dir: String): DataFrame =
+    knnGraphLshOf(spark, vectors(spark, dir),
+      knnBitsFor(vecCount(spark, dir)))
+
+  /** [[knnGraphLsh]] over an explicit (vec_id, v, nrm) frame at a given
+    * bit width — split out so SimilaritySpec can feed a synthetic hot
+    * family and watch [[KnnBucketCap]] bound the candidate volume. */
+  private[graft] def knnGraphLshOf(spark: SparkSession, vecs: DataFrame,
+                                   bits: Int): DataFrame = {
     import spark.implicits._
-    val bits = knnBitsFor(vecCount(spark, dir))
-    val banded = vectors(spark, dir)
+    val banded = vecs
       .select(col("vec_id"), col("v"), col("nrm"),
         posexplode(knnBandBuckets(bits)(col("v"))).as(Seq("band", "bucket")))
     val lhs = banded.select(col("band"), col("bucket"),
       col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
-    val rhs = banded.select(col("band").as("band2"), col("bucket").as("bucket2"),
-      col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    // neighbor-side bucket cap: a hot bucket is by construction a set
+    // of near-identical vectors (they agree on every hyperplane sign),
+    // so any bounded slice of it supplies top-k-quality neighbors; the
+    // lowest-vec_id slice is the deterministic one the oracle replays.
+    // Every vector still PROBES all its buckets (lhs is uncapped), so
+    // hot-family members keep full neighbor lists — they just stop
+    // being quadratically many candidates for each other.
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bucket").orderBy("vec_id")
+    val rhs = banded
+      .withColumn("rn", row_number().over(capW))
+      .filter(col("rn") <= KnnBucketCap)
+      .select(col("band").as("band2"), col("bucket").as("bucket2"),
+        col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
     val pairs = lhs.join(rhs,
         col("band") === col("band2") && col("bucket") === col("bucket2") &&
           col("id1") =!= col("id2"))
@@ -1488,8 +1529,13 @@ object Similarity {
          |    WHERE rj.j < $NeardupBands * nb.bits
          |    GROUP BY e.vec_id, e.embedding, rj.j, nb.bits) s
          |  GROUP BY vec_id, embedding, band),
+         |bbc AS (SELECT vec_id, band, bucket FROM (
+         |    SELECT vec_id, band, bucket,
+         |           row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn
+         |    FROM bb) t
+         |  WHERE rn <= $KnnBucketCap),
          |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
-         |         FROM bb a JOIN bb b
+         |         FROM bb a JOIN bbc b
          |           ON a.band = b.band AND a.bucket = b.bucket
          |          AND a.vec_id <> b.vec_id)
          |SELECT vec_id, nn_rank, neighbor_id, sim FROM (

@@ -251,6 +251,32 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       assert(r._3 == e, s"sim drift on (${r._1}, ${r._2})")
   }
 
+  test("KnnBucketCap bounds a hot family's candidate volume; every member keeps k neighbors") {
+    import spark.implicits._
+    // a synthetic near-dup family 3x the cap: near-identical vectors
+    // agree on every hyperplane sign, so all land in ONE bucket per
+    // band at any bit width — the sf100 blowup in miniature
+    val fam = Similarity.KnnBucketCap * 3
+    val dim = Similarity.Dim
+    val base = Array.tabulate(dim)(d => math.sin(d + 1.0) + 2.0) // all-positive-ish, stable signs
+    val vecs = (0 until fam).map { i =>
+      val v = base.clone(); v(i % dim) += 1e-6 * (i + 1) // tiny nudges, signs unchanged
+      (i.toLong, v)
+    }.toDF("vec_id", "v")
+      .withColumn("nrm", Similarity.norm(org.apache.spark.sql.functions.col("v")))
+    val g = Similarity.knnGraphLshOf(spark, vecs, Similarity.LshBits)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect()
+    // every member still gets a full top-k list (probing is uncapped)
+    val byProbe = g.groupBy(_._1)
+    assert(byProbe.keySet == (0L until fam.toLong).toSet,
+      "a hot-family member lost its neighbor list to the cap")
+    assert(byProbe.values.forall(_.length == Similarity.KnnGraphK))
+    // ...but candidates come only from the capped lowest-id slice:
+    // no neighbor id at or above the cap can appear
+    assert(g.forall(_._2 < Similarity.KnnBucketCap),
+      s"cap leaked: ${g.filter(_._2 >= Similarity.KnnBucketCap).take(5).toSeq}")
+  }
+
   test("knnBitsFor ladder: identity through sf0.1, occupancy-holding beyond, capped") {
     assert(Similarity.knnBitsFor(200) == Similarity.LshBits)   // sf0.001
     assert(Similarity.knnBitsFor(2000) == Similarity.LshBits)  // sf0.1
