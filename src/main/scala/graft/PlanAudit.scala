@@ -39,7 +39,10 @@ object PlanAudit {
       "sql_waiting_orders", "skew_salted_join",
       "inverted_index", "cooccurrence_pmi",
       "sql_min_cost_supplier", "sql_potential_promotion",
-      "topk_per_key_exec", "topk_window_auto")
+      "topk_per_key_exec", "topk_window_auto",
+      // round 11
+      "minhash_recall", "snapshot_read_asof",
+      "knn_graph_lsh", "similar_ann_ivfpq")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
