@@ -1214,6 +1214,33 @@ object Similarity {
         round(col("n.sim"), 6).as("sim"))
   }
 
+  /** Band-bucket occupancy audit for the VECTOR family — the
+    * [[graft.dedup.Dedup.lshBucketAudit]] report over the kNN graph's
+    * sign-LSH bucket space: per (band, occupancy) the bucket count,
+    * the candidate pairs those buckets would generate uncapped
+    * (`occ·(occ−1)/2` each — the quantity [[KnnBucketCap]] bounds),
+    * and whether the cap fires. This is the report that would have
+    * PREDICTED the sf100 blowup the cap now prevents: a fat occupancy
+    * tail here means near-dup families are stacking buckets, and the
+    * response — more bits, the cap, or dedup-before-index — is chosen
+    * from exactly this distribution. Output bounded by distinct
+    * occupancies per band, never corpus-sized; one banding pass + two
+    * narrow aggregates. */
+  def knnBucketAudit(spark: SparkSession, dir: String): DataFrame = {
+    val bits = knnBitsFor(vecCount(spark, dir))
+    vectors(spark, dir)
+      .select(col("vec_id"),
+        posexplode(knnBandBuckets(bits)(col("v"))).as(Seq("band", "bucket")))
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("occupancy"))
+      .groupBy("band", "occupancy")
+      .agg(count(lit(1)).as("n_buckets"))
+      .select(col("band"), col("occupancy"), col("n_buckets"),
+        expr("occupancy * (occupancy - 1) DIV 2 * n_buckets")
+          .as("candidate_pairs"),
+        (col("occupancy") > KnnBucketCap).as("over_cap"))
+  }
+
   /** The STORED-codes read path: `embedding_pq_codes`' full output
     * persisted as a fingerprint-keyed parquet artifact
     * ([[graft.IndexStore]]) on first build and scanned — one FileScan,
@@ -1232,6 +1259,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similar_topk" -> (similarTopk _),
     "knn_graph_lsh" -> (knnGraphLsh _),
+    "knn_bucket_audit" -> (knnBucketAudit _),
     "embedding_neardup_lsh" -> (embeddingNeardupLsh _),
     "similar_ann_lsh" -> (similarAnnLsh _),
     "similar_ann_multiprobe" -> (similarAnnMultiprobe _),
@@ -1497,6 +1525,30 @@ object Similarity {
        |    GROUP BY vec_id, embedding, j) s
        |  GROUP BY vec_id, embedding, band)""".stripMargin
 
+  /** The knn band/bucket CTEs (the bits-ladder `nb` + the dynamic-bits
+    * banded-bucket frame `bb`) — shared prefix of the kNN-graph and
+    * bucket-audit oracles. */
+  private lazy val knnBandedCtes: String = {
+    val ladder = (LshBits until KnnMaxBits)
+      .map(b => s"WHEN n <= ${KnnTargetOcc.toLong << b} THEN $b")
+      .mkString("\n             ")
+    s"""nb AS (SELECT CASE $ladder
+       |             ELSE $KnnMaxBits END AS bits
+       |           FROM (SELECT COUNT(*) AS n FROM embeddings) t),
+       |bb AS (
+       |  SELECT vec_id, embedding, band,
+       |         SUM(CASE WHEN dj > 0 THEN (1::BIGINT << bitpos) ELSE 0 END) AS bucket
+       |  FROM (
+       |    SELECT e.vec_id, e.embedding, rj.j // nb.bits AS band, rj.j % nb.bits AS bitpos,
+       |           SUM(e.embedding[rd.d]::DOUBLE *
+       |               (CASE WHEN CAST(('0x' || substring(md5(rj.j || '_' || (rd.d-1)), 1, 15)) AS BIGINT) % 2 = 0
+       |                     THEN 1.0 ELSE -1.0 END)) AS dj
+       |    FROM embeddings e, nb, range(0, ${NeardupBands * KnnMaxBits}) rj(j), range(1, ${Dim + 1}) rd(d)
+       |    WHERE rj.j < $NeardupBands * nb.bits
+       |    GROUP BY e.vec_id, e.embedding, rj.j, nb.bits) s
+       |  GROUP BY vec_id, embedding, band)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // the DISTINCT collapses pairs matching in several bands (their
     // rows are identical: same inputs, same arithmetic)
@@ -1509,26 +1561,9 @@ object Similarity {
     // bits ladder (smallest b ≥ LshBits with n ≤ occ·2^b) replayed as
     // an integer CASE ladder from COUNT(*) — no libm log2; the bb CTE
     // is the dynamic-bits twin of bandBucketsCte with the identical
-    // global plane index j
-    "knn_graph_lsh" -> {
-      val ladder = (LshBits until KnnMaxBits)
-        .map(b => s"WHEN n <= ${KnnTargetOcc.toLong << b} THEN $b")
-        .mkString("\n             ")
-      s"""WITH nb AS (SELECT CASE $ladder
-         |             ELSE $KnnMaxBits END AS bits
-         |           FROM (SELECT COUNT(*) AS n FROM embeddings) t),
-         |bb AS (
-         |  SELECT vec_id, embedding, band,
-         |         SUM(CASE WHEN dj > 0 THEN (1::BIGINT << bitpos) ELSE 0 END) AS bucket
-         |  FROM (
-         |    SELECT e.vec_id, e.embedding, rj.j // nb.bits AS band, rj.j % nb.bits AS bitpos,
-         |           SUM(e.embedding[rd.d]::DOUBLE *
-         |               (CASE WHEN CAST(('0x' || substring(md5(rj.j || '_' || (rd.d-1)), 1, 15)) AS BIGINT) % 2 = 0
-         |                     THEN 1.0 ELSE -1.0 END)) AS dj
-         |    FROM embeddings e, nb, range(0, ${NeardupBands * KnnMaxBits}) rj(j), range(1, ${Dim + 1}) rd(d)
-         |    WHERE rj.j < $NeardupBands * nb.bits
-         |    GROUP BY e.vec_id, e.embedding, rj.j, nb.bits) s
-         |  GROUP BY vec_id, embedding, band),
+    // global plane index j (shared with the bucket-audit oracle)
+    "knn_graph_lsh" ->
+      s"""WITH $knnBandedCtes,
          |bbc AS (SELECT vec_id, band, bucket FROM (
          |    SELECT vec_id, band, bucket,
          |           row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn
@@ -1545,8 +1580,17 @@ object Similarity {
          |  FROM cand c
          |  JOIN embeddings a ON a.vec_id = c.id1
          |  JOIN embeddings b ON b.vec_id = c.id2) t
-         |WHERE nn_rank <= $KnnGraphK""".stripMargin
-    },
+         |WHERE nn_rank <= $KnnGraphK""".stripMargin,
+    // the vector-side twin of lsh_bucket_audit: same banding, same
+    // census shape, over_cap flags what KnnBucketCap would trim
+    "knn_bucket_audit" ->
+      s"""WITH $knnBandedCtes,
+         |occ AS (SELECT band, bucket, count(*) AS occupancy
+         |        FROM bb GROUP BY 1, 2)
+         |SELECT CAST(band AS INT) AS band, occupancy, count(*) AS n_buckets,
+         |       occupancy * (occupancy - 1) // 2 * count(*) AS candidate_pairs,
+         |       occupancy > $KnnBucketCap AS over_cap
+         |FROM occ GROUP BY band, occupancy""".stripMargin,
     "embedding_pq_codes" -> pqOracleSql,
     // the stored artifact must equal a from-scratch recompute
     "embedding_pq_codes_indexed" -> pqOracleSql,

@@ -251,6 +251,23 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       assert(r._3 == e, s"sim drift on (${r._1}, ${r._2})")
   }
 
+  test("knn_bucket_audit: census ties out to the vector count, pair formula exact") {
+    import spark.implicits._
+    val rows = Similarity.knnBucketAudit(spark, sfDir)
+      .as[(Int, Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    // every vector lands in exactly one bucket per band
+    for ((band, rs) <- rows.groupBy(_._1)) {
+      assert(rs.map(r => r._2 * r._3).sum == n, s"band $band census != $n vectors")
+    }
+    // the pair formula is the exact uncapped candidate volume
+    for ((_, occ, nb, pairs, over) <- rows) {
+      assert(pairs == occ * (occ - 1) / 2 * nb)
+      assert(over == (occ > Similarity.KnnBucketCap))
+    }
+  }
+
   test("KnnBucketCap bounds a hot family's candidate volume; every member keeps k neighbors") {
     import spark.implicits._
     // a synthetic near-dup family 3x the cap: near-identical vectors
