@@ -7,13 +7,14 @@ import org.apache.spark.sql.SparkSession
   * "is this the plan you'd want at 100 TB" check). */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the CANONICAL session (Sessions.builder), extensions included:
+    // a bare builder has no GraftExtensions, so the queries that need
+    // an injected strategy/rule (topk_per_key_exec, topk_window_auto,
+    // range_join_auto) failed planning with "No plan for
+    // TopKPerKeyNode" — which killed the main and silently cut every
+    // entry after them from the audit output (latent since round 7,
+    // surfaced by the round-11 additions landing after the crash)
+    val spark = Sessions.builder("local[4]", 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
     val names = if (args.nonEmpty) args.toSeq else Seq(
