@@ -244,17 +244,23 @@ object IngestDedup {
     * TOMBSTONE store (their own `batch=<id>` partition — the same
     * overwrite-idempotent layout as the band/accepted stores), and
     * every read anti-joins the tombstones BATCH-SCOPED: a tombstone at
-    * batch t erases store rows written at batch ≤ t, so erased docs'
-    * bands stop suppressing, their text stops being readable, and a
-    * later near-dup of an erased doc flips to ACCEPTED — the
-    * `index_retract` semantics, live. The scoping makes erasure an
-    * EVENT, not a permanent ban: a later batch may re-ingest the same
-    * doc_id (a re-crawl of content whose earlier copy was erased), and
-    * the re-ingested rows — written at a batch above the tombstone —
-    * are fully live for every subsequent read. Within a batch,
-    * erasures apply FIRST (an ingest and an erasure of related docs in
-    * one batch behave as if the erasure landed a moment earlier) — the
-    * deterministic order the spec pins.
+    * batch t erases store rows written at batch STRICTLY BEFORE t, so
+    * erased docs' bands stop suppressing, their text stops being
+    * readable, and a later near-dup of an erased doc flips to
+    * ACCEPTED — the `index_retract` semantics, live. The scoping makes
+    * erasure an EVENT, not a permanent ban: a later batch may
+    * re-ingest the same doc_id (a re-crawl of content whose earlier
+    * copy was erased), and the re-ingested rows — written AT or above
+    * the tombstone's batch — are fully live for every subsequent read.
+    * Within a batch, erasures apply FIRST (an ingest and an erasure of
+    * related docs in one batch behave as if the erasure landed a
+    * moment earlier) — the deterministic order the spec pins, and the
+    * reason the scope is strict: rows written at the tombstone's own
+    * batch happen AFTER its erasures, so a batch that both erases and
+    * re-ingests a doc_id leaves the re-ingested copy live (a `≤` scope
+    * would hide those rows from every later read — and compaction
+    * would physically drop them — silently disabling dedup against
+    * that content, the round-11 advice finding).
     *
     * Scale: an erasure batch costs one tombstone append; the
     * anti-join adds a broadcast-able (tombstones are erased-id rows,
@@ -280,28 +286,36 @@ object IngestDedup {
         // replay overwrites its own partition below.
         //
         // Erasure is BATCH-SCOPED (round-10 advice): a tombstone at
-        // batch t erases only store rows written at batch ≤ t. An
-        // unscoped doc_id anti-join would make erasure permanent —
-        // a doc_id erased once could be re-ingested and ACCEPTED, but
-        // its bands/text would stay invisible to every later read (and
-        // be physically dropped at compaction), silently disabling
-        // dedup against re-crawled content forever.
+        // batch t erases only store rows written at batch < t — strict,
+        // because within a batch erasures apply FIRST, so rows written
+        // at t postdate the erasure (round-11 advice). An unscoped
+        // doc_id anti-join would make erasure permanent — a doc_id
+        // erased once could be re-ingested and ACCEPTED, but its
+        // bands/text would stay invisible to every later read (and be
+        // physically dropped at compaction), silently disabling dedup
+        // against re-crawled content forever.
         val priorTombs = readStore(spark, tombPath, id)
           .select(col("doc_id").as("t_id"), col("batch").cast("long").as("t_batch"))
         val tombs = priorTombs.unionByName(
           era.select(col("doc_id").as("t_id"), lit(id).as("t_batch")))
         // tombstones are erased-id rows — tiny relative to the index —
-        // so the scoped anti-join broadcasts them
-        def live(store: DataFrame): DataFrame =
+        // so the scoped anti-join broadcasts them. Rows folded into the
+        // compacted base read as batch=-1; `greatest` lifts them to the
+        // store's compaction floor so a not-yet-swept tombstone ≤ floor
+        // (already APPLIED by the compaction rewrite) cannot re-erase a
+        // re-ingested doc the fold correctly kept.
+        def live(store: DataFrame, floor: Long): DataFrame =
           store.join(broadcast(tombs),
             col("doc_id") === col("t_id") &&
-              col("batch").cast("long") <= col("t_batch"),
+              greatest(col("batch").cast("long"), lit(floor)) < col("t_batch"),
             "left_anti")
         val index = live(readStore(spark, indexPath, id)
-            .select(col("doc_id"), col("band"), col("sig"), col("batch")))
+            .select(col("doc_id"), col("band"), col("sig"), col("batch")),
+            compactedUpTo(indexPath))
           .select("doc_id", "band", "sig")
         val known = live(readStore(spark, acceptedPath, id)
-            .select(col("doc_id"), col("text"), col("batch")))
+            .select(col("doc_id"), col("text"), col("batch")),
+            compactedUpTo(acceptedPath))
           .select("doc_id", "text")
         val accepted = ing
           .join(dedupStep(spark, ing, index, known), Seq("doc_id"), "left_semi")
@@ -369,10 +383,15 @@ object IngestDedup {
               b.write.mode("overwrite").parquet(s"$quarantinePath/batch=$id")
               b.filter(lit(false))
             } else {
-              val index = spark.read.parquet(indexPath)
-                .filter(col("batch") < id).select("doc_id", "band", "sig")
-              val known = spark.read.parquet(acceptedPath)
-                .filter(col("batch") < id).select("doc_id", "text")
+              // readStore, not a raw parquet read: an UNSEEDED store
+              // (no batch= partitions yet) reads as a typed empty
+              // frame instead of throwing AnalysisException inside
+              // foreachBatch and killing the query on its first
+              // healthy batch (round-11 advice)
+              val index = readStore(spark, indexPath, id)
+                .select("doc_id", "band", "sig")
+              val known = readStore(spark, acceptedPath, id)
+                .select("doc_id", "text")
               b.join(dedupStep(spark, b, index, known), Seq("doc_id"), "left_semi")
             }
           accepted.write.mode("overwrite").parquet(s"$acceptedPath/batch=$id")
@@ -418,18 +437,32 @@ object IngestDedup {
     * storage this whole dance is one table-format snapshot commit
     * (Delta/Iceberg); the protocol, not the design, changes. */
   /** [[compactStore]] variant that also APPLIES tombstones: rows
-    * written at batch b and tombstoned at batch ≥ b (the same
+    * written at batch b and tombstoned at batch > b (the same strict
     * batch-scoped rule the stream reads with) are dropped from the
     * compacted base — the merge-on-read physical delete, done at the
     * rewrite the compaction is already paying for.
     *
+    * Batch lineage through compaction: folded rows read as batch −1,
+    * so the base would sit BELOW every surviving tombstone and a
+    * pre-`upTo` tombstone — correctly applied by this rewrite — would
+    * re-erase a re-ingested doc the fold kept, for as long as the
+    * tombstone outlives the compaction (the round-11 advice window).
+    * The fix is a max-folded-batch marker (`_compacted_upto`, written
+    * after the base swap commits): every scoped read lifts base rows
+    * to `greatest(batch, floor)`, so tombstones ≤ floor are inert
+    * against the base (they were already applied here) while
+    * tombstones above the floor still erase it — exactly the view the
+    * un-compacted store would give. Reads stay consistent even while
+    * OTHER stores sharing the tombstone path are not yet compacted.
+    *
     * Tombstone lifecycle: the tombstone partitions must outlive this
-    * call while OTHER stores still read them, and must be swept
+    * call while other stores still read them; sweep them
     * ([[sweepTombstones]]) once every store sharing them is compacted
-    * past `upTo`. The sweep is REQUIRED, not just allowed: folded rows
-    * lose their batch lineage (the base reads as batch −1, below every
-    * tombstone), so a surviving pre-`upTo` tombstone would re-erase a
-    * re-ingested doc the fold correctly kept. */
+    * past `upTo` — with the floor marker the sweep is disk hygiene,
+    * no longer a read-correctness requirement for compacted stores.
+    * (A crash between the base swap and the marker write re-opens the
+    * window for this store; the repair — rerun the compaction — also
+    * rewrites the marker.) */
   def compactStore(spark: SparkSession, storePath: String, upTo: Long,
                    tombPath: Option[String]): Unit = {
     // recover any previous compaction that crashed mid-swap BEFORE
@@ -438,11 +471,13 @@ object IngestDedup {
     // store base-less and then publish that hole as the new base —
     // permanent row loss (the round-10 advice finding)
     recoverBase(storePath)
+    val prevFloor = compactedUpTo(storePath)
     val staged = new java.io.File(storePath, ".base-staging")
     // batch stays on the frame through the tombstone join (the scoped
-    // condition needs it: rows re-ingested ABOVE their doc_id's
+    // condition needs it: rows re-ingested AT or above their doc_id's
     // tombstone survive — the same view the stream reads) and is
-    // dropped only at the write
+    // dropped only at the write; a previously-compacted base folds in
+    // at its OWN floor, not -1
     val folded = spark.read.parquet(storePath)
       .filter(col("batch") <= upTo)
     val cleaned = tombPath.fold(folded) { tp =>
@@ -450,21 +485,50 @@ object IngestDedup {
         .select(col("doc_id").as("t_id"), col("batch").cast("long").as("t_batch"))
       folded.join(broadcast(tombs),
         col("doc_id") === col("t_id") &&
-          col("batch").cast("long") <= col("t_batch"),
+          greatest(col("batch").cast("long"), lit(prevFloor)) < col("t_batch"),
         "left_anti")
     }.drop("batch")
     cleaned.write.mode("overwrite").parquet(staged.getAbsolutePath)
     swapBase(storePath, staged, upTo)
+    writeCompactedUpTo(storePath, math.max(upTo, prevFloor))
   }
 
   def compactStore(spark: SparkSession, storePath: String, upTo: Long): Unit =
     compactStore(spark, storePath, upTo, None)
 
+  /** The store's max-folded-batch floor: rows in the compacted base
+    * (`batch=-1`) were written at batches ≤ this value, so scoped
+    * tombstone joins read them at `greatest(batch, floor)`. −1 (the
+    * seed's own batch) for a never-compacted store. */
+  private[graft] def compactedUpTo(storePath: String): Long = {
+    val f = new java.io.File(storePath, "_compacted_upto")
+    if (f.exists())
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else -1L
+  }
+
+  /** Publish the compaction floor atomically (write-temp + rename), so
+    * a reader never sees a torn marker. Underscore-prefixed: invisible
+    * to parquet readers of the store. */
+  private def writeCompactedUpTo(storePath: String, upTo: Long): Unit = {
+    val tmp = new java.io.File(storePath, "._compacted_upto.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      upTo.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val dst = new java.io.File(storePath, "_compacted_upto")
+    java.nio.file.Files.move(tmp.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
   /** Drop tombstone partitions with batch ≤ `upTo` — the maintenance
     * step PAIRED with tombstone-applying compaction: run it after
-    * every store sharing `tombPath` has been compacted past `upTo`
-    * (see [[compactStore]]'s lifecycle note for why leaving them would
-    * re-erase re-ingested docs in the folded base). */
+    * every store sharing `tombPath` has been compacted past `upTo`.
+    * With the `_compacted_upto` floor this sweep is disk hygiene (a
+    * compacted store's reads are already immune to the swept range);
+    * it stays paired with compaction so the tombstone store itself
+    * never grows without bound. */
   def sweepTombstones(tombPath: String, upTo: Long): Unit =
     Option(new java.io.File(tombPath).listFiles()).getOrElse(Array.empty)
       .filter { d =>

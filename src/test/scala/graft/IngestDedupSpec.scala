@@ -251,6 +251,109 @@ class IngestDedupSpec extends AnyFunSuite with SharedSpark {
     assert(dec.isEmpty, s"post-compaction dedup lost the re-ingested doc: accepted $dec")
   }
 
+  test("same-batch erase + re-ingest: the re-ingested copy stays live for later reads (strict tombstone scope)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again every day"
+    val corpus = Seq((0L, "completely different seed text about maritime law and harbors ports"))
+      .toDF("doc_id", "text")
+    val idx = tmp("sbe_idx"); val acc = tmp("sbe_acc")
+    val tmb = tmp("sbe_tmb"); val ckpt = tmp("sbe_ckpt")
+    IngestDedup.seed(spark, corpus, idx, acc)
+    val mem = MemoryStream[(Long, String, String)]
+    val q = IngestDedup.startWithRetraction(spark,
+      mem.toDF.toDF("doc_id", "text", "op"), idx, acc, tmb, ckpt)
+    try {
+      mem.addData((1L, base, "ingest"))           // batch 0: accepted
+      q.processAllAvailable()
+      // batch 1: ONE batch both erases doc 1 and re-ingests it — the
+      // pinned ordering (erasure first, then the ingest is live) means
+      // the re-ingest is accepted AND its rows postdate the tombstone
+      mem.addData(Seq((1L, "", "erase"), (1L, base, "ingest")))
+      q.processAllAvailable()
+      // batch 2: a near-dup of doc 1 — MUST be rejected against the
+      // same-batch re-ingested copy. Under a `<=` tombstone scope the
+      // batch-1 rows would be invisible here (the round-11 advice bug)
+      mem.addData((9L, base + " more", "ingest"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val accepted = spark.read.parquet(acc).filter(col("batch") >= 0)
+      .select("doc_id", "batch").as[(Long, Long)].collect().sorted.toSeq
+    assert(accepted == Seq((1L, 0L), (1L, 1L)),
+      s"same-batch erase+re-ingest accepted $accepted")
+    // physical compaction keeps exactly the re-ingested copy
+    IngestDedup.compactStore(spark, acc, upTo = 2L, Some(tmb))
+    val kept = spark.read.parquet(acc).filter(col("doc_id") === 1L).count()
+    assert(kept == 1, s"compaction kept $kept copies of the re-ingested doc")
+  }
+
+  test("compaction floor: reads stay correct between compactStore and the tombstone sweep") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again every day"
+    val corpus = Seq((0L, "completely different seed text about maritime law and harbors ports"))
+      .toDF("doc_id", "text")
+    val idx = tmp("flr_idx"); val acc = tmp("flr_acc")
+    val tmb = tmp("flr_tmb"); val ckpt = tmp("flr_ckpt")
+    IngestDedup.seed(spark, corpus, idx, acc)
+    val mem = MemoryStream[(Long, String, String)]
+    def start() = IngestDedup.startWithRetraction(spark,
+      mem.toDF.toDF("doc_id", "text", "op"), idx, acc, tmb, ckpt)
+    val q = start()
+    try {
+      mem.addData((1L, base, "ingest")); q.processAllAvailable()  // batch 0
+      mem.addData((1L, "", "erase")); q.processAllAvailable()     // batch 1
+      mem.addData((1L, base, "ingest")); q.processAllAvailable()  // batch 2: re-ingest
+    } finally q.stop()
+    // maintenance window: compact BOTH stores with tombstones applied,
+    // but do NOT sweep (another store sharing tombPath may lag). The
+    // surviving batch-1 tombstone must not re-erase the folded
+    // re-ingested copy — the _compacted_upto floor lifts base rows to
+    // batch 2, above the tombstone.
+    IngestDedup.compactStore(spark, idx, upTo = 2L, Some(tmb))
+    IngestDedup.compactStore(spark, acc, upTo = 2L, Some(tmb))
+    assert(IngestDedup.compactedUpTo(idx) == 2L)
+    assert(spark.read.parquet(tmb).count() == 1, "tombstone must still be present")
+    val q2 = start()
+    try {
+      mem.addData((9L, base + " more", "ingest")) // batch 3: near-dup of 1
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // the folded store: seed doc 0 + the re-ingested doc 1 in the base
+    // (batch=-1 after compaction), and doc 9 REJECTED against it. The
+    // pre-fix read would see the folded doc 1 at batch -1 < tombstone
+    // batch 1, re-erase it, and accept doc 9.
+    val accepted = spark.read.parquet(acc)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(accepted == Seq(0L, 1L),
+      s"doc 9 must be rejected against the folded re-ingested copy, store holds $accepted")
+  }
+
+  test("startGated on unseeded stores: the first healthy batch is accepted, not an AnalysisException") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def mkText(tag: String, n: Int) = (0 until n).map(j => s"$tag$j").mkString(" ")
+    val ref = (0 until 20).map(i => (i.toLong, mkText(s"r${i}t", 5 + i)))
+      .toDF("doc_id", "text")
+    val idx = tmp("uns_idx"); val acc = tmp("uns_acc")
+    val qua = tmp("uns_qua"); val mon = tmp("uns_mon"); val ckpt = tmp("uns_ckpt")
+    // NO seed() call: both stores start with zero batch= partitions
+    val mem = MemoryStream[(Long, String)]
+    val q = IngestDedup.startGated(spark, ref, mem.toDF.toDF("doc_id", "text"),
+      idx, acc, qua, mon, ckpt)
+    try {
+      mem.addData((0 until 10).map(i => (101L + i, mkText(s"a${i}t", 5 + 2 * i))))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"gated stream died: ${q.exception}")
+    } finally q.stop()
+    val accepted = spark.read.parquet(acc).filter(col("batch") >= 0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(accepted == (101L to 110L), s"unseeded first batch accepted $accepted")
+  }
+
   test("startGated: drifted batch quarantined before the fold, healthy batches dedup normally") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

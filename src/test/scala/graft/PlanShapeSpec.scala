@@ -70,6 +70,19 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"candidate side must not shuffle or cross:\n$p")
   }
 
+  test("minhash_recall: probe sides broadcast, the corpus shingle explode never shuffle-joins") {
+    val p = plan("minhash_recall")
+    // four pinned broadcasts (probe shingles, intersection counts ×2
+    // over the size lookups, probe bands + bucket list): if any
+    // flipped to a shuffle join, the corpus-scale shingle explode or
+    // size frame would exchange to answer a 64-probe audit — the
+    // round-11 verdict finding
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe joins:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a probe-side join fell off the broadcast path:\n$p")
+    assert(!p.contains("CartesianProduct"), s"audit went quadratic:\n$p")
+  }
+
   test("neardup cluster resolution has no cartesian and no full-table window") {
     val p = plan("neardup_clusters")
     assert(!p.contains("CartesianProduct"), s"pair graph went quadratic:\n$p")
