@@ -43,7 +43,8 @@ object PlanAudit {
       "topk_per_key_exec", "topk_window_auto",
       // round 11
       "minhash_recall", "snapshot_read_asof",
-      "knn_graph_lsh", "similar_ann_ivfpq")
+      "knn_graph_lsh", "similar_ann_ivfpq",
+      "knn_graph_recall", "snapshot_expire")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -135,6 +135,36 @@ object MergeUpsert {
       .drop("gen")
   }
 
+  /** Retention: drop every generation except the newest `keep`,
+    * physically — the EXPIRE verb that completes the snapshot-log
+    * lifecycle (merge / tombstones / diff / compact / as-of / expire).
+    * Without it `gen=N` partitions accumulate forever: harmless to
+    * readers (partition pruning never touches them) but unbounded
+    * storage, and at 100 TB per snapshot the retention sweep is the
+    * difference between a version log and a hoard. Deleting whole
+    * generation directories is safe by the log's own invariant — every
+    * publish is a NEW immutable generation, so no surviving generation
+    * shares files with an expired one (the same reasoning as
+    * [[graft.streaming.IngestDedup.sweepTombstones]]'s pairing with
+    * compaction). [[readAsOf]] within the window is untouched; beyond
+    * it the existing bounds check fails LOUDLY — an expired generation
+    * reads as "gone", never as silently-wrong data. Returns the
+    * survivors, ascending. */
+  def expireSnapshots(root: java.io.File, keep: Int): Seq[Int] = {
+    require(keep >= 1,
+      s"retention must keep at least one generation, got keep=$keep")
+    listGens(root).dropRight(keep)
+      .foreach(g => rmTree(new java.io.File(root, s"gen=$g")))
+    listGens(root)
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(rmTree); f.delete(); ()
+  }
+
+  /** Generations [[snapshotExpire]] retains. */
+  val RetentionKeep = 2
+
   /** The orders snapshot log: gen 0 = the pre-merge base, gen 1 = the
     * merged result of [[mergeUpsertOrders]]'s publish. Built once per
     * corpus fingerprint and atomically published
@@ -159,6 +189,39 @@ object MergeUpsert {
   def snapshotReadAsof(spark: SparkSession, dir: String): DataFrame =
     readAsOf(spark, ordersSnapshotLog(spark, dir), back = 1)
       .groupBy("status")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+
+  /** A 3-generation log (gen 0 = base, gen 1 = the upsert-merged
+    * snapshot, gen 2 = the CDC-merged state) with retention ALREADY
+    * applied at publish time (newest [[RetentionKeep]] kept): the
+    * expire runs inside the atomic build, so concurrent readers only
+    * ever see the post-retention layout — the same publish-then-read
+    * discipline every artifact here follows. */
+  private def ordersExpireLog(spark: SparkSession, dir: String): java.io.File =
+    graft.IndexStore.getOrBuildLayout(spark, dir, "orders",
+      "orders_expire_log") { root =>
+      val (base, merged) = upsertSnapshots(spark, dir)
+      root.mkdirs()
+      appendSnapshot(root, base)
+      appendSnapshot(root, merged)
+      appendSnapshot(root, applyCdc(base, cdcFeed(base)))
+      val survivors = expireSnapshots(root, RetentionKeep)
+      require(survivors == Seq(1, 2), s"expire left $survivors")
+      ()
+    }
+
+  /** Declared retention query: publish three generations, expire past
+    * the [[RetentionKeep]] window, and census the SURVIVORS per
+    * generation. The oracle recomputes both surviving snapshots from
+    * the raw table — so an expire that dropped the wrong generation,
+    * leaked expired rows into a read, or renumbered survivors all
+    * break the hash, and gen 0's absence from the output is itself
+    * under the row-count check. */
+  def snapshotExpire(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(ordersExpireLog(spark, dir).getAbsolutePath)
+      .groupBy(col("gen").cast("long").as("gen"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("price").cast(DecimalType(18, 2)))
           .cast(DoubleType).as("sum_price"))
@@ -196,10 +259,10 @@ object MergeUpsert {
     * delete-then-reinsert ordering in one run. Aggregated per status so
     * an undropped tombstone, a lost reinsert, or a misordered election
     * all shift the counts. */
-  def mergeCdcOrders(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.load(spark, dir, "orders")
-      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
-        col("o_totalprice").as("price"))
+  /** The synthesized three-version change feed over a (k, status,
+    * price) base — shared by [[mergeCdcOrders]] and the expire log's
+    * gen-2 publish. */
+  private def cdcFeed(base: DataFrame): DataFrame = {
     val v1 = base.filter(col("k") % 10 === 0)
       .select(col("k"), lit(1L).as("v"), lit("U").as("op"),
         lit("U").as("status"), (col("price") + lit(10.0)).as("price"))
@@ -209,7 +272,14 @@ object MergeUpsert {
     val v3 = base.filter(col("k") % 40 === 0)
       .select(col("k"), lit(3L).as("v"), lit("U").as("op"),
         lit("R").as("status"), lit(50.0).as("price"))
-    applyCdc(base, v1.unionByName(v2).unionByName(v3))
+    v1.unionByName(v2).unionByName(v3)
+  }
+
+  def mergeCdcOrders(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"))
+    applyCdc(base, cdcFeed(base))
       .groupBy("status")
       .agg(count(lit(1)).as("n_rows"),
         sum(col("price").cast(DecimalType(18, 2)))
@@ -294,6 +364,7 @@ object MergeUpsert {
     "merge_upsert_orders" -> (mergeUpsertOrders _),
     "snapshot_diff" -> (snapshotDiff _),
     "snapshot_read_asof" -> (snapshotReadAsof _),
+    "snapshot_expire" -> (snapshotExpire _),
     "merge_cdc_tombstones" -> (mergeCdcOrders _),
     "incremental_rollup_merge" -> (incrementalRollupMerge _),
     "retraction_rollup" -> (retractionRollup _))
@@ -385,6 +456,55 @@ object MergeUpsert {
         |SELECT category, count(*) AS n_keys,
         |       CAST(SUM(delta) AS DOUBLE) AS price_delta
         |FROM diff GROUP BY category""".stripMargin,
+    // both surviving generations recomputed from the raw table: gen 1
+    // via the upsert merge, gen 2 via the CDC election (deletes out);
+    // the expired gen 0 contributes NO row — a leak of its rows into
+    // either survivor shifts the counts/sums
+    "snapshot_expire" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+        |  FROM orders),
+        |mk AS (SELECT max(k) AS mk FROM base),
+        |changes AS (
+        |  SELECT k, 'U' AS status, price + 10.0 AS price
+        |  FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k + mk + 1 AS k, 'I' AS status, 99.99 AS price
+        |  FROM base, mk WHERE k % 100 = 0),
+        |tagged AS (
+        |  SELECT k, 0 AS v, status, price FROM base
+        |  UNION ALL
+        |  SELECT k, 1 AS v, status, price FROM changes),
+        |merged AS (
+        |  SELECT k, arg_max(status, v) AS status, arg_max(price, v) AS price
+        |  FROM tagged GROUP BY k),
+        |feed AS (
+        |  SELECT k, 1 AS v, 'U' AS op, 'U' AS status,
+        |         price + 10.0 AS price
+        |  FROM base WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k, 2 AS v, 'D' AS op, 'X' AS status,
+        |         CAST(0.0 AS DOUBLE) AS price
+        |  FROM base WHERE k % 20 = 0
+        |  UNION ALL
+        |  SELECT k, 3 AS v, 'U' AS op, 'R' AS status,
+        |         CAST(50.0 AS DOUBLE) AS price
+        |  FROM base WHERE k % 40 = 0),
+        |taggedc AS (
+        |  SELECT k, 0 AS v, 'U' AS op, status, price FROM base
+        |  UNION ALL
+        |  SELECT k, v, op, status, price FROM feed),
+        |mergedc AS (
+        |  SELECT k, arg_max(op, v) AS op, arg_max(status, v) AS status,
+        |         arg_max(price, v) AS price
+        |  FROM taggedc GROUP BY k)
+        |SELECT CAST(1 AS BIGINT) AS gen, count(*) AS n_rows,
+        |       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM merged
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS gen, count(*) AS n_rows,
+        |       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM mergedc WHERE op <> 'D'""".stripMargin,
     "merge_cdc_tombstones" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price

@@ -1214,6 +1214,40 @@ object Similarity {
         round(col("n.sim"), 6).as("sim"))
   }
 
+  /** kNN-graph recall certification — the quality number the
+    * [[KnnBucketCap]] contract rides on, MEASURED (round-11 verdict
+    * #1): for the [[NumProbes]] probe sample, compare the exact
+    * brute-force top-[[KnnGraphK]] ([[cachedExactTopk]] — the same
+    * memoized pass `ann_recall` certifies the probe-search family
+    * against) with the rows the PRODUCTION capped graph build
+    * ([[knnGraphLsh]]) actually emits for those probes. Per probe:
+    * `found` exact neighbors present in the graph and
+    * recall = found / k. The cap changed the graph's candidate set at
+    * every SF; its docstring claim ("a hot bucket is near-identical
+    * vectors, so any bounded slice supplies top-k-quality neighbors")
+    * was prose plus a synthetic spec until this census put a number on
+    * it — the `minhash_recall` pattern applied to the graph build.
+    *
+    * 100 TB posture: the exact side is one bounded broadcast pass (10
+    * probes); the graph side is the artifact the pipeline already
+    * builds, filtered to probe rows; the oracle replays BOTH —
+    * including the capped lowest-id bucket slice — so a cap or ladder
+    * change lands here as a measured recall shift before it ships. */
+  def knnGraphRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = cachedExactTopk(spark, dir)
+    val probes = exact.select("probe_id").distinct()
+    val graph = knnGraphLsh(spark, dir)
+      .filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("neighbor_id"))
+    val hits = exact.join(graph, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("found"))
+    probes.join(broadcast(hits), Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("found"), lit(0L)).as("found"),
+        round(coalesce(col("found"), lit(0L)).cast("double") / KnnGraphK, 6)
+          .as("recall"))
+  }
+
   /** Band-bucket occupancy audit for the VECTOR family — the
     * [[graft.dedup.Dedup.lshBucketAudit]] report over the kNN graph's
     * sign-LSH bucket space: per (band, occupancy) the bucket count,
@@ -1259,6 +1293,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similar_topk" -> (similarTopk _),
     "knn_graph_lsh" -> (knnGraphLsh _),
+    "knn_graph_recall" -> (knnGraphRecall _),
     "knn_bucket_audit" -> (knnBucketAudit _),
     "embedding_neardup_lsh" -> (embeddingNeardupLsh _),
     "similar_ann_lsh" -> (similarAnnLsh _),
@@ -1581,6 +1616,46 @@ object Similarity {
          |  JOIN embeddings a ON a.vec_id = c.id1
          |  JOIN embeddings b ON b.vec_id = c.id2) t
          |WHERE nn_rank <= $KnnGraphK""".stripMargin,
+    // the graph-build recall census: the FULL capped-graph replay
+    // (same bbc lowest-id slice, cand probe-filtered — identical
+    // per-probe rows, since the cap applies to the neighbor side
+    // globally) against the exact brute-force top-k for the same
+    // probes, per-probe hit count
+    "knn_graph_recall" ->
+      s"""WITH $knnBandedCtes,
+         |bbc AS (SELECT vec_id, band, bucket FROM (
+         |    SELECT vec_id, band, bucket,
+         |           row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn
+         |    FROM bb) t
+         |  WHERE rn <= $KnnBucketCap),
+         |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         |         FROM bb a JOIN bbc b
+         |           ON a.band = b.band AND a.bucket = b.bucket
+         |          AND a.vec_id <> b.vec_id
+         |         WHERE a.vec_id < $NumProbes),
+         |graphq AS (SELECT vec_id, neighbor_id FROM (
+         |  SELECT c.id1 AS vec_id, c.id2 AS neighbor_id,
+         |         row_number() OVER (PARTITION BY c.id1
+         |                            ORDER BY $cosineSql DESC, c.id2) AS nn_rank
+         |  FROM cand c
+         |  JOIN embeddings a ON a.vec_id = c.id1
+         |  JOIN embeddings b ON b.vec_id = c.id2) t
+         |WHERE nn_rank <= $KnnGraphK),
+         |exact AS (SELECT probe_id, neighbor_id FROM (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |                            ORDER BY $cosineSql DESC, b.vec_id) AS rn
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < $NumProbes) t
+         |WHERE rn <= $K),
+         |hits AS (SELECT e.probe_id, count(*) AS found
+         |         FROM exact e JOIN graphq g
+         |           ON g.vec_id = e.probe_id AND g.neighbor_id = e.neighbor_id
+         |         GROUP BY 1)
+         |SELECT p.probe_id, CAST(COALESCE(h.found, 0) AS BIGINT) AS found,
+         |       round(CAST(COALESCE(h.found, 0) AS DOUBLE) / $KnnGraphK, 6) AS recall
+         |FROM (SELECT DISTINCT probe_id FROM exact) p
+         |LEFT JOIN hits h ON h.probe_id = p.probe_id""".stripMargin,
     // the vector-side twin of lsh_bucket_audit: same banding, same
     // census shape, over_cap flags what KnnBucketCap would trim
     "knn_bucket_audit" ->

@@ -131,6 +131,54 @@ class MergeUpsertSpec extends AnyFunSuite with SharedSpark {
       s"as-of generation filter did not prune partitions:\n$plan")
   }
 
+  test("expireSnapshots: retention window readable, beyond it fails loudly, idempotent") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapexp").toFile
+    def snap(v: String) = Seq((1L, v, 10.0), (2L, v, 20.0))
+      .toDF("k", "status", "price")
+    for (v <- Seq("A", "B", "C", "D")) MergeUpsert.appendSnapshot(root, snap(v))
+
+    val survivors = MergeUpsert.expireSnapshots(root, keep = 2)
+    assert(survivors == Seq(2, 3), s"expected gens 2,3 to survive, got $survivors")
+    // within retention: both reads work, contents untouched, gen ids
+    // NOT renumbered (an in-flight reader holding "gen=3" stays valid)
+    def readBack(b: Int) = MergeUpsert.readAsOf(spark, root, b)
+      .select("status").distinct().as[String].collect().toSeq
+    assert(readBack(0) == Seq("D"))
+    assert(readBack(1) == Seq("C"))
+    // beyond retention: LOUD failure, never silently-wrong data
+    intercept[IllegalArgumentException] { readBack(2) }
+    // the expired directories are physically gone
+    val dirs = root.listFiles().map(_.getName).filter(_.startsWith("gen=")).sorted
+    assert(dirs.toSeq == Seq("gen=2", "gen=3"), s"on disk: ${dirs.toSeq}")
+    // idempotent: a re-run drops nothing further
+    assert(MergeUpsert.expireSnapshots(root, keep = 2) == Seq(2, 3))
+    // a NEW publish after expiry continues the generation sequence
+    assert(MergeUpsert.appendSnapshot(root, snap("E")) == 4)
+    assert(readBack(0) == Seq("E"))
+    // a keep that would empty the log is rejected up front
+    intercept[IllegalArgumentException] {
+      MergeUpsert.expireSnapshots(root, keep = 0)
+    }
+  }
+
+  test("snapshot_expire: survivor census matches hand-derived merge states") {
+    import spark.implicits._
+    val got = MergeUpsert.snapshotExpire(spark, sfDir)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L), s"survivors ${got.map(_._1).toSeq}")
+    // gen 1 = upsert merge: base keys + every-100th re-keyed insert
+    val base = Tables.load(spark, sfDir, "orders")
+    val nBase = base.count()
+    val nIns = base.filter(col("o_orderkey") % 100 === 0).count()
+    assert(got(0)._2 == nBase + nIns, s"gen-1 rows ${got(0)._2}")
+    // gen 2 = CDC election: deletes (every 20th) drop, reinserts
+    // (every 40th) come back
+    val nDel = base.filter(col("o_orderkey") % 20 === 0
+      && col("o_orderkey") % 40 =!= 0).count()
+    assert(got(1)._2 == nBase - nDel, s"gen-2 rows ${got(1)._2}")
+  }
+
   test("snapshot_read_asof: one generation back equals the pre-merge base") {
     import spark.implicits._
     val asOf = MergeUpsert.snapshotReadAsof(spark, sfDir)
