@@ -265,6 +265,38 @@ object Similarity {
     * so the loop shape must be static. */
   val IvfIters = 5
 
+  /** Training-sample budget per coarse cell (the FAISS guidance:
+    * ≥39·k points to train k centroids, 256·k ideal). IVF and PQ
+    * training read only a deterministic sample of ≈
+    * `TrainPointsPerCell · cellsFor(n)` vectors; the full corpus is
+    * touched by nothing but the final assignment/encode pass. At 100 TB
+    * that is the difference between an overnight index build
+    * ([[IvfIters]]+[[PqIters]] full corpus passes) and a lunchtime one
+    * (bounded training + ONE scoring pass) — the claim the PQ docstring
+    * used to make in prose, implemented (round-11 verdict #4). */
+  val TrainPointsPerCell = 256
+
+  /** Sampling stride for an n-vector corpus: every vector whose
+    * [[trainSampleCond]] hash lands on 0 mod this trains. 1 (identity —
+    * bit-exact with unsampled training) through sf0.1; 4 at sf1, 16
+    * from sf10 up (cells grow with n, so the stride SATURATES: the
+    * sample stays a constant fraction 1/16 once C = n/[[TargetCellSize]]
+    * binds, giving every cell its [[TrainPointsPerCell]] budget). The
+    * oracle derives the SAME integer expression from COUNT(*). */
+  def trainEvery(n: Long): Long =
+    math.max(1L, n / (TrainPointsPerCell.toLong * cellsFor(n)))
+
+  /** Deterministic content-hash membership for the training sample:
+    * parity-of-md5 over the vec_id string (the [[planeEntry]] /
+    * `train_eval_split` discipline, NOT a `vec_id % every` stride — a
+    * stride aliases with id-assignment patterns; the hash is unbiased
+    * under any id layout). 15 hex chars = 60 bits, exact in both
+    * engines; DuckDB replays it verbatim. */
+  private def trainSampleCond(every: Long): Column =
+    if (every <= 1L) lit(true)
+    else conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % every === 0
+
   /** Centroid means are computed over vectors quantized to
     * floor(x·10⁶) longs: LONG sums are exact and ASSOCIATIVE, so the
     * per-cell mean is independent of partition order — the one place
@@ -277,7 +309,7 @@ object Similarity {
     * [[graft.IndexStore]]: changing any of these constants re-keys the
     * stored centroids so stale-parameter artifacts are never reused. */
   private[graft] def IvfIndexParams =
-    s"dim=$Dim,cells=$IvfCells,iters=$IvfIters,q=$QuantScale"
+    s"dim=$Dim,cells=$IvfCells,iters=$IvfIters,q=$QuantScale,tpc=$TrainPointsPerCell"
 
   private def dotA(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
@@ -308,9 +340,15 @@ object Similarity {
     // vector and the norm are centroid-independent, so they are
     // computed once and persisted — without this, each of the
     // IvfIters+1 passes re-scans the parquet, re-casts float→double,
-    // and re-quantizes (the review-caught round-3 redundancy)
+    // and re-quantizes (the review-caught round-3 redundancy).
+    // SAMPLED: only the [[trainEvery]]/[[trainSampleCond]] sample
+    // trains — every one of the IvfIters+1 passes below runs over
+    // ≈TrainPointsPerCell·C rows, never the corpus; the corpus is
+    // scanned only by the final assignment pass (ivfSims).
+    val every = trainEvery(vecCount(spark, dir))
     val base = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(trainSampleCond(every))
       .as[(Long, Array[Double])]
       .map { case (id, v) =>
         val q = new Array[Long](v.length)
@@ -322,7 +360,16 @@ object Similarity {
       }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val numCells = ivfCellCount(spark, dir)
-    var cents: Array[Array[Double]] = base.filter(_._1 < numCells)
+    // seeds: the numCells LOWEST sampled vec_ids, cell id = rank —
+    // reduces to "first C vectors, cid = vec_id" when every == 1 over
+    // dense ids, so the unsampled SFs stay bit-exact. The collected
+    // sample-id list is bounded (≈TrainPointsPerCell·C longs).
+    val seedIds = base.map(_._1).collect().sorted.take(numCells)
+    require(seedIds.length == numCells,
+      s"IVF training sample at $dir has only ${seedIds.length} vectors " +
+        s"for $numCells cells (every=$every)")
+    val seedSet = seedIds.toSet
+    var cents: Array[Array[Double]] = base.filter(t => seedSet.contains(t._1))
       .map(t => (t._1, t._2)).collect().sortBy(_._1).map(_._2)
     val movements = Array.ofDim[Double](IvfIters)
     for (iter <- 0 until IvfIters) {
@@ -456,12 +503,28 @@ object Similarity {
     * Output: one row per cell (C = `cellsFor(n)` rows, bounded model
     * state, never corpus-sized). */
   def embeddingDriftPsi(spark: SparkSession, dir: String): DataFrame = {
-    val nCells = ivfCellCount(spark, dir)
-    val perCell = ivfAssign(spark, dir)
+    val assign = ivfAssign(spark, dir)
+    cellPsiBetween(spark,
+      assign.filter(col("vec_id") % 2 === 0).select("cid"),
+      assign.filter(col("vec_id") % 2 === 1).select("cid"),
+      ivfCellCount(spark, dir))
+  }
+
+  /** The cell-space PSI core over two explicit assignment frames (each
+    * a `cid` column, one row per member) — [[embeddingDriftPsi]]'s
+    * math factored out so the STREAMING gate
+    * ([[graft.streaming.IngestDedup.startGated]]) can score incoming
+    * batches against a deployed quantizer's cells. Same determinism
+    * discipline: 0.5-additive smoothing over all `nCells` cells, terms
+    * rounded to 12 decimals, DECIMAL-summed. */
+  private[graft] def cellPsiBetween(spark: SparkSession, refCids: DataFrame,
+                                    batchCids: DataFrame, nCells: Int): DataFrame = {
+    val perCell = refCids.select(col("cid"), lit(true).as("is_ref"))
+      .unionByName(batchCids.select(col("cid"), lit(false).as("is_ref")))
       .groupBy("cid")
       .agg(
-        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_ref"),
-        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_batch"))
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_batch"))
     val allCells = spark.range(0, nCells).select(col("id").as("cid"))
     val totals = perCell.agg(
       sum("n_ref").as("tot_ref"), sum("n_batch").as("tot_batch"))
@@ -480,6 +543,27 @@ object Similarity {
         round(pRef, 6).as("p_ref"), round(pBatch, 6).as("p_batch"),
         round(col("t").cast("double"), 6).as("psi_term"),
         round(sum(col("t")).over(w).cast("double"), 6).as("psi"))
+  }
+
+  /** Nearest-centroid assignment of explicit (id, v) rows against a
+    * PROVIDED quantizer (argmax cosine, ties to the lower cell id —
+    * the [[ivfAssign]] election over broadcast centroids): the entry
+    * point a streaming monitor uses to score a micro-batch in the
+    * DEPLOYED index's cell space without touching the training path. */
+  private[graft] def assignToCentroids(spark: SparkSession, vecs: DataFrame,
+                                       cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    val cdf = spark.createDataset(
+        cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) })
+      .toDF("cid", "cv")
+      .withColumn("cnrm", norm(col("cv")))
+    val s = dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
+    vecs.withColumn("nrm", norm(col("v")))
+      .crossJoin(broadcast(cdf))
+      .select(col("id"), col("cid"), s.as("s"))
+      .groupBy("id")
+      .agg(min(struct(negate(col("s")).as("ns"), col("cid"))).as("b"))
+      .select(col("id"), col("b.cid").as("cid"))
   }
 
   def similarAnnIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -902,8 +986,9 @@ object Similarity {
     * (m, cid, centroid)); every later session — cold JVMs included —
     * reads M·K rows back instead of paying [[PqIters]] corpus passes.
     * Doubles round-trip parquet losslessly, so stored-vs-fresh
-    * codebooks are bit-identical (spec-pinned). At 100 TB you train
-    * on a sample and only the final scoring pass reads the corpus. */
+    * codebooks are bit-identical (spec-pinned). Training itself reads
+    * only the [[trainEvery]] sample — at 100 TB nothing but the final
+    * encode pass touches the corpus. */
   private[graft] def trainPqCodebooks(
       spark: SparkSession, dir: String): Array[Array[Array[Double]]] =
     pqCache.computeIfAbsent((spark, dir), { _ =>
@@ -929,18 +1014,25 @@ object Similarity {
   private[graft] def trainPqCodebooksFresh(
       spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
       import spark.implicits._
-      val base = pqSubvectors(spark, dir)
+      // SAMPLED like the coarse quantizer: the residual subvector
+      // kernel and both Lloyd rounds touch only the training sample;
+      // the full corpus pays nothing until the encode pass
+      val every = trainEvery(vecCount(spark, dir))
+      val base = pqSubvectors(spark, dir, Some(trainSampleCond(every)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val seeds = base.filter(_._1 < PqK)
-        .map(t => (t._1, t._2, t._3)).collect()
-      val seedIds = seeds.map(_._1).distinct
+      // seeds: the PqK lowest sampled vec_ids' subvectors, code id =
+      // rank — identical to "vec_id 0..PqK-1, code = vec_id" when
+      // every == 1 over dense ids
+      val seedIds = base.map(_._1).distinct().collect().sorted.take(PqK)
       require(seedIds.length == PqK,
-        s"PQ training seeds vectors with vec_id 0..${PqK - 1}; corpus at " +
-          s"$dir has only ${seedIds.length} of them " +
-          s"(${seedIds.sorted.mkString(",")})")
+        s"PQ training sample at $dir has only ${seedIds.length} vectors " +
+          s"for $PqK codes (every=$every)")
+      val seedSet = seedIds.toSet
+      val seeds = base.filter(t => seedSet.contains(t._1))
+        .map(t => (t._1, t._2, t._3)).collect()
       var cents: Array[Array[Array[Double]]] =
         Array.tabulate(PqSubspaces, PqK) { (m, c) =>
-          seeds.find(t => t._2 == m && t._1 == c).get._3
+          seeds.find(t => t._2 == m && t._1 == seedIds(c)).get._3
         }
       for (_ <- 0 until PqIters) {
         val bc = spark.sparkContext.broadcast(cents)
@@ -1318,13 +1410,13 @@ object Similarity {
          |           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
          |             list_dot_product(s.s, s.s) - 2*list_dot_product(s.s, c.cv) + list_dot_product(c.cv, c.cv),
          |             c.cid) AS rn
-         |    FROM sub s JOIN pcents${i - 1} c ON c.m = s.m) t
+         |    FROM strain s JOIN pcents${i - 1} c ON c.m = s.m) t
          |  WHERE rn = 1),
          |pmeans$i AS MATERIALIZED (
          |  SELECT m, cid, list(cd ORDER BY d) AS cv FROM (
          |    SELECT a.m, a.cid, rd.d,
          |           CAST(SUM(q.qs[rd.d]) AS DOUBLE) / COUNT(*) / 1000000.0 AS cd
-         |    FROM passign$i a, q, range(1, ${PqSubDim + 1}) rd(d)
+         |    FROM passign$i a, qtrain q, range(1, ${PqSubDim + 1}) rd(d)
          |    WHERE q.vec_id = a.vec_id AND q.m = a.m
          |    GROUP BY a.m, a.cid, rd.d) s2
          |  GROUP BY m, cid),
@@ -1333,14 +1425,33 @@ object Similarity {
          |  FROM pcents${i - 1} p LEFT JOIN pmeans$i mm ON mm.m = p.m AND mm.cid = p.cid)""".stripMargin
     }
 
-  /** Shared oracle prefix: full IVF training replay → every vector's
+  /** The training-sample CTEs (requires `v` in scope): `tevery` is
+    * [[trainEvery]] from COUNT(*), `vtrain` the md5-membership sample —
+    * the exact [[trainSampleCond]] arithmetic. With e = 1 the filter
+    * `x % 1 = 0` keeps everything, so unsampled SFs replay bit-exact. */
+  private def vtrainCtes: String =
+    s"""tevery AS (SELECT GREATEST(1, COUNT(*) //
+       |             ($TrainPointsPerCell * GREATEST($IvfCells, COUNT(*) // $TargetCellSize))) AS e
+       |           FROM embeddings),
+       |vtrain AS MATERIALIZED (
+       |  SELECT v.vec_id, v.v FROM v, tevery
+       |  WHERE CAST(('0x' || substring(md5(CAST(v.vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |          % tevery.e = 0)""".stripMargin
+
+  /** Shared oracle prefix: SAMPLED IVF training replay → every vector's
     * trained-cell assignment (`assign(vec_id, cid)`, with `cents0`
     * also providing the C cell ids) — the base of the cluster-balance
-    * and embedding-drift oracles. */
+    * and embedding-drift oracles. Seeds are the C lowest SAMPLED
+    * vec_ids, cell id = rank (reduces to vec_id < C, cid = vec_id at
+    * e = 1 over dense ids); training assigns/averages over `vtrain`
+    * only; the final `sims`/`assign` pass is the one full-corpus
+    * scan — the Spark side's exact shape. */
   private def ivfAssignCtes: String =
     s"""v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
-       |           WHERE vec_id < (SELECT GREATEST($IvfCells, COUNT(*) // $TargetCellSize) FROM embeddings)),
+       |$vtrainCtes,
+       |cents0 AS (SELECT rn - 1 AS cid, cv FROM (
+       |    SELECT row_number() OVER (ORDER BY vec_id) AS rn, v AS cv FROM vtrain) t
+       |  WHERE rn <= (SELECT GREATEST($IvfCells, COUNT(*) // $TargetCellSize) FROM embeddings)),
        |${ivfTrainingCtes.mkString(",\n")},
        |sims AS MATERIALIZED (SELECT vec_id, c.cid,
        |           list_dot_product(v.v, c.cv) /
@@ -1362,7 +1473,7 @@ object Similarity {
        |    FROM sims WHERE vec_id < $NumProbes) t
        |  WHERE rn <= $IvfProbeCells)""".stripMargin
 
-  /** The RESIDUAL-PQ encode replay (requires `v`, `assign`,
+  /** The RESIDUAL-PQ encode replay (requires `v`, `vtrain`, `assign`,
     * `cents$IvfIters` in scope): residual vectors vs the assigned
     * coarse cell, subvector slices, quantization, the PQ codebooks'
     * Lloyd rounds, quantized codebooks (`qc`), and the final code
@@ -1380,7 +1491,15 @@ object Similarity {
        |q AS MATERIALIZED (SELECT vec_id, m,
        |             list_transform(s, x -> CAST(floor(x*1000000.0) AS BIGINT)) AS qs
        |      FROM sub),
-       |pcents0 AS (SELECT m, vec_id AS cid, s AS cv FROM sub WHERE vec_id < $PqK),
+       |strain AS MATERIALIZED (SELECT s.* FROM sub s
+       |          JOIN vtrain t ON t.vec_id = s.vec_id),
+       |qtrain AS MATERIALIZED (SELECT q.* FROM q
+       |          JOIN vtrain t ON t.vec_id = q.vec_id),
+       |pseed AS (SELECT DISTINCT vec_id FROM strain ORDER BY vec_id LIMIT $PqK),
+       |pcents0 AS (SELECT m,
+       |              row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS cid,
+       |              s AS cv
+       |            FROM strain WHERE vec_id IN (SELECT vec_id FROM pseed)),
        |${pqTrainingCtes.mkString(",\n")},
        |qc AS MATERIALIZED (SELECT m, cid,
        |              list_transform(cv, x -> CAST(floor(x*1000000.0) AS BIGINT)) AS qcv
@@ -1528,14 +1647,14 @@ object Similarity {
          |             list_dot_product(v.v, c.cv) /
          |             (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
          |             c.cid) AS rn
-         |    FROM v, cents${i - 1} c) t
+         |    FROM vtrain v, cents${i - 1} c) t
          |  WHERE rn = 1),
          |means$i AS MATERIALIZED (
          |  SELECT cid, list(cd ORDER BY d) AS cv FROM (
          |    SELECT a.cid, rd.d,
          |           CAST(SUM(CAST(floor(v.v[rd.d] * 1000000.0) AS BIGINT)) AS DOUBLE)
          |             / COUNT(*) / 1000000.0 AS cd
-         |    FROM assign$i a, v, range(1, ${Dim + 1}) rd(d)
+         |    FROM assign$i a, vtrain v, range(1, ${Dim + 1}) rd(d)
          |    WHERE v.vec_id = a.vec_id
          |    GROUP BY a.cid, rd.d) s
          |  GROUP BY cid),
@@ -1696,24 +1815,7 @@ object Similarity {
     // regardless of aggregation order. COALESCE keeps an empty cell's
     // previous centroid, mirroring the Spark loop.
     "similar_ann_ivf" ->
-      s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
-         |           WHERE vec_id < (SELECT GREATEST($IvfCells, COUNT(*) // $TargetCellSize) FROM embeddings)),
-         |${ivfTrainingCtes.mkString(",\n")},
-         |sims AS MATERIALIZED (SELECT vec_id, c.cid,
-         |           list_dot_product(v.v, c.cv) /
-         |           (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
-         |         FROM v, cents$IvfIters c),
-         |assign AS MATERIALIZED (SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-         |    FROM sims) t
-         |  WHERE rn = 1),
-         |probes AS MATERIALIZED (SELECT vec_id AS probe_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-         |    FROM sims WHERE vec_id < $NumProbes) t
-         |  WHERE rn <= $IvfProbeCells)
+      s"""WITH $ivfSearchPrefixCtes
          |SELECT probe_id, neighbor_id, round(sim, 6) AS sim FROM (
          |  SELECT p.probe_id, a.vec_id AS neighbor_id,
          |         list_dot_product(pv.v, av.v) /
@@ -1731,19 +1833,7 @@ object Similarity {
     // election: a vector is pruned iff some SAME-cluster vector with a
     // lower id sits at or above the cosine threshold
     "semdedup_prune" ->
-      s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
-         |           WHERE vec_id < (SELECT GREATEST($IvfCells, COUNT(*) // $TargetCellSize) FROM embeddings)),
-         |${ivfTrainingCtes.mkString(",\n")},
-         |sims AS MATERIALIZED (SELECT vec_id, c.cid,
-         |           list_dot_product(v.v, c.cv) /
-         |           (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
-         |         FROM v, cents$IvfIters c),
-         |assign AS MATERIALIZED (SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-         |    FROM sims) t
-         |  WHERE rn = 1),
+      s"""WITH $ivfAssignCtes,
          |av AS MATERIALIZED (SELECT a.cid, a.vec_id, v.v FROM assign a JOIN v ON v.vec_id = a.vec_id),
          |dropped AS (
          |  SELECT DISTINCT b.cid, b.vec_id

@@ -349,16 +349,29 @@ object IngestDedup {
     * PSI table is appended to the monitor sink — the drift history is
     * complete even for batches that passed.
     *
+    * EMBEDDING drift gates too (round-11 verdict #8): when a deployed
+    * `quantizer` is supplied and the rows carry an `embedding` column,
+    * the batch is also scored in the quantizer's cell space
+    * ([[graft.similarity.Similarity.cellPsiBetween]]) and quarantined
+    * on EITHER signal — a crawl batch can hold length and token deciles
+    * steady while its topic distribution shifts, and only the embedding
+    * space sees that. Embedding rows land in the same monitor sink as
+    * feature `embedding` with the cell id as the bin, so one drift
+    * history covers both spaces.
+    *
     * Exactly-once: every sink (monitor, quarantine, accepted, index)
     * writes the batch's own partition in overwrite mode; a gated batch
     * still writes EMPTY accepted/index partitions so a torn-commit
     * replay — which recomputes the same deterministic PSI and takes
     * the same branch — overwrites identical state. Scale: the gate
     * adds one narrow feature pass over the batch + a broadcast decile
-    * join (the [[DriftMonitor]] costs), nothing corpus-sized. */
+    * join (the [[DriftMonitor]] costs) and, with a quantizer, one
+    * broadcast-centroid assignment pass over the batch — nothing
+    * corpus-sized. */
   def startGated(spark: SparkSession, refDocs: DataFrame, docsStream: DataFrame,
                  indexPath: String, acceptedPath: String, quarantinePath: String,
-                 monitorPath: String, checkpoint: String): StreamingQuery = {
+                 monitorPath: String, checkpoint: String,
+                 quantizer: Option[Array[Array[Double]]] = None): StreamingQuery = {
     // the gate derives n_chars from the text on BOTH sides (stream rows
     // carry only (doc_id, text); a stored n_chars column would let the
     // reference and the batch disagree on the feature definition)
@@ -367,14 +380,41 @@ object IngestDedup {
         docs.select(col("doc_id"), col("text"),
           length(col("text")).cast("long").as("n_chars")))
     val refFeats = feats(refDocs)
+    def vecsOf(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+    // reference cell census: computed once, against the DEPLOYED
+    // centroids — the same frame every batch's PSI compares to
+    val refCids = quantizer.map { q =>
+      graft.similarity.Similarity.assignToCentroids(spark, vecsOf(refDocs), q)
+        .select("cid")
+    }
+    val monitorSchema = Seq("feature", "bin", "n_ref", "n_batch",
+      "p_ref", "p_batch", "psi_term", "psi")
     docsStream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val b = batch.select("doc_id", "text").persist()
+        val b = batch.persist()
         try {
-          val psiTable = graft.text.CorpusOps.psiBetween(spark, refFeats,
-            feats(b)).persist()
+          val scalarPsi = graft.text.CorpusOps.psiBetween(spark, refFeats,
+            feats(b))
+          // embedding cells ride the scalar monitor schema: feature =
+          // 'embedding', bin = cell id — one sink, one drift history
+          val embPsi = (quantizer zip refCids).map { case (q, ref) =>
+            graft.similarity.Similarity.cellPsiBetween(spark, ref,
+                graft.similarity.Similarity.assignToCentroids(spark, vecsOf(b), q)
+                  .select("cid"),
+                q.length)
+              .select(lit("embedding").as("feature"),
+                col("cid").cast("long").as("bin"),
+                col("n_ref"), col("n_batch"), col("p_ref"), col("p_batch"),
+                col("psi_term"), col("psi"))
+          }
+          val psiTable = embPsi
+            .foldLeft(scalarPsi.select(monitorSchema.map(col): _*))(
+              _ unionByName _)
+            .persist()
           psiTable.write.mode("overwrite").parquet(s"$monitorPath/batch=$id")
           val worst = psiTable.agg(max("psi")).head().getDouble(0)
           psiTable.unpersist()

@@ -426,6 +426,73 @@ class IngestDedupSpec extends AnyFunSuite with SharedSpark {
       "gated stream diverged from the fold-without-the-gated-batch")
   }
 
+  test("startGated with a quantizer: embedding drift quarantines a batch whose scalar stats are healthy") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a deployed 2-cell quantizer over 4-dim embeddings
+    val quantizer = Array(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0))
+    def cellVec(cell: Int, i: Int): Array[Double] = {
+      val v = Array(0.01, 0.01, 0.01 * (i % 3 + 1), 0.01)
+      v(cell) = 1.0; v
+    }
+    def mkText(tag: String, n: Int) = (0 until n).map(j => s"$tag$j").mkString(" ")
+    // reference: lengths 5..24, embeddings split 50/50 across both cells
+    val ref = (0 until 20)
+      .map(i => (i.toLong, mkText(s"r${i}t", 5 + i), cellVec(i % 2, i).toSeq))
+      .toDF("doc_id", "text", "embedding")
+    // batch 0: healthy on BOTH axes (length spread mirrors ref, cells 50/50)
+    val batch0 = (0 until 10)
+      .map(i => (101L + i, mkText(s"a${i}t", 5 + 2 * i), cellVec(i % 2, i).toSeq))
+    // batch 1: scalar-HEALTHY (same length spread) but every embedding
+    // in cell 1 — the topic shift only the embedding space sees
+    val batch1 = (0 until 10)
+      .map(i => (201L + i, mkText(s"d${i}t", 5 + 2 * i), cellVec(1, i).toSeq))
+    // batch 2: healthy again; 302 is a near-dup of QUARANTINED 202 —
+    // quarantined docs must never suppress later content
+    val batch2 = (0 until 10).map { i =>
+      val text = if (i == 1) mkText(s"d${1}t", 7) + " extra"
+        else mkText(s"c${i}t", 5 + 2 * i)
+      (301L + i, text, cellVec(i % 2, i).toSeq)
+    }
+    val idx = tmp("emb_idx"); val acc = tmp("emb_acc")
+    val qua = tmp("emb_qua"); val mon = tmp("emb_mon"); val ckpt = tmp("emb_ckpt")
+    IngestDedup.seed(spark, ref.select("doc_id", "text"), idx, acc)
+    val mem = MemoryStream[(Long, String, Seq[Double])]
+    val q = IngestDedup.startGated(spark, ref,
+      mem.toDF.toDF("doc_id", "text", "embedding"),
+      idx, acc, qua, mon, ckpt, Some(quantizer))
+    try {
+      for (b <- Seq(batch0, batch1, batch2)) {
+        mem.addData(b); q.processAllAvailable()
+      }
+      assert(q.exception.isEmpty, s"gated stream died: ${q.exception}")
+    } finally q.stop()
+
+    // batch 1: scalar features under the gate, embedding cells OVER it
+    val m1 = spark.read.parquet(s"$mon/batch=1")
+    val scalarWorst = m1.filter(col("feature") =!= "embedding")
+      .agg(max("psi")).head().getDouble(0)
+    val embWorst = m1.filter(col("feature") === "embedding")
+      .agg(max("psi")).head().getDouble(0)
+    assert(scalarWorst <= IngestDedup.PsiGate,
+      s"batch 1 must be scalar-healthy, psi=$scalarWorst")
+    assert(embWorst > IngestDedup.PsiGate,
+      s"batch 1's embedding shift must cross the gate, psi=$embWorst")
+    // quarantine holds exactly batch 1; the embedding-drifted docs
+    // never reached the index, so 302 (near-dup of quarantined 202)
+    // is accepted
+    val quarantined = spark.read.parquet(qua)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(quarantined == (201L to 210L), s"quarantined $quarantined")
+    val accepted = spark.read.parquet(acc).filter(col("batch") >= 0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(accepted == (101L to 110L) ++ (301L to 310L),
+      s"gated-on-embedding stream accepted $accepted")
+  }
+
   test("swapBase crash states are recovered, never lost (round-10 advice)") {
     import spark.implicits._
     val store = tmp("swp_idx")

@@ -330,6 +330,19 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(got.map(_._2).toSeq == recount.toSeq, "found counts diverge from recount")
   }
 
+  test("trainEvery ladder: identity through sf0.1, active at sf1, saturates at 1/16") {
+    assert(Similarity.trainEvery(500) == 1)      // sf0.01: bit-exact with unsampled
+    assert(Similarity.trainEvery(2000) == 1)     // sf0.1
+    assert(Similarity.trainEvery(20000) == 4)    // sf1: training reads 1/4
+    assert(Similarity.trainEvery(60000) == 14)   // sf3
+    // once C = n/TargetCellSize binds, the stride SATURATES at
+    // TargetCellSize / TrainPointsPerCell = 16: a constant 1/16 sample
+    // keeps every cell at its 256-point training budget as n grows
+    assert(Similarity.trainEvery(200000) == 16)  // sf10
+    assert(Similarity.trainEvery(2000000) == 16) // sf100
+    assert(Similarity.TargetCellSize / Similarity.TrainPointsPerCell == 16)
+  }
+
   test("knnBitsFor ladder: identity through sf0.1, occupancy-holding beyond, capped") {
     assert(Similarity.knnBitsFor(200) == Similarity.LshBits)   // sf0.001
     assert(Similarity.knnBitsFor(2000) == Similarity.LshBits)  // sf0.1
