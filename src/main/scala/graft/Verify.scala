@@ -17,7 +17,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce folds the query's
+      // final stage into ONE task, which at sf10 serialized a whole
+      // pair-bound verify join onto a single core (measured: 23 min
+      // on one thread); the explicit shuffle keeps the computation
+      // parallel and only the write runs single-task
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
