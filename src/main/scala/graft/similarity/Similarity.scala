@@ -334,7 +334,16 @@ object Similarity {
     * centroid. Returns movements per iteration alongside the centroids
     * so SimilaritySpec can assert convergence. */
   private[graft] def trainIvfCentroidsWithTrace(
-      spark: SparkSession, dir: String): (Array[Array[Double]], Array[Double]) = {
+      spark: SparkSession, dir: String): (Array[Array[Double]], Array[Double]) =
+    trainIvfCentroidsWithTrace(spark, dir, everyOverride = None)
+
+  /** `everyOverride` exists for the Scratch `train-ab` measurement arm
+    * ONLY (Some(1) = the pre-sampling full-corpus training, timed
+    * against the production stride); production callers always take
+    * the [[trainEvery]] path. */
+  private[graft] def trainIvfCentroidsWithTrace(
+      spark: SparkSession, dir: String,
+      everyOverride: Option[Long]): (Array[Array[Double]], Array[Double]) = {
     import spark.implicits._
     // one materialization for the whole training loop: the quantized
     // vector and the norm are centroid-independent, so they are
@@ -345,7 +354,7 @@ object Similarity {
     // trains — every one of the IvfIters+1 passes below runs over
     // ≈TrainPointsPerCell·C rows, never the corpus; the corpus is
     // scanned only by the final assignment pass (ivfSims).
-    val every = trainEvery(vecCount(spark, dir))
+    val every = everyOverride.getOrElse(trainEvery(vecCount(spark, dir)))
     val base = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .filter(trainSampleCond(every))

@@ -57,6 +57,27 @@ object Scratch {
       return
     }
 
+    // "train-ab": time IVF centroid training at the production sampled
+    // stride vs the pre-sampling every=1 full-corpus form — the direct
+    // measurement behind the round-12 sampled-training claim. Fresh
+    // training both arms (no artifact read); the sampled arm runs
+    // FIRST so the unsampled arm, not it, inherits any page-cache
+    // warmth.
+    if (args.sameElements(Array("train-ab"))) {
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val every = similarity.Similarity.trainEvery(n)
+      time(s"ivf-train sampled (every=$every)") {
+        similarity.Similarity.trainIvfCentroidsWithTrace(spark, dir,
+          Some(every))._1.length.toLong
+      }
+      time("ivf-train full (every=1)") {
+        similarity.Similarity.trainIvfCentroidsWithTrace(spark, dir,
+          Some(1L))._1.length.toLong
+      }
+      spark.stop()
+      return
+    }
+
     // "explain:<name>": print the formatted physical plan of a declared
     // query (no execution) — the broadcast/exchange audit tool
     if (args.length == 1 && args(0).startsWith("explain:")) {
