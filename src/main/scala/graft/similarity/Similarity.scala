@@ -1340,7 +1340,11 @@ object Similarity {
     val graph = knnGraphLsh(spark, dir)
       .filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("neighbor_id"))
-    val hits = exact.join(graph, Seq("probe_id", "neighbor_id"), "left_semi")
+    // graph's probe rows are ≤ probes·k — broadcast them so the census
+    // never shuffles (the subtree below is the expensive part; these
+    // joins should stay metadata-cheap at any SF)
+    val hits = exact.join(broadcast(graph), Seq("probe_id", "neighbor_id"),
+        "left_semi")
       .groupBy("probe_id").agg(count(lit(1)).as("found"))
     probes.join(broadcast(hits), Seq("probe_id"), "left")
       .select(col("probe_id"),
