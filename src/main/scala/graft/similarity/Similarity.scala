@@ -82,13 +82,13 @@ object Similarity {
     b
   }
 
-  private val ivfSimsCache =
+  private val ivfAssignCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Lifecycle hook mirroring [[graft.dedup.Dedup.clearCaches]]: drop
-    * this session's memoized IVF scoring frame and trained centroids. */
+    * this session's memoized IVF assignment frame and trained centroids. */
   def clearCaches(spark: SparkSession): Unit = {
-    graft.SessionCaches.clear(spark, Seq(ivfSimsCache, exactTopkCache))
+    graft.SessionCaches.clear(spark, Seq(ivfAssignCache, exactTopkCache))
     centroidCache.keySet.removeIf(_._1 eq spark)
     pqCache.keySet.removeIf(_._1 eq spark)
     vecCountCache.keySet.removeIf(_._1 eq spark)
@@ -353,7 +353,7 @@ object Similarity {
     // SAMPLED: only the [[trainEvery]]/[[trainSampleCond]] sample
     // trains — every one of the IvfIters+1 passes below runs over
     // ≈TrainPointsPerCell·C rows, never the corpus; the corpus is
-    // scanned only by the final assignment pass (ivfSims).
+    // scanned only by the final assignment pass (ivfAssign).
     val every = everyOverride.getOrElse(trainEvery(vecCount(spark, dir)))
     val base = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -450,37 +450,66 @@ object Similarity {
     * shuffles; per-probe top-k runs through the same
     * [[graft.operators.BoundedTopK]] as the exact path. Recall/latency
     * trades via IvfProbeCells exactly like production IVF indexes. */
-  /** The n×C vector-vs-trained-centroid cosine pass, persisted and
-    * memoized per (session, corpus) — it feeds the IVF assignment
-    * branch, the probe-cell branch, and the cluster-balance query;
-    * without the persist Spark recomputes the pass (and its parquet
-    * scan) once per consumer; without the memo each CALL leaked a
-    * cache. */
-  private def ivfSims(spark: SparkSession, dir: String): DataFrame = {
+  /** The PROBE-side n_probes×C cosine frame (trained centroids as a
+    * broadcast local-rows dimension table) — tiny (NumProbes·C rows),
+    * recomputed per caller from a pushdown-pruned probe scan. The
+    * Column arithmetic ([[dot]] = the native DotProductExpr) runs the
+    * identical IEEE sequence as the kernel [[dotA]], so probe scores
+    * and [[ivfAssign]]'s kernel scores are bit-equal. */
+  private def probeSims(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vecs = vectors(spark, dir)
-    // trained coarse quantizer (deterministic k-means), as a local-rows
-    // frame: C·Dim doubles, broadcast below like any dimension table
     val cents = spark.createDataset(
         trainIvfCentroids(spark, dir).zipWithIndex
           .map { case (c, i) => (i.toLong, c) })
       .toDF("cid", "cv")
       .withColumn("cnrm", norm(col("cv")))
     val s = dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
-    Similarity.ivfSimsCache.computeIfAbsent((spark, dir), { _ =>
-      vecs.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"), s.as("s"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    vectors(spark, dir).filter(col("vec_id") < NumProbes)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), s.as("s"))
   }
 
-  /** Every vector's trained-cluster assignment: argmax centroid with
-    * cid tie-break == min over (-s, cid) structs. */
+  /** Every vector's trained-cluster assignment: argmax centroid, ties
+    * to the lower cid — ONE NARROW PASS (the training loop's own
+    * assignment kernel over broadcast centroids), persisted and
+    * memoized per (session, corpus) as n two-column rows.
+    *
+    * This replaces the round-2..11 shape that materialized the full
+    * n×C score frame and argmax'd it relationally: at sf100 that
+    * frame was 976 M rows (~25 GB persisted — the dominant cold cost
+    * of every IVF consumer, 222 s for similar_ann_ivf), and at a real
+    * deployment's n=10⁹, C=4096 it is 4×10¹² rows — a shape that
+    * cannot exist. The kernel emits n rows and never stores a score;
+    * probe-side consumers (which DO need per-cell scores, for
+    * [[IvfProbeCells]] election) read the tiny [[probeSims]] frame
+    * instead. Strict `>` with ascending scan order reproduces the
+    * min-over-(−s, cid) election bit-for-bit — same dotA fold, same
+    * division — so every oracle hash is unchanged. */
   private[graft] def ivfAssign(spark: SparkSession, dir: String): DataFrame =
-    ivfSims(spark, dir)
-      .groupBy("vec_id")
-      .agg(min(struct(negate(col("s")).as("ns"), col("cid"))).as("b"))
-      .select(col("vec_id"), col("b.cid").as("cid"))
+    Similarity.ivfAssignCache.computeIfAbsent((spark, dir), { _ =>
+      import spark.implicits._
+      val bc = spark.sparkContext.broadcast(trainIvfCentroids(spark, dir))
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .as[(Long, Array[Double])]
+        .mapPartitions { it =>
+          val cs = bc.value
+          val cn = cs.map(c => math.sqrt(dotA(c, c)))
+          it.map { case (id, v) =>
+            val nv = math.sqrt(dotA(v, v))
+            var best = 0; var bs = Double.NegativeInfinity
+            var j = 0
+            while (j < cs.length) {
+              val s = dotA(v, cs(j)) / (nv * cn(j))
+              if (s > bs) { bs = s; best = j } // strict > : ties keep min cid
+              j += 1
+            }
+            (id, best.toLong)
+          }
+        }
+        .toDF("vec_id", "cid")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Cluster-balance profile of the corpus over the TRAINED k-means
     * cells — the "is my training mix topically skewed" audit that
@@ -578,11 +607,10 @@ object Similarity {
   def similarAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vecs = vectors(spark, dir)
-    val sims = ivfSims(spark, dir)
     val assign = ivfAssign(spark, dir)
     val probeTop = new graft.operators.BoundedTopK[Neighbor](
       IvfProbeCells, neighborBetter).toColumn
-    val probeCells = sims.filter(col("vec_id") < NumProbes)
+    val probeCells = probeSims(spark, dir)
       .select(col("vec_id").as("probe_id"), col("cid").as("neighbor_id"),
         col("s").as("sim"))
       .as[Scored]
@@ -665,10 +693,9 @@ object Similarity {
         .as[(Long, Array[Double])].collect().toMap
 
     // IVF candidate generation — same shape as similarAnnIvf
-    val sims = ivfSims(spark, dir)
     val probeTop = new graft.operators.BoundedTopK[Neighbor](
       IvfProbeCells, neighborBetter).toColumn
-    val probeCells = sims.filter(col("vec_id") < NumProbes)
+    val probeCells = probeSims(spark, dir)
       .select(col("vec_id").as("probe_id"), col("cid").as("neighbor_id"),
         col("s").as("sim"))
       .as[Scored]
@@ -860,7 +887,7 @@ object Similarity {
     *
     * Scale shape: the pairwise work is confined to clusters — n·cell
     * pairs total, never the n² global cross — and rides the memoized
-    * assignment pass ([[ivfSims]]), so repeat invocations pay only the
+    * assignment pass ([[ivfAssign]]), so repeat invocations pay only the
     * cluster-local join. With the testdata's fixed C=16 cells the
     * cid join has 16 keys; the production setting C ≈ n/4096 keeps
     * cell size (and the per-key pair count) CONSTANT as n grows, so
@@ -942,7 +969,7 @@ object Similarity {
     * codebooks quantize what the coarse quantizer failed to explain
     * (the residual's dynamic range is a fraction of the raw vector's,
     * worth ~2× code efficiency at the same M×K). The assignment rides
-    * the memoized [[ivfSims]] frame and the centroids broadcast as
+    * the memoized [[ivfAssign]] frame and the centroids broadcast as
     * bounded driver state — the residual pass stays one narrow
     * flatMap, no new corpus shuffle. */
   /** `preFilter` applies BEFORE the subvector kernel so a probe-only
@@ -1097,7 +1124,7 @@ object Similarity {
     * Plan: codebooks broadcast (M·K·subdim doubles); scoring is ONE
     * narrow flatMap pass over the corpus — after the training memo the
     * only addition over raw-vector PQ is the assignment join against
-    * the memoized [[ivfSims]] frame, which is the 100 TB posture: PQ
+    * the memoized [[ivfAssign]] frame, which is the 100 TB posture: PQ
     * encode is embarrassingly parallel, the only hard part is the
     * codebook, and that is bounded driver state. */
   def embeddingPqCodes(spark: SparkSession, dir: String): DataFrame = {
