@@ -383,11 +383,28 @@ object IngestDedup {
     def vecsOf(docs: DataFrame): DataFrame =
       docs.select(col("doc_id").as("id"),
         col("embedding").cast("array<double>").as("v"))
+    // a quantizer without an embedding column would otherwise throw
+    // inside foreachBatch — killing the query on its first batch with
+    // an AnalysisException far from the misconfiguration (round-12
+    // advice); fail at stream WIRING time with the actual contract
+    quantizer.foreach { _ =>
+      require(docsStream.columns.contains("embedding"),
+        "startGated: a quantizer was supplied but the stream rows carry " +
+          s"no 'embedding' column (columns: ${docsStream.columns.mkString(", ")})")
+    }
     // reference cell census: computed once, against the DEPLOYED
-    // centroids — the same frame every batch's PSI compares to
+    // centroids — the same frame every batch's PSI compares to.
+    // PERSISTED and materialized at stream start: an unpersisted frame
+    // here would re-run the reference-corpus assignment pass on every
+    // micro-batch (round-12 advice) — the one corpus-sized cost in the
+    // gate, paid once for the stream's lifetime.
     val refCids = quantizer.map { q =>
-      graft.similarity.Similarity.assignToCentroids(spark, vecsOf(refDocs), q)
+      val cids = graft.similarity.Similarity
+        .assignToCentroids(spark, vecsOf(refDocs), q)
         .select("cid")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cids.count()
+      cids
     }
     val monitorSchema = Seq("feature", "bin", "n_ref", "n_batch",
       "p_ref", "p_batch", "psi_term", "psi")
@@ -434,7 +451,15 @@ object IngestDedup {
                 .select("doc_id", "text")
               b.join(dedupStep(spark, b, index, known), Seq("doc_id"), "left_semi")
             }
-          accepted.write.mode("overwrite").parquet(s"$acceptedPath/batch=$id")
+          // quarantine keeps the FULL row (a human reviews exactly what
+          // arrived), but the accepted store is (doc_id, text) like its
+          // seed/base partitions: writing the whole stream row would mix
+          // schemas across partitions of one store — parquet schema
+          // inference then depends on which footer Spark samples — and
+          // duplicate embedding payload the reads never select
+          // (round-12 advice)
+          accepted.select("doc_id", "text")
+            .write.mode("overwrite").parquet(s"$acceptedPath/batch=$id")
           Dedup.bandsOf(Dedup.minhashSignaturesOf(spark,
               shinglesOf(spark, accepted)))
             .write.mode("overwrite").parquet(s"$indexPath/batch=$id")
