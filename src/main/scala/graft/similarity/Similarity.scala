@@ -371,9 +371,14 @@ object Similarity {
     val numCells = ivfCellCount(spark, dir)
     // seeds: the numCells LOWEST sampled vec_ids, cell id = rank —
     // reduces to "first C vectors, cid = vec_id" when every == 1 over
-    // dense ids, so the unsampled SFs stay bit-exact. The collected
-    // sample-id list is bounded (≈TrainPointsPerCell·C longs).
-    val seedIds = base.map(_._1).collect().sorted.take(numCells)
+    // dense ids, so the unsampled SFs stay bit-exact. Selected
+    // DISTRIBUTIVELY (orderBy + limit plans as TakeOrdered), so only C
+    // ids ever reach the driver: the sample itself saturates at a
+    // constant 1/16 of the corpus, and collecting every sampled id
+    // would be ~n/16 longs of driver heap at production n (round-12
+    // advice).
+    val seedIds = base.map(_._1).orderBy("value").limit(numCells)
+      .collect().sorted
     require(seedIds.length == numCells,
       s"IVF training sample at $dir has only ${seedIds.length} vectors " +
         s"for $numCells cells (every=$every)")
@@ -1058,8 +1063,11 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // seeds: the PqK lowest sampled vec_ids' subvectors, code id =
       // rank — identical to "vec_id 0..PqK-1, code = vec_id" when
-      // every == 1 over dense ids
-      val seedIds = base.map(_._1).distinct().collect().sorted.take(PqK)
+      // every == 1 over dense ids. Distributed TakeOrdered like the
+      // coarse-quantizer seeds: only PqK ids reach the driver, never
+      // the full (1/16-of-corpus) sample-id list (round-12 advice).
+      val seedIds = base.map(_._1).distinct().orderBy("value").limit(PqK)
+        .collect().sorted
       require(seedIds.length == PqK,
         s"PQ training sample at $dir has only ${seedIds.length} vectors " +
           s"for $PqK codes (every=$every)")
@@ -1360,8 +1368,27 @@ object Similarity {
     * probes); the graph side is the artifact the pipeline already
     * builds, filtered to probe rows; the oracle replays BOTH —
     * including the capped lowest-id bucket slice — so a cap or ladder
-    * change lands here as a measured recall shift before it ships. */
+    * change lands here as a measured recall shift before it ships.
+    *
+    * REGIME column (round-12 verdict #5): each row carries
+    * `over_cap_buckets` — how many of the probe's own band buckets
+    * exceed [[KnnBucketCap]] — so the census is self-interpreting. A
+    * low recall with over_cap_buckets = 0 is the BANDING's number (the
+    * sf0.01 random-vector regime, where the cap is dormant and 0.24
+    * measures sign-LSH itself); recall with over_cap_buckets > 0 is
+    * the CAP's number (the sf10 ladder regime: 1.00 with 593 over-cap
+    * buckets corpus-wide — the cap binding and costing nothing). The
+    * column costs one extra narrow banding pass + a probe-broadcast
+    * join; the oracle replays it from the same bb CTE. */
   def knnGraphRecall(spark: SparkSession, dir: String): DataFrame = {
+    // `found` counts exact top-[[K]] rows present in the graph's
+    // top-[[KnnGraphK]] lists, so dividing by KnnGraphK is a recall
+    // only while the two k's agree — if they ever diverge this census
+    // (and its oracle, which replays the same arithmetic) would ship a
+    // mislabeled ratio with no hash mismatch (round-12 advice).
+    require(K == KnnGraphK,
+      s"knnGraphRecall: exact top-K (K=$K) and graph list width " +
+        s"(KnnGraphK=$KnnGraphK) must agree for found/$KnnGraphK to be a recall")
     val exact = cachedExactTopk(spark, dir)
     val probes = exact.select("probe_id").distinct()
     val graph = knnGraphLsh(spark, dir)
@@ -1373,11 +1400,28 @@ object Similarity {
     val hits = exact.join(broadcast(graph), Seq("probe_id", "neighbor_id"),
         "left_semi")
       .groupBy("probe_id").agg(count(lit(1)).as("found"))
+    // regime signal: per probe, how many of its own band buckets hold
+    // more than KnnBucketCap vectors. The occupancy census streams the
+    // banding pass (big side); the probe cell list (NumProbes·bands
+    // rows) broadcasts — nothing corpus-sized shuffles.
+    val bits = knnBitsFor(vecCount(spark, dir))
+    val banded = vectors(spark, dir)
+      .select(col("vec_id"),
+        posexplode(knnBandBuckets(bits)(col("v"))).as(Seq("band", "bucket")))
+    val probeCells = banded.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("band"), col("bucket"))
+    val overCap = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > KnnBucketCap)
+      .join(broadcast(probeCells), Seq("band", "bucket"))
+      .groupBy("probe_id").agg(count(lit(1)).as("over_cap_buckets"))
     probes.join(broadcast(hits), Seq("probe_id"), "left")
+      .join(broadcast(overCap), Seq("probe_id"), "left")
       .select(col("probe_id"),
         coalesce(col("found"), lit(0L)).as("found"),
         round(coalesce(col("found"), lit(0L)).cast("double") / KnnGraphK, 6)
-          .as("recall"))
+          .as("recall"),
+        coalesce(col("over_cap_buckets"), lit(0L)).as("over_cap_buckets"))
   }
 
   /** Band-bucket occupancy audit for the VECTOR family — the
@@ -1810,11 +1854,19 @@ object Similarity {
          |hits AS (SELECT e.probe_id, count(*) AS found
          |         FROM exact e JOIN graphq g
          |           ON g.vec_id = e.probe_id AND g.neighbor_id = e.neighbor_id
-         |         GROUP BY 1)
+         |         GROUP BY 1),
+         |occ AS (SELECT band, bucket, count(*) AS occ
+         |        FROM bb GROUP BY 1, 2),
+         |ocb AS (SELECT b.vec_id AS probe_id, count(*) AS over_cap_buckets
+         |        FROM bb b JOIN occ o ON o.band = b.band AND o.bucket = b.bucket
+         |        WHERE b.vec_id < $NumProbes AND o.occ > $KnnBucketCap
+         |        GROUP BY 1)
          |SELECT p.probe_id, CAST(COALESCE(h.found, 0) AS BIGINT) AS found,
-         |       round(CAST(COALESCE(h.found, 0) AS DOUBLE) / $KnnGraphK, 6) AS recall
+         |       round(CAST(COALESCE(h.found, 0) AS DOUBLE) / $KnnGraphK, 6) AS recall,
+         |       CAST(COALESCE(o.over_cap_buckets, 0) AS BIGINT) AS over_cap_buckets
          |FROM (SELECT DISTINCT probe_id FROM exact) p
-         |LEFT JOIN hits h ON h.probe_id = p.probe_id""".stripMargin,
+         |LEFT JOIN hits h ON h.probe_id = p.probe_id
+         |LEFT JOIN ocb o ON o.probe_id = p.probe_id""".stripMargin,
     // the vector-side twin of lsh_bucket_audit: same banding, same
     // census shape, over_cap flags what KnnBucketCap would trim
     "knn_bucket_audit" ->
