@@ -198,6 +198,57 @@ object IndexStore {
     spark.read.parquet(out.getAbsolutePath)
   }
 
+  /** Versions [[expireVersions]] retains by default — one generation
+    * of handoff for in-flight readers plus the live version, the same
+    * window [[graft.operators.MergeUpsert.RetentionKeep]] gives the
+    * snapshot log. */
+  val VersionRetentionKeep = 2
+
+  /** EXPLICIT retention for [[writeVersioned]] artifacts — the expire
+    * verb that completes the versioned-publish lifecycle (round-12
+    * verdict #4): [[writeVersioned]]'s opportunistic write-time sweep
+    * only fires when the SAME kind publishes again and never touches
+    * versions younger than an hour, so a retired query stream's
+    * versions (or a burst of publishes) accumulate until someone
+    * expires them — the unbounded-storage gap `snapshot_expire` closed
+    * for the snapshot log, one directory over. Drops every PUBLISHED
+    * version of `kind` except the newest `keep` (ordered by `_SUCCESS`
+    * mtime, name-tiebroken), unconditionally — the caller asserts no
+    * reader holds an expired generation, exactly the contract of
+    * [[graft.streaming.IngestDedup.sweepTombstones]] after compaction.
+    * Safe by the publish invariant: every version is its own immutable
+    * directory, so no survivor shares files with an expired one.
+    * Reads within the window are untouched; a read of an expired
+    * version's path fails LOUDLY (the directory is gone), never as
+    * silently-wrong data. Returns the survivors, newest first. */
+  def expireVersions(spark: SparkSession, dir: String, table: String,
+                     kind: String, keep: Int = VersionRetentionKeep,
+                     params: String = ""): Seq[File] = {
+    val base = indexDir(spark, dir, table, kind, params)
+    expireVersionsAt(base.getParentFile, base.getName + "-v", keep)
+  }
+
+  /** Layout-level core of [[expireVersions]], shared with stores that
+    * embed a versioned layout under their own root (the band-index
+    * expire log): versions are `<parent>/<prefix>*` directories,
+    * published iff `_SUCCESS` exists (an unmarked directory may be a
+    * concurrent write in progress — never touched, same rule as the
+    * write-time sweep). */
+  private[graft] def expireVersionsAt(parent: File, prefix: String,
+                                      keep: Int): Seq[File] = {
+    require(keep >= 1,
+      s"retention must keep at least one version, got keep=$keep")
+    val published = Option(parent.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.startsWith(prefix))
+      .flatMap { d =>
+        val m = new File(d, "_SUCCESS")
+        if (m.exists()) Some((d, m.lastModified())) else None
+      }
+      .sortBy { case (d, t) => (-t, d.getName) }
+    published.drop(keep).foreach { case (d, _) => deleteRecursively(d) }
+    published.take(keep).map(_._1).toSeq
+  }
+
   private def deleteRecursively(f: File): Unit = {
     val cs = f.listFiles()
     if (cs != null) cs.foreach(deleteRecursively)

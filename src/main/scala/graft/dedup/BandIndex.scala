@@ -274,11 +274,81 @@ object BandIndex {
       Dedup.MinhashIndexParams)
   }
 
+  /** [[neardupClustersIndexed]]'s probe slice — the STORED label
+    * artifact's rows for [[Dedup.sliceProbe]] docs, certified above
+    * sf3 by the frontier-closure slice oracle the in-session modes
+    * share (round-12 verdict #1). */
+  def neardupClustersIndexedSlice(spark: SparkSession, dir: String): DataFrame =
+    neardupClustersIndexed(spark, dir).filter(Dedup.sliceProbe(spark, dir))
+
+  /** A 3-version band-index publish history with retention ALREADY
+    * applied ([[IndexStore.VersionRetentionKeep]] newest kept), built
+    * once per corpus fingerprint inside the atomic layout publish so
+    * concurrent readers only ever see the post-retention state — the
+    * `orders_expire_log` pattern applied to the index family's
+    * versioned artifacts. Version 0 = the standing corpus bands,
+    * version 1 = the refresh merge ([[mergeBands]] of the change
+    * batch), version 2 = the retraction (version 1 minus erased docs'
+    * bands) — the index lifecycle's own write history. `_SUCCESS`
+    * mtimes are pinned to the publish order so the retention sweep's
+    * newest-first election is deterministic on any filesystem. */
+  private def bandsExpireLog(spark: SparkSession, dir: String): java.io.File =
+    IndexStore.getOrBuildLayout(spark, dir, "documents", "bands_expire_log",
+      Dedup.MinhashIndexParams) { root =>
+      root.mkdirs()
+      val erased = Tables.load(spark, dir, "documents")
+        .filter(erasedFilter).select("doc_id")
+      val v0 = standingBands(spark, dir)
+      val v1 = mergeBands(v0, batchBands(spark, dir))
+      val v2 = v1.join(erased, Seq("doc_id"), "left_anti")
+      Seq(v0, v1, v2).zipWithIndex.foreach { case (df, k) =>
+        val d = new java.io.File(root, s"bands-v$k")
+        df.write.mode("overwrite").parquet(d.getAbsolutePath)
+        // deterministic publish order for the mtime-keyed retention
+        new java.io.File(d, "_SUCCESS").setLastModified(1000L * (k + 1))
+        ()
+      }
+      val survivors = IndexStore.expireVersionsAt(root, "bands-v",
+        IndexStore.VersionRetentionKeep)
+      require(survivors.map(_.getName) == Seq("bands-v2", "bands-v1"),
+        s"band-index expire left ${survivors.map(_.getName)}")
+    }
+
+  /** Declared retention query for VERSIONED INDEX ARTIFACTS (round-12
+    * verdict #4 — the `snapshot_expire` verb applied to
+    * [[IndexStore.writeVersioned]]-style publishes): build the
+    * 3-version history, expire past the keep window, and census the
+    * SURVIVORS per (ver_back, band), where ver_back = 0 is the newest
+    * surviving version. The oracle recomputes both survivors' band
+    * contents from the raw table — an expire that dropped the wrong
+    * version, renumbered survivors, or leaked expired rows breaks the
+    * hash, and version 0's absence is itself under the row count.
+    * Read-beyond-retention fails loudly (the directory is gone) —
+    * BandIndexSpec pins that and survivor row-identity. */
+  def indexExpire(spark: SparkSession, dir: String): DataFrame = {
+    val root = bandsExpireLog(spark, dir)
+    val survivors = (0 until IndexStore.VersionRetentionKeep).map { back =>
+      new java.io.File(root, s"bands-v${2 - back}")
+    }
+    survivors.zipWithIndex.map { case (d, back) =>
+      spark.read.parquet(d.getAbsolutePath)
+        .groupBy("band")
+        .agg(
+          count(lit(1)).as("n_entries"),
+          countDistinct("sig").as("n_buckets"),
+          countDistinct("doc_id").as("n_docs"))
+        .select(lit(back).as("ver_back"), col("band"),
+          col("n_entries"), col("n_buckets"), col("n_docs"))
+    }.reduce(_ unionByName _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "minhash_incremental_indexed" -> (minhashIncrementalIndexed _),
     "index_refresh" -> (indexRefresh _),
     "index_retract" -> (indexRetract _),
-    "neardup_clusters_indexed" -> (neardupClustersIndexed _))
+    "neardup_clusters_indexed" -> (neardupClustersIndexed _),
+    "neardup_clusters_indexed_slice" -> (neardupClustersIndexedSlice _),
+    "index_expire" -> (indexExpire _))
 
   val oracles: Map[String, String] = Map(
     // identical to minhash_incremental by construction: the stored
@@ -315,5 +385,21 @@ object BandIndex {
          |       count(DISTINCT bsig) AS n_buckets,
          |       count(DISTINCT doc_id) AS n_docs
          |FROM bands GROUP BY band""".stripMargin,
-    "neardup_clusters_indexed" -> Dedup.oracles("neardup_clusters"))
+    "neardup_clusters_indexed" -> Dedup.oracles("neardup_clusters"),
+    "neardup_clusters_indexed_slice" -> Dedup.oracles("neardup_clusters_slice"),
+    // both survivors recomputed from the raw table: ver_back 0 = the
+    // retraction (merged bands minus erased docs), 1 = the refresh
+    // merge (all docs' bands — re-ingested batch bands replace stored
+    // ones, which over the full corpus is just "every doc's bands")
+    "index_expire" ->
+      s"""WITH ${Dedup.sigBandsCtes}
+         |SELECT CAST(0 AS INT) AS ver_back, band, count(*) AS n_entries,
+         |       count(DISTINCT bsig) AS n_buckets,
+         |       count(DISTINCT doc_id) AS n_docs
+         |FROM bands WHERE doc_id % 10 <> 4 GROUP BY band
+         |UNION ALL
+         |SELECT CAST(1 AS INT) AS ver_back, band, count(*) AS n_entries,
+         |       count(DISTINCT bsig) AS n_buckets,
+         |       count(DISTINCT doc_id) AS n_docs
+         |FROM bands GROUP BY band""".stripMargin)
 }

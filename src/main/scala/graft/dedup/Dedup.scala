@@ -968,6 +968,95 @@ object Dedup {
           / col("n_true").cast(DoubleType), 6).as("recall"))
   }
 
+  // ---- probe-sliced certification twins (round-12 verdict #1) ----
+  //
+  // The pair-bound family's oracles replay Σf² bucket self-joins as
+  // SQL, which is DuckDB-disk-infeasible above sf3 (the r12 sf10 gate:
+  // 8 queries, spill exhaustion twice with 68 GB free). These `*_slice`
+  // twins certify EXACTLY the same pipelines — same banding, same
+  // MaxBucket cap, same verify arithmetic, same cluster resolution —
+  // restricted to a constant probe budget, so the oracle stays
+  // linear-ish at any SF (the minhash_recall / knn_graph_recall slice
+  // pattern applied to each pair-bound query).
+
+  /** Probe rule for the slice twins: doc_id % e ∈ {0, 1} with
+    * e = [[recallEvery]](n) — BOTH residues, so the sample
+    * (≈2·[[RecallProbes]] docs) hits each parity even when e is even
+    * (the fold slices decide only ODD docs; a `% e = 0` rule with even
+    * e would sample zero of them). The oracle derives the identical
+    * rule from COUNT(*). At e = 1 every doc is a probe and each slice
+    * degenerates to its full query. */
+  def sliceProbe(spark: SparkSession, dir: String): Column =
+    col("doc_id") % recallEvery(docCount(spark, dir)) <= 1
+
+  /** [[minhashCandidates]] restricted to pairs with a [[sliceProbe]]
+    * endpoint — the same grouped-bucket pair expansion under the same
+    * global [[MaxBucket]] occupancy (probe-hit buckets are kept WHOLE
+    * by the semi-join, so each kept bucket's size equals the full
+    * census and the cap decision is the full query's; a pair touching
+    * a probe shares a bucket CONTAINING that probe, so probe-hit
+    * buckets see every such pair). Plan shape is [[minhashRecall]]'s:
+    * the corpus banding pass streams against a broadcast probe-bucket
+    * list, nothing corpus-sized shuffles, output bounded by
+    * probes · bands · cap. */
+  private def slicedCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val docs = cachedDocShingles(spark, dir)
+    val every = recallEvery(docCount(spark, dir))
+    val bands = bandsOf(minhashSignaturesOf(spark, docs))
+    val bandsP = bands.filter(col("doc_id") % every <= 1)
+    val bucketRows = bands.join(
+      broadcast(bandsP.select("band", "sig").distinct()),
+      Seq("band", "sig"), "left_semi")
+    val pairsUdf = udf { ids: Seq[Long] =>
+      val s = ids.sorted
+      for (i <- s.indices; j <- i + 1 until s.length
+           if s(i) % every <= 1 || s(j) % every <= 1) yield (s(i), s(j))
+    }
+    bucketRows.groupBy("band", "sig")
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
+      .select(explode(pairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("d1"), col("p._2").as("d2"))
+      .distinct()
+  }
+
+  /** [[minhashNeardup]]'s probe slice: identical rows for every pair
+    * touching a probe, certifiable by a linear oracle at any SF. */
+  def minhashNeardupSlice(spark: SparkSession, dir: String): DataFrame = {
+    val docs = cachedDocShingles(spark, dir)
+    val cand = slicedCandidates(spark, dir)
+    val jac = col("c").cast(DoubleType) /
+      (col("n1") + col("n2") - col("c")).cast(DoubleType)
+    verifiedIntersections(docs, cand, "d1", "d2")
+      .filter(jac >= 0.5)
+      .select(col("d1"), col("d2"), round(jac, 6).as("jaccard"))
+  }
+
+  /** [[shingleContainment]]'s probe slice — same candidates, the
+    * containment acceptance. */
+  def shingleContainmentSlice(spark: SparkSession, dir: String): DataFrame = {
+    val docs = cachedDocShingles(spark, dir)
+    val cand = slicedCandidates(spark, dir)
+    val cont = col("c").cast(DoubleType) /
+      least(col("n1"), col("n2")).cast(DoubleType)
+    verifiedIntersections(docs, cand, "d1", "d2")
+      .filter(cont >= ContainmentThreshold)
+      .select(col("d1"), col("d2"), round(cont, 6).as("containment"))
+  }
+
+  /** [[neardupClusters]]' probe slice: the full resolution's rows for
+    * probe docs (the label is GLOBAL state — min id of the whole
+    * component — so the Spark side rides the memoized full artifact;
+    * it is the ORACLE that needed the slice: a frontier-unrolled
+    * closure from each probe, never the Σf² pair materialization). */
+  def neardupClustersSlice(spark: SparkSession, dir: String): DataFrame =
+    neardupClusters(spark, dir).filter(sliceProbe(spark, dir))
+
+  /** [[neardupClustersBigstar]]'s probe slice — the alternating-star
+    * resolution under the same slice oracle. */
+  def neardupClustersBigstarSlice(spark: SparkSession, dir: String): DataFrame =
+    neardupClustersBigstar(spark, dir).filter(sliceProbe(spark, dir))
+
   /** Band-bucket occupancy audit — the operational health view of the
     * LSH banding that every query in this family rides: per (band,
     * occupancy) the number of buckets at that occupancy, the candidate
@@ -1012,10 +1101,14 @@ object Dedup {
     // The memoized cachedMinhashPairs frame is for downstream
     // consumers (components, training selection) only.
     "minhash_neardup" -> (minhashNeardup _),
+    "minhash_neardup_slice" -> (minhashNeardupSlice _),
     "minhash_incremental" -> (minhashIncremental _),
     "shingle_containment" -> (shingleContainment _),
+    "shingle_containment_slice" -> (shingleContainmentSlice _),
     "neardup_clusters" -> (neardupClusters _),
+    "neardup_clusters_slice" -> (neardupClustersSlice _),
     "neardup_clusters_bigstar" -> (neardupClustersBigstar _),
+    "neardup_clusters_bigstar_slice" -> (neardupClustersBigstarSlice _),
     "simhash" -> (simhash _),
     "embedding_neardup" -> (embeddingNeardup _))
 
@@ -1060,6 +1153,87 @@ object Dedup {
 
   private val minhashNeardupSql =
     s"WITH $minhashCtes\nSELECT d1, d2, jaccard FROM pairs"
+
+  /** Probe-sliced candidates + verify — the linear-at-any-SF oracle
+    * prefix of the `*_slice` pair twins: candidates come from
+    * probe-hit buckets only (one side of the bucket join is the probe
+    * band rows), the occupancy cap is computed over those WHOLE
+    * buckets (equal to the global census by the semi-join argument in
+    * [[slicedCandidates]]), and the verify join runs over the bounded
+    * pair list — never the Σf² full self-join that exhausted DuckDB's
+    * spill disk at sf10 (round-12 gate). */
+  private val slicePairCtes =
+    s"""$sigBandsCtes,
+       |prb AS (SELECT greatest(1, count(*) // $RecallProbes) AS e FROM documents),
+       |pbk AS (SELECT DISTINCT band, bsig FROM bands
+       |        WHERE doc_id % (SELECT e FROM prb) <= 1),
+       |occ AS (SELECT band, bsig, count(*) AS occ
+       |        FROM bands JOIN pbk USING (band, bsig)
+       |        GROUP BY band, bsig),
+       |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS d1,
+       |                greatest(a.doc_id, b.doc_id) AS d2
+       |         FROM bands a
+       |         JOIN occ o ON o.band = a.band AND o.bsig = a.bsig
+       |                   AND o.occ <= $MaxBucket
+       |         JOIN bands b ON b.band = a.band AND b.bsig = a.bsig
+       |                     AND b.doc_id <> a.doc_id
+       |         WHERE a.doc_id % (SELECT e FROM prb) <= 1),
+       |n AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |inter AS (SELECT d1, d2, count(*) AS c
+       |          FROM cand JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e1 ON e1.doc_id = d1
+       |                    JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e2 ON e2.doc_id = d2
+       |          WHERE e1.s = e2.s GROUP BY 1, 2)""".stripMargin
+
+  /** The cluster slices' oracle: per-probe component membership via
+    * FRONTIER-UNROLLED closure over verified near-dup edges — edges
+    * are computed ON DEMAND for each round's frontier (bands bucket
+    * join under the [[MaxBucket]] cap + exact-Jaccard verify), so the
+    * working set is bounded by the probes' components, never the
+    * corpus pair graph. [[ComponentOracleRounds]] rounds, same red-row
+    * contract as the full resolution's unroll: an insufficient unroll
+    * shows up as a wrong min-label/size, never a silent pass. Output =
+    * the full query's rows for probe docs (label = component min id,
+    * size = component member count; probes in no pair emit nothing). */
+  // lazy: references ComponentOracleRounds, declared later in the file
+  private lazy val clustersSliceOracleSql = {
+    val rounds = (1 to ComponentOracleRounds).map { i =>
+      s"""cnd$i AS MATERIALIZED (
+         |  SELECT DISTINCT f.p, f.d AS d1, b2.doc_id AS d2
+         |  FROM f${i - 1} f
+         |  JOIN bands b1 ON b1.doc_id = f.d
+         |  JOIN okb o ON o.band = b1.band AND o.bsig = b1.bsig
+         |  JOIN bands b2 ON b2.band = b1.band AND b2.bsig = b1.bsig
+         |              AND b2.doc_id <> f.d),
+         |ver$i AS MATERIALIZED (
+         |  SELECT v.p, v.d2 FROM (
+         |    SELECT c.p, c.d1, c.d2, count(*) AS ci
+         |    FROM cnd$i c
+         |    JOIN exs ea ON ea.doc_id = c.d1
+         |    JOIN exs eb ON eb.doc_id = c.d2 AND eb.s = ea.s
+         |    GROUP BY 1, 2, 3) v
+         |  JOIN n n1 ON n1.doc_id = v.d1
+         |  JOIN n n2 ON n2.doc_id = v.d2
+         |  WHERE CAST(v.ci AS DOUBLE)/(n1.n + n2.n - v.ci) >= 0.5),
+         |r$i AS MATERIALIZED (
+         |  SELECT p, d FROM r${i - 1} UNION SELECT p, d2 FROM ver$i),
+         |f$i AS MATERIALIZED (
+         |  SELECT p, d FROM r$i EXCEPT SELECT p, d FROM r${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $sigBandsCtes,
+       |prb AS (SELECT greatest(1, count(*) // $RecallProbes) AS e FROM documents),
+       |okb AS (SELECT band, bsig FROM bands GROUP BY band, bsig
+       |        HAVING count(*) <= $MaxBucket),
+       |n AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |exs AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |r0 AS (SELECT doc_id AS p, doc_id AS d FROM documents
+       |       WHERE doc_id % (SELECT e FROM prb) <= 1),
+       |f0 AS (SELECT p, d FROM r0),
+       |$rounds
+       |SELECT p AS doc_id, min(d) AS cluster_id,
+       |       count(DISTINCT d) AS cluster_size
+       |FROM r$ComponentOracleRounds
+       |GROUP BY p HAVING count(DISTINCT d) > 1""".stripMargin
+  }
 
   /** Rounds of the oracle's unrolled min-label propagation. The Spark
     * side iterates to FIXPOINT; the oracle's fixed unroll matches it
@@ -1259,6 +1433,26 @@ object Dedup {
          |JOIN n n2 ON n2.doc_id = d2
          |WHERE CAST(c AS DOUBLE)/(n1.n + n2.n - c) >= 0.5""".stripMargin,
     "minhash_neardup" -> minhashNeardupSql,
+    "minhash_neardup_slice" ->
+      s"""WITH $slicePairCtes
+         |SELECT d1, d2,
+         |       round(CAST(c AS DOUBLE)/(n1.n + n2.n - c), 6) AS jaccard
+         |FROM inter
+         |JOIN n n1 ON n1.doc_id = d1
+         |JOIN n n2 ON n2.doc_id = d2
+         |WHERE CAST(c AS DOUBLE)/(n1.n + n2.n - c) >= 0.5""".stripMargin,
+    "shingle_containment_slice" ->
+      s"""WITH $slicePairCtes
+         |SELECT d1, d2,
+         |       round(CAST(c AS DOUBLE)/least(n1.n, n2.n), 6) AS containment
+         |FROM inter
+         |JOIN n n1 ON n1.doc_id = d1
+         |JOIN n n2 ON n2.doc_id = d2
+         |WHERE CAST(c AS DOUBLE)/least(n1.n, n2.n) >= $ContainmentThreshold""".stripMargin,
+    "neardup_clusters_slice" -> clustersSliceOracleSql,
+    // the alternating-star and stored-artifact modes must land on the
+    // identical probe rows — one slice oracle serves all three
+    "neardup_clusters_bigstar_slice" -> clustersSliceOracleSql,
     "shingle_containment" ->
       s"""WITH $candInterCtes
          |SELECT d1, d2,

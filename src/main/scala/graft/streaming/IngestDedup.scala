@@ -662,9 +662,40 @@ object IngestDedup {
   def clearCaches(spark: SparkSession): Unit =
     graft.SessionCaches.clear(spark, Seq(foldCache))
 
+  /** [[ingestDedupFold]]'s probe slice: the fold's accepted rows for
+    * [[Dedup.sliceProbe]] docs (the fold is inherently sequential
+    * global state, so the Spark side rides the memoized full result —
+    * it is the ORACLE that needed slicing: acceptance of a probe
+    * depends only on its BACKWARD bucket-partner closure, which is at
+    * most 2 odd hops deep because the fold has three batches, so the
+    * replay expands that bounded closure instead of the Σf² all-pairs
+    * candidate join that exhausted DuckDB's spill disk at sf10). */
+  def ingestDedupFoldSlice(spark: SparkSession, dir: String): DataFrame =
+    ingestDedupFold(spark, dir).filter(Dedup.sliceProbe(spark, dir))
+
+  /** [[indexCompact]]'s probe slice: the per-band census of the
+    * compacted store's CONTENT (corpus ∪ fold-accepted bands — the
+    * fragmented store is row-identical to the compacted artifact by
+    * the compaction contract) restricted to probe docs. One FileScan +
+    * one aggregate; the oracle recomputes the same slice from scratch,
+    * deciding odd probes' acceptance through the bounded backward
+    * closure. */
+  def indexCompactSlice(spark: SparkSession, dir: String): DataFrame = {
+    val store = fragmentedStore(spark, dir)
+    spark.read.parquet(store.getAbsolutePath)
+      .filter(Dedup.sliceProbe(spark, dir))
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n_entries"),
+        countDistinct("sig").as("n_buckets"),
+        countDistinct("doc_id").as("n_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_dedup_fold" -> (ingestDedupFold _),
-    "index_compact" -> (indexCompact _))
+    "ingest_dedup_fold_slice" -> (ingestDedupFoldSlice _),
+    "index_compact" -> (indexCompact _),
+    "index_compact_slice" -> (indexCompactSlice _))
 
   /** The fold unrolled as CTEs: vp = every verified (odd doc, other
     * doc) near-dup pair; aK = batch k's accepted docs (no verified
@@ -696,12 +727,98 @@ object IngestDedup {
        |         WHERE dc % 2 = 0 OR dc IN (SELECT doc_id FROM a1)
        |            OR dc IN (SELECT doc_id FROM a2)))""".stripMargin
 
+  /** Batch rank of a doc in the fold: 0 = standing corpus (even ids),
+    * 1/2/3 = the three ingest batches (doc_id % 6 = 1/3/5). */
+  private def rkSql(c: String): String =
+    s"(CASE WHEN $c % 2 = 0 THEN 0 WHEN $c % 6 = 1 THEN 1 " +
+      s"WHEN $c % 6 = 3 THEN 2 ELSE 3 END)"
+
+  /** The fold's PROBE-CLOSURE replay (round-12 verdict #1): a probe's
+    * acceptance depends only on verified partners in strictly earlier
+    * batches; an earlier ODD partner's own status recurses the same
+    * way — and the chain is at most 2 odd hops deep (batch 3 → 2 → 1),
+    * so TWO unrolled expansions of earlier-odd bucket partners close
+    * the dependency set. `cnd` then carries only closure-incident
+    * candidate pairs (bounded by probes · bands · occupancy), the
+    * verify joins run over that bounded list, and the per-batch accept
+    * rules (`a1c`/`a2c`/`a3c`) replay the fold restricted to the
+    * closure — every verified partner a closure doc's decision needs
+    * is itself in the closure (verified ⊂ bucket-sharing), so the
+    * restricted decisions equal the full fold's. Shared by the fold
+    * and compaction slice oracles. */
+  private lazy val sliceFoldCtes =
+    s"""${Dedup.sigBandsCtes},
+       |prb AS (SELECT greatest(1, count(*) // ${Dedup.RecallProbes}) AS e FROM documents),
+       |p0 AS (SELECT doc_id FROM documents
+       |       WHERE doc_id % 2 = 1 AND doc_id % (SELECT e FROM prb) <= 1),
+       |o1 AS MATERIALIZED (
+       |  SELECT DISTINCT b2.doc_id
+       |  FROM p0 JOIN bands b1 ON b1.doc_id = p0.doc_id
+       |  JOIN bands b2 ON b2.band = b1.band AND b2.bsig = b1.bsig
+       |              AND b2.doc_id <> b1.doc_id
+       |  WHERE b2.doc_id % 2 = 1
+       |    AND ${rkSql("b2.doc_id")} < ${rkSql("b1.doc_id")}),
+       |o2 AS MATERIALIZED (
+       |  SELECT DISTINCT b2.doc_id
+       |  FROM o1 JOIN bands b1 ON b1.doc_id = o1.doc_id
+       |  JOIN bands b2 ON b2.band = b1.band AND b2.bsig = b1.bsig
+       |              AND b2.doc_id <> b1.doc_id
+       |  WHERE b2.doc_id % 2 = 1
+       |    AND ${rkSql("b2.doc_id")} < ${rkSql("b1.doc_id")}),
+       |dep AS (SELECT doc_id FROM p0 UNION SELECT doc_id FROM o1
+       |        UNION SELECT doc_id FROM o2),
+       |cnd AS MATERIALIZED (
+       |  SELECT DISTINCT b1.doc_id AS dn, b2.doc_id AS dc
+       |  FROM dep JOIN bands b1 ON b1.doc_id = dep.doc_id
+       |  JOIN bands b2 ON b2.band = b1.band AND b2.bsig = b1.bsig
+       |              AND b2.doc_id <> b1.doc_id
+       |  WHERE ${rkSql("b2.doc_id")} < ${rkSql("b1.doc_id")}),
+       |n AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |inter AS (SELECT dn, dc, count(*) AS c
+       |          FROM cnd JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e1 ON e1.doc_id = dn
+       |                   JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e2 ON e2.doc_id = dc
+       |          WHERE e1.s = e2.s GROUP BY 1, 2),
+       |vp AS (SELECT dn, dc FROM inter
+       |       JOIN n n1 ON n1.doc_id = dn
+       |       JOIN n n2 ON n2.doc_id = dc
+       |       WHERE CAST(c AS DOUBLE)/(n1.n + n2.n - c) >= 0.5),
+       |a1c AS (SELECT doc_id FROM dep WHERE doc_id % 6 = 1
+       |        AND doc_id NOT IN (SELECT dn FROM vp WHERE dc % 2 = 0)),
+       |a2c AS (SELECT doc_id FROM dep WHERE doc_id % 6 = 3
+       |        AND doc_id NOT IN (SELECT dn FROM vp
+       |          WHERE dc % 2 = 0 OR dc IN (SELECT doc_id FROM a1c))),
+       |a3c AS (SELECT doc_id FROM dep WHERE doc_id % 6 = 5
+       |        AND doc_id NOT IN (SELECT dn FROM vp
+       |          WHERE dc % 2 = 0 OR dc IN (SELECT doc_id FROM a1c)
+       |             OR dc IN (SELECT doc_id FROM a2c)))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ingest_dedup_fold" ->
       s"""WITH $foldAcceptCtes
          |SELECT doc_id FROM a1
          |UNION ALL SELECT doc_id FROM a2
          |UNION ALL SELECT doc_id FROM a3""".stripMargin,
+    "ingest_dedup_fold_slice" ->
+      s"""WITH $sliceFoldCtes
+         |SELECT doc_id FROM (
+         |  SELECT doc_id FROM a1c
+         |  UNION ALL SELECT doc_id FROM a2c
+         |  UNION ALL SELECT doc_id FROM a3c) a
+         |WHERE doc_id IN (SELECT doc_id FROM p0)""".stripMargin,
+    // the compacted store's content slice: bands of probe docs that are
+    // corpus members or fold-accepted (acceptance via the closure)
+    "index_compact_slice" ->
+      s"""WITH $sliceFoldCtes
+         |SELECT band, count(*) AS n_entries,
+         |       count(DISTINCT bsig) AS n_buckets,
+         |       count(DISTINCT doc_id) AS n_docs
+         |FROM bands
+         |WHERE doc_id % (SELECT e FROM prb) <= 1
+         |  AND (doc_id % 2 = 0
+         |       OR doc_id IN (SELECT doc_id FROM a1c)
+         |       OR doc_id IN (SELECT doc_id FROM a2c)
+         |       OR doc_id IN (SELECT doc_id FROM a3c))
+         |GROUP BY band""".stripMargin,
     // the compacted store's content from scratch: bands of the seed
     // corpus plus bands of every fold-accepted doc, per-band census
     "index_compact" ->

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.dedup.Dedup
+import graft.dedup.{BandIndex, Dedup}
 
 class DedupSpec extends AnyFunSuite with SharedSpark {
 
@@ -72,6 +72,37 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(rows.map(r => r._1 -> r._2).toMap == truthByProbe)
     assert(rows.forall(_._4 == 1.0),
       s"banding missed true pairs on the high-jaccard fixture: ${rows.toSeq}")
+  }
+
+  test("slice twins equal their full queries restricted to probe-touching rows") {
+    import spark.implicits._
+    val every = Dedup.recallEvery(
+      Tables.load(spark, sfDir, "documents").count())
+    def isP(id: Long) = id % every <= 1
+    // pair slices: exactly the full pair set's probe-touching rows
+    val fullPairs = Dedup.minhashNeardup(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    val slicePairs = Dedup.minhashNeardupSlice(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(slicePairs == fullPairs.filter(p => isP(p._1) || isP(p._2)),
+      s"minhash_neardup_slice diverged (every=$every)")
+    assert(slicePairs.nonEmpty, "slice should catch injected near-dups")
+    val fullCont = Dedup.shingleContainment(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    val sliceCont = Dedup.shingleContainmentSlice(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(sliceCont == fullCont.filter(p => isP(p._1) || isP(p._2)))
+    // cluster slices: the full resolution's probe rows, all three modes
+    val fullClusters = Dedup.neardupClusters(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = fullClusters.filter(r => isP(r._1))
+    for ((name, df) <- Seq(
+        "prop" -> Dedup.neardupClustersSlice(spark, sfDir),
+        "bigstar" -> Dedup.neardupClustersBigstarSlice(spark, sfDir),
+        "indexed" -> BandIndex.neardupClustersIndexedSlice(spark, sfDir))) {
+      assert(df.as[(Long, Long, Long)].collect().toSet == expected,
+        s"cluster slice mode $name diverged")
+    }
   }
 
   test("minhash_recall floor holds at sf1 — banding/cap changes that drop " +
