@@ -344,18 +344,27 @@ object Similarity {
   private[graft] def trainIvfCentroidsWithTrace(
       spark: SparkSession, dir: String,
       everyOverride: Option[Long]): (Array[Array[Double]], Array[Double]) = {
-    import spark.implicits._
-    // one materialization for the whole training loop: the quantized
-    // vector and the norm are centroid-independent, so they are
-    // computed once and persisted — without this, each of the
-    // IvfIters+1 passes re-scans the parquet, re-casts float→double,
-    // and re-quantizes (the review-caught round-3 redundancy).
-    // SAMPLED: only the [[trainEvery]]/[[trainSampleCond]] sample
-    // trains — every one of the IvfIters+1 passes below runs over
-    // ≈TrainPointsPerCell·C rows, never the corpus; the corpus is
-    // scanned only by the final assignment pass (ivfAssign).
     val every = everyOverride.getOrElse(trainEvery(vecCount(spark, dir)))
-    val base = Tables.load(spark, dir, "embeddings")
+    val base = sampleBase(spark, dir, every)
+    val numCells = ivfCellCount(spark, dir)
+    try lloydTrain(spark, base, numCells, every, dir)
+    finally { base.unpersist(); () }
+  }
+
+  /** The persisted training-sample frame (id, v, quantized v, norm) —
+    * one materialization for the whole training loop: the quantized
+    * vector and the norm are centroid-independent, so they are
+    * computed once and persisted — without this, each of the
+    * IvfIters+1 passes re-scans the parquet, re-casts float→double,
+    * and re-quantizes (the review-caught round-3 redundancy).
+    * SAMPLED: only the [[trainEvery]]/[[trainSampleCond]] sample
+    * trains — every training pass runs over ≈TrainPointsPerCell·C
+    * rows, never the corpus; the corpus is scanned only by the final
+    * assignment pass (ivfAssign). */
+  private def sampleBase(spark: SparkSession, dir: String, every: Long)
+      : org.apache.spark.sql.Dataset[(Long, Array[Double], Array[Long], Double)] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .filter(trainSampleCond(every))
       .as[(Long, Array[Double])]
@@ -368,20 +377,32 @@ object Similarity {
         (id, v, q, math.sqrt(dotA(v, v)))
       }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val numCells = ivfCellCount(spark, dir)
-    // seeds: the numCells LOWEST sampled vec_ids, cell id = rank —
-    // reduces to "first C vectors, cid = vec_id" when every == 1 over
-    // dense ids, so the unsampled SFs stay bit-exact. Selected
-    // DISTRIBUTIVELY (orderBy + limit plans as TakeOrdered), so only C
-    // ids ever reach the driver: the sample itself saturates at a
-    // constant 1/16 of the corpus, and collecting every sampled id
-    // would be ~n/16 longs of driver heap at production n (round-12
-    // advice).
-    val seedIds = base.map(_._1).orderBy("value").limit(numCells)
+  }
+
+  /** The Lloyd loop over a persisted sample, factored so the FLAT
+    * quantizer (k = C) and the two-level quantizer's supercluster
+    * stage (k = √C) run the IDENTICAL arithmetic: seeds = the k
+    * LOWEST sampled vec_ids, cell id = rank — reduces to "first k
+    * vectors, cid = vec_id" when every == 1 over dense ids, so the
+    * unsampled SFs stay bit-exact. Seeds are selected DISTRIBUTIVELY
+    * (orderBy + limit plans as TakeOrdered), so only k ids ever reach
+    * the driver: the sample itself saturates at a constant 1/16 of
+    * the corpus, and collecting every sampled id would be ~n/16 longs
+    * of driver heap at production n (round-12 advice). Each round:
+    * broadcast centroids → narrow argmax-cosine assignment (strict >,
+    * ties keep the lower cid) → per-cell elementwise sum of QUANTIZED
+    * vectors via reduceGroups (map-side partial merge; the shuffle
+    * carries ≤ k rows per partition, never vectors) → collect k tiny
+    * rows for the next broadcast. Empty cells keep their centroid. */
+  private def lloydTrain(spark: SparkSession,
+      base: org.apache.spark.sql.Dataset[(Long, Array[Double], Array[Long], Double)],
+      k: Int, every: Long, dir: String): (Array[Array[Double]], Array[Double]) = {
+    import spark.implicits._
+    val seedIds = base.map(_._1).orderBy("value").limit(k)
       .collect().sorted
-    require(seedIds.length == numCells,
+    require(seedIds.length == k,
       s"IVF training sample at $dir has only ${seedIds.length} vectors " +
-        s"for $numCells cells (every=$every)")
+        s"for $k cells (every=$every)")
     val seedSet = seedIds.toSet
     var cents: Array[Array[Double]] = base.filter(t => seedSet.contains(t._1))
       .map(t => (t._1, t._2)).collect().sortBy(_._1).map(_._2)
@@ -422,7 +443,6 @@ object Similarity {
       cents = next
       bc.unpersist()
     }
-    base.unpersist()
     (cents, movements)
   }
 
@@ -436,15 +456,256 @@ object Similarity {
   def trainIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
     centroidCache.computeIfAbsent((spark, dir), { _ =>
       import spark.implicits._
-      val stored = graft.IndexStore.getOrBuild(spark, dir, "embeddings",
-        "ivf_centroids", IvfIndexParams) {
-        val trained = trainIvfCentroidsWithTrace(spark, dir)._1
+      if (useHier(ivfCellCount(spark, dir)))
+        hierState(spark, dir)._2.flatten
+      else {
+        val stored = graft.IndexStore.getOrBuild(spark, dir, "embeddings",
+          "ivf_centroids", IvfIndexParams) {
+          val trained = trainIvfCentroidsWithTrace(spark, dir)._1
+          spark.createDataFrame(
+            trained.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
+            .toDF("cid", "centroid")
+            .coalesce(1)
+        }
+        stored.as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+      }
+    })
+
+  // ---- two-level (hierarchical) coarse quantizer (round-12 verdict #3) ----
+
+  /** Cell count above which training/assignment go TWO-LEVEL. The flat
+    * quantizer's training-sample assignment and [[ivfAssign]] kernel
+    * are both O(n·C) = O(n²/[[TargetCellSize]]) with [[cellsFor]]
+    * unbounded — measured linear-ish through sf100 (C = 488) but ~10¹³
+    * dot products at 100× (n = 2×10⁸ → C ≈ 48 k). Above this
+    * threshold the quantizer trains √C SUPERCLUSTERS, splits the cell
+    * budget across them by sample mass, trains each group's cells in
+    * ONE keyed Lloyd loop (the PQ-codebook trick: all groups per
+    * pass), and assigns via supercluster-then-cell — n·(√C + C/√C)
+    * work, the standard billion-scale FAISS move. 512 keeps every
+    * certified rung (sf100 inclusive) on the BIT-STABLE flat path;
+    * the hier path is certified by the S=1 equivalence spec (one
+    * supercluster ⇒ bit-identical to flat) and the forced-hier sf100
+    * A/B row in BASELINE.md. */
+  val HierCellThreshold = 512
+
+  private[graft] def useHier(numCells: Int): Boolean =
+    numCells > HierCellThreshold
+
+  private[graft] def superCountFor(numCells: Int): Int =
+    math.ceil(math.sqrt(numCells.toDouble)).toInt
+
+  /** Deterministic largest-deficit cell allocation: every supercluster
+    * keeps ≥ 1 cell (a vector can be NEAREST a supercluster that
+    * trained empty — its group must still have a cell to land in),
+    * the rest go one at a time to the group whose sample-mass quota
+    * is furthest ahead of its grant (ties → lower group id). */
+  private[graft] def allocateCells(total: Int, sizes: Array[Long]): Array[Int] = {
+    val s = sizes.length
+    require(total >= s, s"cannot allocate $total cells across $s groups")
+    val n = math.max(1L, sizes.sum).toDouble
+    val quota = sizes.map(z => total * (z / n))
+    val cells = Array.fill(s)(1)
+    for (_ <- 0 until (total - s)) {
+      var best = 0; var bd = Double.NegativeInfinity
+      var g = 0
+      while (g < s) {
+        val d = quota(g) - cells(g)
+        if (d > bd) { bd = d; best = g }
+        g += 1
+      }
+      cells(best) += 1
+    }
+    cells
+  }
+
+  /** Train the two-level quantizer: (supercentroids S×Dim, per-group
+    * cell centroids — global cid of group g's local cell j is
+    * Σ_{h<g} cells_h + j). Stage 1 is [[lloydTrain]] at k = S over the
+    * SAME sample; stage 2 groups the sample by nearest supercluster
+    * (one pass, persisted), allocates the C-cell budget by sample
+    * mass, seeds each group with its lowest sampled ids (bounded-heap
+    * per group, ≤ C ids total on the driver; a group whose sample is
+    * smaller than its budget pads with its supercentroid — duplicate
+    * centroids are harmless under the strict-> election), and runs
+    * ONE keyed Lloyd loop for ALL groups per pass — the
+    * [[trainPqCodebooksFresh]] shape, so training cost stays
+    * IvfIters+1 sample passes regardless of S. With
+    * `superOverride = Some(1)` every stage degenerates to the flat
+    * quantizer bit-for-bit (one group holding the whole sample, C
+    * seeds = the C lowest ids, per-pass argmax over all C cells) —
+    * the equivalence SimilaritySpec pins. */
+  private[graft] def trainIvfCentroidsHier(
+      spark: SparkSession, dir: String,
+      superOverride: Option[Int] = None,
+      everyOverride: Option[Long] = None)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    import spark.implicits._
+    val every = everyOverride.getOrElse(trainEvery(vecCount(spark, dir)))
+    val numCells = ivfCellCount(spark, dir)
+    val s = superOverride.getOrElse(superCountFor(numCells))
+    val base = sampleBase(spark, dir, every)
+    try {
+      val superCents = lloydTrain(spark, base, s, every, dir)._1
+      val bcS = spark.sparkContext.broadcast(superCents)
+      val grouped = base.mapPartitions { it =>
+        val cs = bcS.value
+        val cn = cs.map(c => math.sqrt(dotA(c, c)))
+        it.map { case (id, v, q, nv) =>
+          var best = 0; var bs = Double.NegativeInfinity
+          var j = 0
+          while (j < cs.length) {
+            val sc = dotA(v, cs(j)) / (nv * cn(j))
+            if (sc > bs) { bs = sc; best = j }
+            j += 1
+          }
+          (best, id, v, q, nv)
+        }
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val sizeArr = Array.fill(s)(0L)
+        grouped.groupByKey(_._1).count().collect()
+          .foreach { case (g, c) => sizeArr(g) = c }
+        val cellsPer = allocateCells(numCells, sizeArr)
+        val bcBudget = spark.sparkContext.broadcast(cellsPer)
+        // per-group seed ids: bounded max-heap of the budget lowest —
+        // ≤ C longs total cross the wire, never the sample id list
+        val seeds = grouped.map(t => (t._1, t._2)).groupByKey(_._1)
+          .flatMapGroups { (g, it) =>
+            val k = bcBudget.value(g)
+            val pq = scala.collection.mutable.PriorityQueue.empty[Long]
+            it.foreach { case (_, id) =>
+              if (pq.size < k) pq.enqueue(id)
+              else if (id < pq.head) { pq.dequeue(); pq.enqueue(id); () }
+            }
+            pq.toArray.sorted.iterator.map(id => (g, id))
+          }.collect()
+        val seedSet = seeds.map(_._2).toSet
+        val seedVecs = grouped.filter(t => seedSet.contains(t._2))
+          .map(t => (t._1, t._2, t._3)).collect()
+        var cells: Array[Array[Array[Double]]] = Array.tabulate(s) { g =>
+          val own = seedVecs.filter(_._1 == g).sortBy(_._2).map(_._3)
+          own ++ Array.fill(cellsPer(g) - own.length)(superCents(g).clone())
+        }
+        for (_ <- 0 until IvfIters) {
+          val bc = spark.sparkContext.broadcast(cells)
+          val sums = grouped.mapPartitions { it =>
+            val all = bc.value
+            val norms = all.map(_.map(c => math.sqrt(dotA(c, c))))
+            it.map { case (g, _, v, q, nv) =>
+              val cs = all(g); val cn = norms(g)
+              var best = 0; var bs = Double.NegativeInfinity
+              var j = 0
+              while (j < cs.length) {
+                val sc = dotA(v, cs(j)) / (nv * cn(j))
+                if (sc > bs) { bs = sc; best = j } // strict > : min local id
+                j += 1
+              }
+              ((g, best), q, 1L)
+            }
+          }
+            .groupByKey(_._1)
+            .reduceGroups { (a, b) =>
+              val q = new Array[Long](a._2.length)
+              var d = 0
+              while (d < q.length) { q(d) = a._2(d) + b._2(d); d += 1 }
+              (a._1, q, a._3 + b._3)
+            }
+            .map { case ((g, c), (_, q, n)) => (g, c, q, n) }
+            .collect()
+          val next = cells.map(_.map(_.clone()))
+          sums.foreach { case (g, c, q, n) =>
+            next(g)(c) = q.map(z => (z.toDouble / n) / QuantScale)
+          }
+          cells = next
+          bc.unpersist()
+        }
+        (superCents, cells)
+      } finally { grouped.unpersist(); () }
+    } finally { base.unpersist(); () }
+  }
+
+  /** Two-level assignment: ONE narrow pass, per vector argmax over the
+    * S supercentroids then argmax within that group's cells —
+    * n·(S + C/S) dot products instead of the flat kernel's n·C.
+    * Same strict-> min-id election at both levels; global cid =
+    * group offset + local cell. */
+  private[graft] def ivfAssignHierOf(
+      spark: SparkSession, dir: String,
+      superCents: Array[Array[Double]],
+      cells: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    val offsets = cells.map(_.length).scanLeft(0)(_ + _)
+    val bc = spark.sparkContext.broadcast((superCents, cells, offsets))
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (sup, all, off) = bc.value
+        val supN = sup.map(c => math.sqrt(dotA(c, c)))
+        val norms = all.map(_.map(c => math.sqrt(dotA(c, c))))
+        it.map { case (id, v) =>
+          val nv = math.sqrt(dotA(v, v))
+          var g = 0; var bg = Double.NegativeInfinity
+          var j = 0
+          while (j < sup.length) {
+            val sc = dotA(v, sup(j)) / (nv * supN(j))
+            if (sc > bg) { bg = sc; g = j }
+            j += 1
+          }
+          val cs = all(g); val cn = norms(g)
+          var best = 0; var bs = Double.NegativeInfinity
+          j = 0
+          while (j < cs.length) {
+            val sc = dotA(v, cs(j)) / (nv * cn(j))
+            if (sc > bs) { bs = sc; best = j }
+            j += 1
+          }
+          (id, (off(g) + best).toLong)
+        }
+      }
+      .toDF("vec_id", "cid")
+  }
+
+  private val hierCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Array[Array[Double]], Array[Array[Array[Double]]])]()
+
+  /** Memoized + IndexStore-persisted two-level quantizer state for a
+    * corpus: two fingerprint-keyed artifacts (supercentroids with
+    * their groups' cell budgets; the flattened cell centroids), so a
+    * cold session reads S + C rows instead of retraining — the same
+    * persistence discipline as the flat centroids and PQ codebooks. */
+  private[graft] def hierState(spark: SparkSession, dir: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    hierCache.computeIfAbsent((spark, dir), { _ =>
+      import spark.implicits._
+      val numCells = ivfCellCount(spark, dir)
+      val s = superCountFor(numCells)
+      val params = s"$IvfIndexParams,hier=1,s=$s"
+      lazy val trained = trainIvfCentroidsHier(spark, dir)
+      val supStored = graft.IndexStore.getOrBuild(spark, dir, "embeddings",
+        "ivf_supercents", params) {
         spark.createDataFrame(
-          trained.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
+          trained._1.zipWithIndex.map { case (c, g) =>
+            (g, trained._2(g).length, c.toSeq) }.toSeq)
+          .toDF("g", "n_cells", "centroid")
+          .coalesce(1)
+      }
+      val cellStored = graft.IndexStore.getOrBuild(spark, dir, "embeddings",
+        "ivf_hier_cells", params) {
+        spark.createDataFrame(
+          trained._2.flatten.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
           .toDF("cid", "centroid")
           .coalesce(1)
       }
-      stored.as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+      val sup = supStored.as[(Int, Int, Seq[Double])].collect().sortBy(_._1)
+      val flat = cellStored.as[(Int, Seq[Double])].collect().sortBy(_._1)
+        .map(_._2.toArray)
+      val budgets = sup.map(_._2)
+      val offsets = budgets.scanLeft(0)(_ + _)
+      val cells = Array.tabulate(sup.length)(g =>
+        flat.slice(offsets(g), offsets(g + 1)))
+      (sup.map(_._3.toArray), cells)
     })
 
   /** IVF-style ANN: assign every vector to its nearest of [[IvfCells]]
@@ -493,27 +754,37 @@ object Similarity {
   private[graft] def ivfAssign(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfAssignCache.computeIfAbsent((spark, dir), { _ =>
       import spark.implicits._
-      val bc = spark.sparkContext.broadcast(trainIvfCentroids(spark, dir))
-      Tables.load(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .as[(Long, Array[Double])]
-        .mapPartitions { it =>
-          val cs = bc.value
-          val cn = cs.map(c => math.sqrt(dotA(c, c)))
-          it.map { case (id, v) =>
-            val nv = math.sqrt(dotA(v, v))
-            var best = 0; var bs = Double.NegativeInfinity
-            var j = 0
-            while (j < cs.length) {
-              val s = dotA(v, cs(j)) / (nv * cn(j))
-              if (s > bs) { bs = s; best = j } // strict > : ties keep min cid
-              j += 1
+      // beyond [[HierCellThreshold]] cells the flat n·C kernel is the
+      // scale wall (round-12 verdict #3): assign supercluster-first —
+      // n·(√C + C/√C). Every certified rung stays below the threshold,
+      // so all existing hashes ride the flat branch bit-stable.
+      val assigned =
+        if (useHier(ivfCellCount(spark, dir))) {
+          val (sup, cells) = hierState(spark, dir)
+          ivfAssignHierOf(spark, dir, sup, cells)
+        } else {
+          val bc = spark.sparkContext.broadcast(trainIvfCentroids(spark, dir))
+          Tables.load(spark, dir, "embeddings")
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+            .as[(Long, Array[Double])]
+            .mapPartitions { it =>
+              val cs = bc.value
+              val cn = cs.map(c => math.sqrt(dotA(c, c)))
+              it.map { case (id, v) =>
+                val nv = math.sqrt(dotA(v, v))
+                var best = 0; var bs = Double.NegativeInfinity
+                var j = 0
+                while (j < cs.length) {
+                  val s = dotA(v, cs(j)) / (nv * cn(j))
+                  if (s > bs) { bs = s; best = j } // strict > : ties keep min cid
+                  j += 1
+                }
+                (id, best.toLong)
+              }
             }
-            (id, best.toLong)
-          }
+            .toDF("vec_id", "cid")
         }
-        .toDF("vec_id", "cid")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
   /** Cluster-balance profile of the corpus over the TRAINED k-means
@@ -1306,16 +1577,33 @@ object Similarity {
     knnGraphLshOf(spark, vectors(spark, dir),
       knnBitsFor(vecCount(spark, dir)))
 
+  /** [[knnGraphLsh]]'s probe slice: the graph rows for the
+    * [[NumProbes]] probe vectors, built with the PROBE side filtered
+    * before the bucket join (the slice query itself is bounded work at
+    * any SF) — per-probe rows identical to filtering the full graph,
+    * because the [[KnnBucketCap]] window caps the NEIGHBOR side
+    * globally and each probe's top-k depends only on its own candidate
+    * set (SimilaritySpec pins the equality). The certifiable twin of
+    * the pair-bound graph build above sf3 (round-12 verdict #1). */
+  def knnGraphLshSlice(spark: SparkSession, dir: String): DataFrame =
+    knnGraphLshOf(spark, vectors(spark, dir),
+      knnBitsFor(vecCount(spark, dir)),
+      probeOnly = Some(col("vec_id") < NumProbes))
+
   /** [[knnGraphLsh]] over an explicit (vec_id, v, nrm) frame at a given
     * bit width — split out so SimilaritySpec can feed a synthetic hot
-    * family and watch [[KnnBucketCap]] bound the candidate volume. */
+    * family and watch [[KnnBucketCap]] bound the candidate volume.
+    * `probeOnly` restricts the PROBE side (the uncapped lhs) only —
+    * the neighbor-side cap window stays global. */
   private[graft] def knnGraphLshOf(spark: SparkSession, vecs: DataFrame,
-                                   bits: Int): DataFrame = {
+                                   bits: Int,
+                                   probeOnly: Option[Column] = None): DataFrame = {
     import spark.implicits._
     val banded = vecs
       .select(col("vec_id"), col("v"), col("nrm"),
         posexplode(knnBandBuckets(bits)(col("v"))).as(Seq("band", "bucket")))
-    val lhs = banded.select(col("band"), col("bucket"),
+    val lhs = probeOnly.fold(banded)(banded.filter)
+      .select(col("band"), col("bucket"),
       col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     // neighbor-side bucket cap: a hot bucket is by construction a set
     // of near-identical vectors (they agree on every hyperplane sign),
@@ -1469,6 +1757,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similar_topk" -> (similarTopk _),
     "knn_graph_lsh" -> (knnGraphLsh _),
+    "knn_graph_lsh_slice" -> (knnGraphLshSlice _),
     "knn_graph_recall" -> (knnGraphRecall _),
     "knn_bucket_audit" -> (knnBucketAudit _),
     "embedding_neardup_lsh" -> (embeddingNeardupLsh _),
@@ -1811,6 +2100,29 @@ object Similarity {
          |         FROM bb a JOIN bbc b
          |           ON a.band = b.band AND a.bucket = b.bucket
          |          AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, nn_rank, neighbor_id, sim FROM (
+         |  SELECT c.id1 AS vec_id, c.id2 AS neighbor_id, round($cosineSql, 6) AS sim,
+         |         row_number() OVER (PARTITION BY c.id1
+         |                            ORDER BY $cosineSql DESC, c.id2) AS nn_rank
+         |  FROM cand c
+         |  JOIN embeddings a ON a.vec_id = c.id1
+         |  JOIN embeddings b ON b.vec_id = c.id2) t
+         |WHERE nn_rank <= $KnnGraphK""".stripMargin,
+    // the probe slice of the capped graph: same bbc lowest-id neighbor
+    // cap, cand probe-filtered — identical per-probe rows to the full
+    // build, feasible for DuckDB at any SF (round-12 verdict #1)
+    "knn_graph_lsh_slice" ->
+      s"""WITH $knnBandedCtes,
+         |bbc AS (SELECT vec_id, band, bucket FROM (
+         |    SELECT vec_id, band, bucket,
+         |           row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn
+         |    FROM bb) t
+         |  WHERE rn <= $KnnBucketCap),
+         |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         |         FROM bb a JOIN bbc b
+         |           ON a.band = b.band AND a.bucket = b.bucket
+         |          AND a.vec_id <> b.vec_id
+         |         WHERE a.vec_id < $NumProbes)
          |SELECT vec_id, nn_rank, neighbor_id, sim FROM (
          |  SELECT c.id1 AS vec_id, c.id2 AS neighbor_id, round($cosineSql, 6) AS sim,
          |         row_number() OVER (PARTITION BY c.id1

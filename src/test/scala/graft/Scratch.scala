@@ -78,6 +78,105 @@ object Scratch {
       return
     }
 
+    // "hier-ab": flat vs two-level coarse quantizer at the current SF —
+    // fresh train + full-corpus assignment timed per arm (hier first so
+    // the flat arm inherits any page-cache warmth, biasing AGAINST the
+    // claim), then assignment agreement and probe recall@K for both
+    // (the round-12 verdict #3 A/B row). Recall uses the production
+    // probe-cell election (IvfProbeCells best cells per probe) over
+    // each arm's own centroids/assignments, vs the exact top-K.
+    if (args.sameElements(Array("hier-ab"))) {
+      import spark.implicits._
+      val sim = similarity.Similarity
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val c = sim.cellsFor(n)
+      println(s"[scratch] n=$n cells=$c super=${sim.superCountFor(c)} " +
+        s"(production path at this SF: ${if (sim.useHier(c)) "HIER" else "flat"})")
+      var sup: Array[Array[Double]] = null
+      var groups: Array[Array[Array[Double]]] = null
+      var hierAssign: org.apache.spark.sql.DataFrame = null
+      time("hier train (sample)") {
+        val t = sim.trainIvfCentroidsHier(spark, dir)
+        sup = t._1; groups = t._2; groups.map(_.length.toLong).sum
+      }
+      time("hier assign n·(√C+C/√C)") {
+        hierAssign = sim.ivfAssignHierOf(spark, dir, sup, groups)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        hierAssign.count()
+      }
+      var flatCents: Array[Array[Double]] = null
+      var flatAssign: org.apache.spark.sql.DataFrame = null
+      time("flat train (sample)") {
+        flatCents = sim.trainIvfCentroidsWithTrace(spark, dir)._1
+        flatCents.length.toLong
+      }
+      time("flat assign n·C") {
+        flatAssign = sim.assignToCentroids(spark,
+            spark.read.parquet(s"$dir/embeddings.parquet")
+              .select(col("vec_id").as("id"),
+                col("embedding").cast("array<double>").as("v")),
+            flatCents)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        flatAssign.count()
+      }
+      // probe recall@K per arm: elect IvfProbeCells cells per probe
+      // against the arm's centroids, search only those cells' members
+      def recall(cents: Array[Array[Double]],
+                 assign: org.apache.spark.sql.DataFrame,
+                 idCol: String): Double = {
+        def dot(a: Array[Double], b: Array[Double]) =
+          a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+        val probes = spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") < sim.NumProbes)
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .as[(Long, Array[Double])].collect()
+        val probeCells = probes.map { case (p, v) =>
+          val nv = math.sqrt(dot(v, v))
+          p -> cents.zipWithIndex.map { case (cv, j) =>
+            (dot(v, cv) / (nv * math.sqrt(dot(cv, cv))), j)
+          }.sortBy(t => (-t._1, t._2)).take(sim.IvfProbeCells).map(_._2.toLong).toSet
+        }.toMap
+        val wanted = probeCells.values.flatten.toSet.toSeq
+        val members = assign.filter(col("cid").isin(wanted: _*))
+          .select(col(idCol).cast("long"), col("cid"))
+          .as[(Long, Long)].collect()
+        val vecsById = spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id").isin(members.map(_._1).toSeq: _*))
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .as[(Long, Array[Double])].collect().toMap
+        val exact = sim.similarTopk(spark, dir)
+          .select("probe_id", "neighbor_id")
+          .as[(Long, Long)].collect().groupBy(_._1).map { case (p, xs) =>
+            p -> xs.map(_._2).toSet
+          }
+        var hit = 0; var tot = 0
+        probes.foreach { case (p, pv) =>
+          val npv = math.sqrt(dot(pv, pv))
+          val cand = members.filter(m =>
+              m._1 != p && probeCells(p).contains(m._2))
+            .map(_._1).distinct
+          val top = cand.map { id =>
+            val v = vecsById(id)
+            (dot(pv, v) / (npv * math.sqrt(dot(v, v))), id)
+          }.sortBy(t => (-t._1, t._2)).take(sim.K).map(_._2).toSet
+          val ex = exact.getOrElse(p, Set.empty)
+          hit += ex.count(top.contains); tot += ex.size
+        }
+        hit.toDouble / math.max(1, tot)
+      }
+      val hierR = recall(groups.flatten, hierAssign, "vec_id")
+      val flatR = recall(flatCents, flatAssign, "id")
+      val agree = hierAssign.select(col("vec_id"), col("cid").as("hc"))
+        .join(flatAssign.select(col("id").as("vec_id"), col("cid").as("fc")),
+          Seq("vec_id"))
+        .select(avg((col("hc") === col("fc")).cast("double")))
+        .as[Double].head()
+      println(f"[scratch] recall@${sim.K}: flat=$flatR%.4f hier=$hierR%.4f  " +
+        f"assignment agreement=$agree%.4f")
+      spark.stop()
+      return
+    }
+
     // "explain:<name>": print the formatted physical plan of a declared
     // query (no execution) — the broadcast/exchange audit tool
     if (args.length == 1 && args(0).startsWith("explain:")) {

@@ -338,6 +338,76 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       s"cap reported binding in the dormant regime: ${got.map(_._4).toSeq}")
   }
 
+  test("allocateCells: one-per-group floor, exact total, mass-proportional, deterministic") {
+    assert(Similarity.allocateCells(16, Array(100L)).toSeq == Seq(16))
+    val a = Similarity.allocateCells(16, Array(0L, 10L, 30L))
+    assert(a.sum == 16 && a.forall(_ >= 1) && a(2) > a(1) && a(1) > a(0))
+    assert(Similarity.allocateCells(16, Array(0L, 10L, 30L)).toSeq == a.toSeq)
+    intercept[IllegalArgumentException] {
+      Similarity.allocateCells(2, Array(1L, 1L, 1L))
+    }
+  }
+
+  test("two-level quantizer: S = 1 degenerates to the flat quantizer bit-for-bit") {
+    import spark.implicits._
+    val flatCents = Similarity.trainIvfCentroidsWithTrace(spark, sfDir)._1
+    val (sup, cells) =
+      Similarity.trainIvfCentroidsHier(spark, sfDir, superOverride = Some(1))
+    assert(sup.length == 1 && cells.length == 1)
+    assert(cells(0).length == flatCents.length)
+    for (i <- flatCents.indices)
+      assert(java.util.Arrays.equals(cells(0)(i), flatCents(i)),
+        s"hier(S=1) cell $i drifted from the flat centroid")
+    val hier = Similarity.ivfAssignHierOf(spark, sfDir, sup, cells)
+      .as[(Long, Long)].collect().toMap
+    val flat = Similarity.ivfAssign(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(hier == flat, "hier(S=1) assignment diverged from the flat kernel")
+  }
+
+  test("two-level quantizer: forced-hier assignment matches an in-JVM replay " +
+    "of supercluster-then-cell election") {
+    import spark.implicits._
+    val (sup, cells) = Similarity.trainIvfCentroidsHier(spark, sfDir)
+    assert(sup.length == Similarity.superCountFor(Similarity.IvfCells))
+    assert(cells.map(_.length).sum == Similarity.IvfCells)
+    val offsets = cells.map(_.length).scanLeft(0)(_ + _)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def argmax(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      val nv = math.sqrt(dot(v, v))
+      var best = 0; var bs = Double.NegativeInfinity
+      for (j <- cs.indices) {
+        val s = dot(v, cs(j)) / (nv * math.sqrt(dot(cs(j), cs(j))))
+        if (s > bs) { bs = s; best = j }
+      }
+      best
+    }
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val expected = vecs.map { case (id, v) =>
+      val g = argmax(v, sup)
+      id -> (offsets(g) + argmax(v, cells(g))).toLong
+    }.toMap
+    val got = Similarity.ivfAssignHierOf(spark, sfDir, sup, cells)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    assert(got.size == vecs.length, "a vector went unassigned")
+  }
+
+  test("knn_graph_lsh_slice equals the full graph's probe rows") {
+    import spark.implicits._
+    val full = Similarity.knnGraphLsh(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < Similarity.NumProbes)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val slice = Similarity.knnGraphLshSlice(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(slice == full, "probe-side filtering changed the graph's probe rows")
+    assert(slice.nonEmpty)
+  }
+
   test("recall floors hold at sf1 (the ladder regime) — a cap/bits/sampling " +
     "change that drops them fails here, not in a census nobody rereads") {
     // round-12 verdict #2: the measured numbers (knn_graph_recall 1.00,
