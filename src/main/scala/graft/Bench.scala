@@ -89,7 +89,17 @@ object Bench {
     "neardup_clusters_bigstar", "index_retract", "ingest_dedup_fold",
     "index_compact", "corpus_pipeline_funnel", "corpus_rejection_ledger",
     "training_set_select_neardup", "train_eval_split_neardup",
-    "embedding_neardup_lsh")
+    "embedding_neardup_lsh",
+    // the r13 slice twins whose ENGINE plan still rides the full
+    // pair machinery (cluster labels are global state; the fold is
+    // sequential global state) — their ORACLES are probe-bounded,
+    // which is the point, but the Spark side pays Σf² like the full
+    // queries. The pair slices (minhash_neardup_slice,
+    // shingle_containment_slice) and knn_graph_lsh_slice have
+    // probe-bounded ENGINE plans too and stay in the scale tier.
+    "neardup_clusters_slice", "neardup_clusters_indexed_slice",
+    "neardup_clusters_bigstar_slice", "ingest_dedup_fold_slice",
+    "index_compact_slice")
     // knn_graph_lsh was briefly in this set mid-round-11: the sf100
     // rung measured its scored-pair volume going family-bound
     // (near-identical vectors share every band bucket, so pairs track
