@@ -1113,16 +1113,26 @@ object Dedup {
     "embedding_neardup" -> (embeddingNeardup _))
 
   /** CTE list of the shared minhash prefix (shingles → signatures →
-    * bands) — every banded-candidate oracle builds on these. */
+    * bands) — every banded-candidate oracle builds on these.
+    *
+    * `sh`/`bands` are `AS MATERIALIZED` and that is LOAD-BEARING at
+    * the scale rungs: DuckDB inlines plain CTEs per reference, and
+    * the slice oracles reference `bands` four times (probe buckets,
+    * occupancy census, both candidate sides) — four concurrent
+    * replays of the full signature hash-agg (the ~n·shingles·32-row
+    * cross product) blew past 70 GB of spill disk at sf10 where ONE
+    * pass needs none (the r13 gate measured the materialized form at
+    * 113 s / zero spill vs ENOSPC at 28 min). Every downstream
+    * reference now reads the ~n·8-row band table instead. */
   private[graft] val sigBandsCtes =
-    s"""sh AS ($docShinglesSql),
+    s"""sh AS MATERIALIZED ($docShinglesSql),
        |ex AS (SELECT doc_id,
        |              CAST(('0x' || substring(md5(unnest(sh)), 1, 15)) AS BIGINT) % $P AS h
        |       FROM sh),
        |sig AS (SELECT doc_id, i,
        |               min(((2654435761 * (i+1)) % $P * h + (1013904223 * (i+1)) % $P) % $P) AS minh
        |        FROM ex, range(0, $NumHashes) r(i) GROUP BY doc_id, i),
-       |bands AS (SELECT doc_id, CAST(i // $BandRows AS INT) AS band,
+       |bands AS MATERIALIZED (SELECT doc_id, CAST(i // $BandRows AS INT) AS band,
        |                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS bsig
        |          FROM sig GROUP BY 1, 2)""".stripMargin
 
@@ -1161,7 +1171,13 @@ object Dedup {
     * buckets (equal to the global census by the semi-join argument in
     * [[slicedCandidates]]), and the verify join runs over the bounded
     * pair list — never the Σf² full self-join that exhausted DuckDB's
-    * spill disk at sf10 (round-12 gate). */
+    * spill disk at sf10 (round-12 gate). The verify explodes (`cex`)
+    * are RESTRICTED to candidate docs and materialized: an inline
+    * full-corpus explode per side leaves DuckDB free to misorder the
+    * e1⋈e2 shingle-equality join ahead of the doc restriction, and
+    * its estimate-free inlined-CTE replay of the signature pipeline
+    * per reference is what actually ENOSPC'd the first r13 sf10
+    * attempt. */
   private val slicePairCtes =
     s"""$sigBandsCtes,
        |prb AS (SELECT greatest(1, count(*) // $RecallProbes) AS e FROM documents),
@@ -1170,7 +1186,7 @@ object Dedup {
        |occ AS (SELECT band, bsig, count(*) AS occ
        |        FROM bands JOIN pbk USING (band, bsig)
        |        GROUP BY band, bsig),
-       |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS d1,
+       |cand AS MATERIALIZED (SELECT DISTINCT least(a.doc_id, b.doc_id) AS d1,
        |                greatest(a.doc_id, b.doc_id) AS d2
        |         FROM bands a
        |         JOIN occ o ON o.band = a.band AND o.bsig = a.bsig
@@ -1179,9 +1195,11 @@ object Dedup {
        |                     AND b.doc_id <> a.doc_id
        |         WHERE a.doc_id % (SELECT e FROM prb) <= 1),
        |n AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |cdoc AS (SELECT d1 AS doc_id FROM cand UNION SELECT d2 AS doc_id FROM cand),
+       |cex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM sh JOIN cdoc USING (doc_id)),
        |inter AS (SELECT d1, d2, count(*) AS c
-       |          FROM cand JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e1 ON e1.doc_id = d1
-       |                    JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e2 ON e2.doc_id = d2
+       |          FROM cand JOIN cex e1 ON e1.doc_id = d1
+       |                    JOIN cex e2 ON e2.doc_id = d2
        |          WHERE e1.s = e2.s GROUP BY 1, 2)""".stripMargin
 
   /** The cluster slices' oracle: per-probe component membership via
@@ -1191,9 +1209,14 @@ object Dedup {
     * working set is bounded by the probes' components, never the
     * corpus pair graph. [[ComponentOracleRounds]] rounds, same red-row
     * contract as the full resolution's unroll: an insufficient unroll
-    * shows up as a wrong min-label/size, never a silent pass. Output =
-    * the full query's rows for probe docs (label = component min id,
-    * size = component member count; probes in no pair emit nothing). */
+    * shows up as a wrong min-label/size, never a silent pass. Each
+    * round's verify explode (`cdx$i`) is restricted to that round's
+    * candidate docs (the [[slicePairCtes]] `cex` discipline — a full
+    * materialized corpus explode probed per round both costs a
+    * corpus-sized build and invites the e1⋈e2 shingle-join misorder).
+    * Output = the full query's rows for probe docs (label = component
+    * min id, size = component member count; probes in no pair emit
+    * nothing). */
   // lazy: references ComponentOracleRounds, declared later in the file
   private lazy val clustersSliceOracleSql = {
     val rounds = (1 to ComponentOracleRounds).map { i =>
@@ -1204,12 +1227,16 @@ object Dedup {
          |  JOIN okb o ON o.band = b1.band AND o.bsig = b1.bsig
          |  JOIN bands b2 ON b2.band = b1.band AND b2.bsig = b1.bsig
          |              AND b2.doc_id <> f.d),
+         |cdx$i AS MATERIALIZED (
+         |  SELECT doc_id, unnest(sh) AS s FROM sh
+         |  JOIN (SELECT d1 AS doc_id FROM cnd$i
+         |        UNION SELECT d2 FROM cnd$i) cd$i USING (doc_id)),
          |ver$i AS MATERIALIZED (
          |  SELECT v.p, v.d2 FROM (
          |    SELECT c.p, c.d1, c.d2, count(*) AS ci
          |    FROM cnd$i c
-         |    JOIN exs ea ON ea.doc_id = c.d1
-         |    JOIN exs eb ON eb.doc_id = c.d2 AND eb.s = ea.s
+         |    JOIN cdx$i ea ON ea.doc_id = c.d1
+         |    JOIN cdx$i eb ON eb.doc_id = c.d2 AND eb.s = ea.s
          |    GROUP BY 1, 2, 3) v
          |  JOIN n n1 ON n1.doc_id = v.d1
          |  JOIN n n2 ON n2.doc_id = v.d2
@@ -1224,7 +1251,6 @@ object Dedup {
        |okb AS (SELECT band, bsig FROM bands GROUP BY band, bsig
        |        HAVING count(*) <= $MaxBucket),
        |n AS (SELECT doc_id, len(sh) AS n FROM sh),
-       |exs AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM sh),
        |r0 AS (SELECT doc_id AS p, doc_id AS d FROM documents
        |       WHERE doc_id % (SELECT e FROM prb) <= 1),
        |f0 AS (SELECT p, d FROM r0),

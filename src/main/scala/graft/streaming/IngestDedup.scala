@@ -774,9 +774,11 @@ object IngestDedup {
        |              AND b2.doc_id <> b1.doc_id
        |  WHERE ${rkSql("b2.doc_id")} < ${rkSql("b1.doc_id")}),
        |n AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |cdoc AS (SELECT dn AS doc_id FROM cnd UNION SELECT dc AS doc_id FROM cnd),
+       |cex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM sh JOIN cdoc USING (doc_id)),
        |inter AS (SELECT dn, dc, count(*) AS c
-       |          FROM cnd JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e1 ON e1.doc_id = dn
-       |                   JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e2 ON e2.doc_id = dc
+       |          FROM cnd JOIN cex e1 ON e1.doc_id = dn
+       |                   JOIN cex e2 ON e2.doc_id = dc
        |          WHERE e1.s = e2.s GROUP BY 1, 2),
        |vp AS (SELECT dn, dc FROM inter
        |       JOIN n n1 ON n1.doc_id = dn
