@@ -11,10 +11,14 @@ object Verify {
     // the driver never sets it, so its runs dump every query
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // refresh oracle_sql.json without recomputing the parquet dumps —
+    // for oracle-SQL-only edits the engine results are unchanged, so
+    // a full re-dump would be 30+ min of identical parquet
+    val sqlOnly = sys.env.get("SPARK_GRAFT_SQL_ONLY").contains("1")
     val spark = Sessions.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    (if (sqlOnly) Map.empty[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] else SparkEntry.queries)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): coalesce folds the query's

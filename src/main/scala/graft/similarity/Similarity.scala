@@ -2039,8 +2039,16 @@ object Similarity {
   /** The banded sign-LSH bucket CTE (band = j div LshBits over the
     * hyperplane family; bucket bit j mod LshBits) — shared by the
     * near-dup and kNN-graph oracles. */
+  /** `bb` is `AS MATERIALIZED` in both banding CTEs below — DuckDB
+    * inlines plain CTEs per reference, and the banded-bucket frame is
+    * referenced 2–4× downstream (self-join sides, cap window, occ
+    * census, the r13 over-cap probe census), each replaying the
+    * n·bands·bits·dim projection hash-agg whose GROUP BY carries the
+    * embedding ARRAY as a key. Four concurrent replays pushed the
+    * sf10 knn_graph_recall oracle past 50 GB for a 200k-vector
+    * corpus; materialized, bb is one pass and ~n·bands narrow rows. */
   private val bandBucketsCte =
-    s"""bb AS (
+    s"""bb AS MATERIALIZED (
        |  SELECT vec_id, embedding, band,
        |         SUM(CASE WHEN dj > 0 THEN (1::BIGINT << (j % $LshBits)) ELSE 0 END) AS bucket
        |  FROM (
@@ -2062,7 +2070,7 @@ object Similarity {
     s"""nb AS (SELECT CASE $ladder
        |             ELSE $KnnMaxBits END AS bits
        |           FROM (SELECT COUNT(*) AS n FROM embeddings) t),
-       |bb AS (
+       |bb AS MATERIALIZED (
        |  SELECT vec_id, embedding, band,
        |         SUM(CASE WHEN dj > 0 THEN (1::BIGINT << bitpos) ELSE 0 END) AS bucket
        |  FROM (
