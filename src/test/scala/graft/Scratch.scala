@@ -78,6 +78,74 @@ object Scratch {
       return
     }
 
+    // "hier-solo": the two-level quantizer's PRODUCTION-regime row
+    // (n past HierCellThreshold·TargetCellSize, where the flat arm
+    // would cost n·C for no information the vec_sf100 A/B and the
+    // S=1 equivalence spec don't already give): fresh hier train +
+    // full-corpus assignment + probe recall@K vs exact.
+    if (args.sameElements(Array("hier-solo"))) {
+      import spark.implicits._
+      val sim = similarity.Similarity
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val c = sim.cellsFor(n)
+      println(s"[scratch] n=$n cells=$c super=${sim.superCountFor(c)} " +
+        s"(production path at this SF: ${if (sim.useHier(c)) "HIER" else "flat"})")
+      var sup: Array[Array[Double]] = null
+      var groups: Array[Array[Array[Double]]] = null
+      var hierAssign: org.apache.spark.sql.DataFrame = null
+      time("hier train (sample)") {
+        val t = sim.trainIvfCentroidsHier(spark, dir)
+        sup = t._1; groups = t._2; groups.map(_.length.toLong).sum
+      }
+      time("hier assign n·(√C+C/√C)") {
+        hierAssign = sim.ivfAssignHierOf(spark, dir, sup, groups)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        hierAssign.count()
+      }
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+      val cents = groups.flatten
+      val probes = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < sim.NumProbes)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Array[Double])].collect()
+      val probeCells = probes.map { case (p, v) =>
+        val nv = math.sqrt(dot(v, v))
+        p -> cents.zipWithIndex.map { case (cv, j) =>
+          (dot(v, cv) / (nv * math.sqrt(dot(cv, cv))), j)
+        }.sortBy(t => (-t._1, t._2)).take(sim.IvfProbeCells).map(_._2.toLong).toSet
+      }.toMap
+      val wanted = probeCells.values.flatten.toSet.toSeq
+      val members = hierAssign.filter(col("cid").isin(wanted: _*))
+        .select(col("vec_id").cast("long"), col("cid"))
+        .as[(Long, Long)].collect()
+      val vecsById = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id").isin(members.map(_._1).toSeq: _*))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Array[Double])].collect().toMap
+      val exact = sim.similarTopk(spark, dir)
+        .select("probe_id", "neighbor_id")
+        .as[(Long, Long)].collect().groupBy(_._1).map { case (p, xs) =>
+          p -> xs.map(_._2).toSet
+        }
+      var hit = 0; var tot = 0
+      probes.foreach { case (p, pv) =>
+        val npv = math.sqrt(dot(pv, pv))
+        val cand = members.filter(m =>
+            m._1 != p && probeCells(p).contains(m._2))
+          .map(_._1).distinct
+        val top = cand.map { id =>
+          val v = vecsById(id)
+          (dot(pv, v) / (npv * math.sqrt(dot(v, v))), id)
+        }.sortBy(t => (-t._1, t._2)).take(sim.K).map(_._2).toSet
+        val ex = exact.getOrElse(p, Set.empty)
+        hit += ex.count(top.contains); tot += ex.size
+      }
+      println(f"[scratch] hier probe recall@${sim.K}: ${hit.toDouble / math.max(1, tot)}%.4f")
+      spark.stop()
+      return
+    }
+
     // "hier-ab": flat vs two-level coarse quantizer at the current SF —
     // fresh train + full-corpus assignment timed per arm (hier first so
     // the flat arm inherits any page-cache warmth, biasing AGAINST the
