@@ -44,7 +44,13 @@ object PlanAudit {
       // round 11
       "minhash_recall", "snapshot_read_asof",
       "knn_graph_lsh", "similar_ann_ivfpq",
-      "knn_graph_recall", "snapshot_expire")
+      "knn_graph_recall", "snapshot_expire",
+      // round 13: the pair-bound slice twins (the probe-restricted
+      // plans must stay broadcast-shaped like minhash_recall's) and
+      // the index-retention verb
+      "minhash_neardup_slice", "neardup_clusters_slice",
+      "knn_graph_lsh_slice", "ingest_dedup_fold_slice",
+      "index_compact_slice", "index_expire")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
