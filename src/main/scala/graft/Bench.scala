@@ -90,14 +90,16 @@ object Bench {
     "index_compact", "corpus_pipeline_funnel", "corpus_rejection_ledger",
     "training_set_select_neardup", "train_eval_split_neardup",
     "embedding_neardup_lsh",
-    // the r13 slice twins whose ENGINE plan still rides the full
-    // pair machinery (cluster labels are global state; the fold is
-    // sequential global state) — their ORACLES are probe-bounded,
-    // which is the point, but the Spark side pays Σf² like the full
-    // queries. The pair slices (minhash_neardup_slice,
-    // shingle_containment_slice) and knn_graph_lsh_slice have
-    // probe-bounded ENGINE plans too and stay in the scale tier.
-    "neardup_clusters_slice", "neardup_clusters_indexed_slice",
+    // slice twins whose ENGINE plan still rides the full pair
+    // machinery — their ORACLES are probe-bounded, which is the
+    // point, but the Spark side pays Σf² like the full queries:
+    // the bigstar cluster slice (it certifies the alternating-star
+    // MODE, which has no probe-bounded variant — a closure engine
+    // there would duplicate neardup_clusters_slice's plan) and the
+    // fold/compact slices (the fold is sequential global state).
+    // Since r14 neardup_clusters_slice and _indexed_slice run the
+    // probe-seeded closure (Dedup.probeComponentClosure) and sit in
+    // the scale tier with the pair slices and knn_graph_lsh_slice.
     "neardup_clusters_bigstar_slice", "ingest_dedup_fold_slice",
     "index_compact_slice")
     // knn_graph_lsh was briefly in this set mid-round-11: the sf100

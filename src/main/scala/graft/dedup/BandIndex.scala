@@ -72,7 +72,7 @@ object BandIndex {
 
   /** Bands of the incoming batch — the ONLY signature-kernel pass in
     * the indexed queries' plans. */
-  private def batchBands(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def batchBands(spark: SparkSession, dir: String): DataFrame =
     Dedup.bandsOf(Dedup.minhashSignaturesOf(spark,
       Dedup.cachedDocShingles(spark, dir).filter(batchFilter)))
 
@@ -274,12 +274,20 @@ object BandIndex {
       Dedup.MinhashIndexParams)
   }
 
-  /** [[neardupClustersIndexed]]'s probe slice — the STORED label
-    * artifact's rows for [[Dedup.sliceProbe]] docs, certified above
-    * sf3 by the frontier-closure slice oracle the in-session modes
-    * share (round-12 verdict #1). */
+  /** [[neardupClustersIndexed]]'s probe slice — since round 14 the
+    * probe-seeded closure ([[Dedup.probeComponentClosure]], r13
+    * verdict #7) over the INDEXED banding frame: the corpus half's
+    * bands come from the standing parquet artifact (a FileScan, no
+    * corpus-side signature kernel — the property that makes this the
+    * "indexed" twin), merged with the batch half's computed bands
+    * exactly as [[minhashIncrementalIndexed]] consumes them. Same
+    * rows as filtering the stored label artifact (the closure is the
+    * probe's whole component at fixpoint), but end-to-end
+    * probe-bounded — so the slice leaves
+    * [[graft.Bench.PairBoundQueries]] and benches at every rung. */
   def neardupClustersIndexedSlice(spark: SparkSession, dir: String): DataFrame =
-    neardupClustersIndexed(spark, dir).filter(Dedup.sliceProbe(spark, dir))
+    Dedup.probeComponentClosure(spark, dir,
+      mergeBands(standingBands(spark, dir), batchBands(spark, dir)))
 
   /** A 3-version band-index publish history with retention ALREADY
     * applied ([[IndexStore.VersionRetentionKeep]] newest kept), built
