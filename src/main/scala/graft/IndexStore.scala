@@ -162,13 +162,32 @@ object IndexStore {
     target
   }
 
+  /** Opt-in autoexpire for [[writeVersioned]] (round-13 verdict #6):
+    * when set, every versioned publish retains only the newest N
+    * generations — the production ingest loop's retention rides the
+    * publish instead of a remembered nightly `index_expire`. OFF by
+    * default (None) for two deliberate reasons: (1) the certified
+    * board's version-accumulation behavior stays byte-identical, and
+    * (2) unconditional newest-N expiry at publish time can delete a
+    * generation an OLDER concurrent reader is still scanning (the
+    * round-9 race the write-time sweep's one-hour guard exists for) —
+    * a deployment that sets `SPARK_GRAFT_INDEX_RETAIN=N` asserts its
+    * reader concurrency fits inside N generations, exactly the
+    * [[expireVersions]] caller contract moved onto the publish path. */
+  val RetentionDefault: Option[Int] =
+    sys.env.get("SPARK_GRAFT_INDEX_RETAIN").map(_.toInt)
+
   /** Write `df` as a fresh versioned artifact under `kind`'s name
     * (unique suffix per call — safe under concurrent query streams)
     * and return a scan of the written copy. Used by refresh-style
     * queries that must demonstrate the write-path, where overwriting
-    * the shared standing artifact in place would race. */
+    * the shared standing artifact in place would race. With `retain`
+    * set (explicitly or via [[RetentionDefault]]), the publish
+    * autoexpires to the newest `retain` generations — the just-written
+    * version is the newest, so readers of the newest N stay live. */
   def writeVersioned(spark: SparkSession, dir: String, table: String,
-                     kind: String, df: DataFrame, params: String = ""): DataFrame = {
+                     kind: String, df: DataFrame, params: String = "",
+                     retain: Option[Int] = RetentionDefault): DataFrame = {
     val base = indexDir(spark, dir, table, kind, params)
     // bound accumulation: sweep sibling versions, but NEVER the newest
     // two — age alone is not a safe signal (a query stream can scan one
@@ -195,6 +214,10 @@ object IndexStore {
     val out = new File(base.getParentFile,
       base.getName + "-v" + java.util.UUID.randomUUID())
     df.write.mode("overwrite").parquet(out.getAbsolutePath)
+    // retention-on-publish: the version just written carries Spark's
+    // _SUCCESS and the freshest mtime, so it always survives the cut
+    retain.foreach(n =>
+      expireVersionsAt(base.getParentFile, base.getName + "-v", n))
     spark.read.parquet(out.getAbsolutePath)
   }
 
