@@ -15,6 +15,42 @@ object Verify {
     // for oracle-SQL-only edits the engine results are unchanged, so
     // a full re-dump would be 30+ min of identical parquet
     val sqlOnly = sys.env.get("SPARK_GRAFT_SQL_ONLY").contains("1")
+    // Guard the sqlOnly shortcut (r13 advice): the mode re-certifies
+    // PRE-EXISTING parquet dumps against fresh oracle SQL, which is
+    // only sound while the engine code that produced the dumps is
+    // unchanged. A full dump stamps the dir with the git HEAD (plus a
+    // dirty marker); sqlOnly refuses on a DIFFERENT head — stale
+    // engine output must not be silently certified — unless
+    // SPARK_GRAFT_SQL_ONLY_FORCE=1. Same-head-but-dirty only warns:
+    // the intended flow (edit oracle SQL uncommitted, refresh) is
+    // dirty on both sides, and the dirt being oracle-SQL-only is
+    // exactly what the operator is asserting by setting the flag.
+    def gitStamp: String = {
+      import scala.sys.process._
+      val cwd = new java.io.File(".")
+      val head = try Process(Seq("git", "rev-parse", "HEAD"), cwd).!!.trim
+      catch { case _: Throwable => "unknown" }
+      val dirty = try Process(
+        Seq("git", "status", "--porcelain", "--", "src/main"), cwd).!!.trim.nonEmpty
+      catch { case _: Throwable => false }
+      if (dirty) s"$head-dirty" else head
+    }
+    val stampPath = Paths.get(s"$outDir/engine_stamp.txt")
+    if (sqlOnly) {
+      val old = if (Files.exists(stampPath)) Files.readString(stampPath).trim else ""
+      val cur = gitStamp
+      if (old.takeWhile(_ != '-') != cur.takeWhile(_ != '-')) {
+        System.err.println(
+          s"[verify] SQL_ONLY stamp mismatch: dump dir is '$old', HEAD is '$cur' — " +
+            "the parquet dumps may predate an engine change.")
+        if (!sys.env.get("SPARK_GRAFT_SQL_ONLY_FORCE").contains("1"))
+          sys.exit(2)
+        System.err.println("[verify] proceeding under SPARK_GRAFT_SQL_ONLY_FORCE=1")
+      } else if (old != cur)
+        System.err.println(
+          s"[verify] SQL_ONLY: stamp '$old' vs '$cur' — same head, dirty tree; " +
+            "sound only if the uncommitted edits are oracle-SQL-only.")
+    }
     val spark = Sessions.local(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -48,6 +84,15 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // stamp AFTER a successful full dump (a partial/crashed dump never
+    // carries a stamp, so sqlOnly on top of one fails the guard);
+    // filtered (SPARK_GRAFT_ONLY) dumps keep any existing stamp only
+    // if the head matches — otherwise the dir is mixed-head and the
+    // stamp must not vouch for it
+    if (!sqlOnly && only.isEmpty) Files.writeString(stampPath, gitStamp)
+    else if (!sqlOnly && Files.exists(stampPath)
+             && Files.readString(stampPath).trim != gitStamp)
+      Files.delete(stampPath)
     spark.stop()
   }
 }
