@@ -2038,8 +2038,9 @@ object Similarity {
 
   /** The banded sign-LSH bucket CTE (band = j div LshBits over the
     * hyperplane family; bucket bit j mod LshBits) — shared by the
-    * near-dup and kNN-graph oracles. */
-  /** `bb` is `AS MATERIALIZED` in both banding CTEs below — DuckDB
+    * near-dup and kNN-graph oracles.
+    *
+    * `bb` is `AS MATERIALIZED` in both banding CTEs below — DuckDB
     * inlines plain CTEs per reference, and the banded-bucket frame is
     * referenced 2–4× downstream (self-join sides, cap window, occ
     * census, the r13 over-cap probe census), each replaying the
