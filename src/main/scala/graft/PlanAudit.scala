@@ -50,7 +50,9 @@ object PlanAudit {
       // the index-retention verb
       "minhash_neardup_slice", "neardup_clusters_slice",
       "knn_graph_lsh_slice", "ingest_dedup_fold_slice",
-      "index_compact_slice", "index_expire")
+      "index_compact_slice", "index_expire",
+      // round 14: the forced two-level quantizer census
+      "hier_cluster_balance")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -80,10 +80,26 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // A FILTERED run merges its entries over any existing
+    // oracle_sql.json instead of clobbering the full census with the
+    // subset (the r14 sf3 re-dump footgun: "re-dump the 3 ENOSPC'd
+    // queries" must not shrink the gate's 192-query oracle file to 3).
+    // Jackson rides Spark's own classpath, so the read-back needs no
+    // new dependency.
+    val jsonPath = Paths.get(s"$outDir/oracle_sql.json")
+    val fresh = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
+    val merged =
+      if (only.isDefined && Files.exists(jsonPath)) {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(Files.readString(jsonPath))
+        val existing = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        node.fields().forEachRemaining(e => existing(e.getKey) = e.getValue.asText())
+        (existing ++ fresh).toMap
+      } else fresh
+    val json = merged
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(jsonPath, json)
     // stamp AFTER a successful full dump (a partial/crashed dump never
     // carries a stamp, so sqlOnly on top of one fails the guard);
     // filtered (SPARK_GRAFT_ONLY) dumps keep any existing stamp only

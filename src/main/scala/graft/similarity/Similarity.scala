@@ -801,6 +801,29 @@ object Similarity {
       .groupBy("cid")
       .agg(count(lit(1)).as("n_vectors"))
 
+  /** Per-cell census over the FORCED two-level quantizer — the
+    * certification twin of [[embeddingClusterBalance]] for the hier
+    * path (round-13 verdict #3: every DuckDB certificate rode the
+    * flat branch because all oracle-gated rungs sit below
+    * [[HierCellThreshold]]). [[hierState]] always trains S = ⌈√C⌉
+    * superclusters regardless of the threshold, so here the
+    * supercluster Lloyd stage, the largest-deficit cell allocation,
+    * the per-group seeding/padding, the keyed group Lloyd loop, and
+    * the two-stage assignment all face a DuckDB hash-match at EVERY
+    * oracle-gated SF (S = 4 groups at sf0.01, 13 at sf3, 23 at sf10)
+    * — the certification form the S = 1 bit-equivalence spec and the
+    * recall-parity A/Bs could not provide. Above the threshold
+    * (C > 512), where [[ivfAssign]] dispatches to the identical
+    * hierState + [[ivfAssignHierOf]] pair on its own, this query IS
+    * the shipping path, so the production-regime artifact runs the
+    * same SQL with `useHier = true` live. */
+  def hierClusterBalance(spark: SparkSession, dir: String): DataFrame = {
+    val (sup, cells) = hierState(spark, dir)
+    ivfAssignHierOf(spark, dir, sup, cells)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vectors"))
+  }
+
   /** Embedding-space drift monitor — the PSI of the incoming batch
     * (odd vec_ids) against the standing corpus (even) over the
     * DEPLOYED coarse quantizer's cells: the semantic twin of
@@ -1768,6 +1791,7 @@ object Similarity {
     "similar_ann_ivfpq" -> (similarAnnIvfPq _),
     "mmr_diversify" -> (mmrDiversify _),
     "embedding_cluster_balance" -> (embeddingClusterBalance _),
+    "hier_cluster_balance" -> (hierClusterBalance _),
     "embedding_drift_psi" -> (embeddingDriftPsi _),
     "semdedup_prune" -> (semdedupPrune _),
     "embedding_pq_codes" -> (embeddingPqCodes _),
@@ -2036,6 +2060,163 @@ object Similarity {
          |  FROM cents${i - 1} p LEFT JOIN means$i m ON m.cid = p.cid)""".stripMargin
     }
 
+  /** Supercluster-stage Lloyd CTE triples — [[ivfTrainingCtes]]'
+    * arithmetic verbatim under the scents* names (k = S instead of C;
+    * the seed CTE `scents0` caps at S). Factored separately so the
+    * certified flat-oracle text stays byte-identical. */
+  private def superTrainingCtes: Seq[String] =
+    (1 to IvfIters).map { i =>
+      s"""sassign$i AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |    SELECT v.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             list_dot_product(v.v, c.cv) /
+         |             (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+         |             c.cid) AS rn
+         |    FROM vtrain v, scents${i - 1} c) t
+         |  WHERE rn = 1),
+         |smeans$i AS MATERIALIZED (
+         |  SELECT cid, list(cd ORDER BY d) AS cv FROM (
+         |    SELECT a.cid, rd.d,
+         |           CAST(SUM(CAST(floor(v.v[rd.d] * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |             / COUNT(*) / 1000000.0 AS cd
+         |    FROM sassign$i a, vtrain v, range(1, ${Dim + 1}) rd(d)
+         |    WHERE v.vec_id = a.vec_id
+         |    GROUP BY a.cid, rd.d) s
+         |  GROUP BY cid),
+         |scents$i AS MATERIALIZED (
+         |  SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+         |  FROM scents${i - 1} p LEFT JOIN smeans$i m ON m.cid = p.cid)""".stripMargin
+    }
+
+  /** Keyed per-group Lloyd CTE triples (the [[pqTrainingCtes]] shape
+    * keyed by supercluster g instead of subspace m; cosine election
+    * like the flat loop): each sample row competes only against ITS
+    * group's cells, empty cells COALESCE to their previous value. */
+  private def groupTrainingCtes: Seq[String] =
+    (1 to IvfIters).map { i =>
+      s"""gassign$i AS MATERIALIZED (SELECT vec_id, g, lcid FROM (
+         |    SELECT t.vec_id, t.g, c.lcid,
+         |           row_number() OVER (PARTITION BY t.vec_id ORDER BY
+         |             list_dot_product(t.v, c.cv) /
+         |             (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+         |             c.lcid) AS rn
+         |    FROM gtrain t JOIN gcents${i - 1} c ON c.g = t.g) x
+         |  WHERE rn = 1),
+         |gmeans$i AS MATERIALIZED (
+         |  SELECT g, lcid, list(cd ORDER BY d) AS cv FROM (
+         |    SELECT a.g, a.lcid, rd.d,
+         |           CAST(SUM(CAST(floor(t.v[rd.d] * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |             / COUNT(*) / 1000000.0 AS cd
+         |    FROM gassign$i a, gtrain t, range(1, ${Dim + 1}) rd(d)
+         |    WHERE t.vec_id = a.vec_id
+         |    GROUP BY a.g, a.lcid, rd.d) s
+         |  GROUP BY g, lcid),
+         |gcents$i AS MATERIALIZED (
+         |  SELECT p.g, p.lcid, COALESCE(m.cv, p.cv) AS cv
+         |  FROM gcents${i - 1} p LEFT JOIN gmeans$i m ON m.g = p.g AND m.lcid = p.lcid)""".stripMargin
+    }
+
+  /** The full two-level-quantizer replay, mirroring
+    * [[trainIvfCentroidsHier]] + [[ivfAssignHierOf]] stage by stage:
+    * S = ⌈√C⌉ from COUNT(*); supercluster Lloyd over the sample;
+    * sample grouped by FINAL supercentroid (strict-max, min-g ties);
+    * [[allocateCells]]' largest-deficit loop as a RECURSIVE CTE over a
+    * cells list (quota = C·(sz/n) in the identical double arithmetic;
+    * `list_position` of the max deficit = the Scala scan's first-max /
+    * lowest-g election); per-group seeds = the budget lowest sampled
+    * ids (row_number ≤ b), padded with the group's supercentroid;
+    * IvfIters keyed group-Lloyd rounds; then the two-stage full-corpus
+    * assignment with global cid = window-sum offset + local cell.
+    * Callers must open with WITH RECURSIVE.
+    *
+    * The corpus-scale elections (gtrain / fsup / hassign) window over
+    * NARROW materialized score frames (vec_id, cid, s) — the flat
+    * oracle's `sims` discipline. Windowing directly over the
+    * vector×centroid join carries the 64-dim DOUBLE[] through the
+    * sort: at the n=6M production rung that frame is 234M wide rows
+    * (~0.1 TB of spill — ENOSPC'd the first replay); narrowed, the
+    * same rows are ~6 GB and the replay completes in-memory. */
+  private def hierAssignCtes: String = {
+    val I = IvfIters
+    val deficits = "list_transform(range(1, len(a.cells) + 1), j -> q.q[j] - a.cells[j])"
+    s"""v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$vtrainCtes,
+       |nc AS (SELECT GREATEST($IvfCells, COUNT(*) // $TargetCellSize) AS c,
+       |              CAST(CEIL(SQRT(CAST(GREATEST($IvfCells, COUNT(*) // $TargetCellSize) AS DOUBLE))) AS BIGINT) AS s
+       |       FROM embeddings),
+       |scents0 AS (SELECT rn - 1 AS cid, cv FROM (
+       |    SELECT row_number() OVER (ORDER BY vec_id) AS rn, v AS cv FROM vtrain) t
+       |  WHERE rn <= (SELECT s FROM nc)),
+       |${superTrainingCtes.mkString(",\n")},
+       |gsims AS MATERIALIZED (SELECT v.vec_id, c.cid,
+       |           list_dot_product(v.v, c.cv) /
+       |           (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+       |         FROM vtrain v, scents$I c),
+       |gtrain AS MATERIALIZED (SELECT e.vec_id, e.g, v.v FROM (
+       |    SELECT vec_id, cid AS g,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |    FROM gsims) e
+       |  JOIN vtrain v ON v.vec_id = e.vec_id
+       |  WHERE e.rn = 1),
+       |gsizes AS (SELECT c.cid AS g, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS sz
+       |           FROM scents0 c LEFT JOIN (
+       |             SELECT g, COUNT(*) AS n FROM gtrain GROUP BY g) cnt ON cnt.g = c.cid),
+       |quota AS (SELECT list(CAST(nc.c AS DOUBLE) * (CAST(gsizes.sz AS DOUBLE) / t.tot) ORDER BY gsizes.g) AS q
+       |          FROM gsizes, nc,
+       |               (SELECT CAST(GREATEST(1, SUM(sz)) AS DOUBLE) AS tot FROM gsizes) t),
+       |alloc AS (
+       |  SELECT 0 AS step, (SELECT list(1 ORDER BY g) FROM gsizes) AS cells
+       |  UNION ALL
+       |  SELECT a.step + 1,
+       |         list_transform(range(1, len(a.cells) + 1),
+       |           i -> a.cells[i] + CASE WHEN i = list_position($deficits,
+       |                  list_aggregate($deficits, 'max'))
+       |                THEN 1 ELSE 0 END)
+       |  FROM alloc a, quota q, nc
+       |  WHERE a.step < nc.c - nc.s),
+       |budget AS (SELECT cells FROM alloc, nc WHERE step = nc.c - nc.s),
+       |budgets AS (SELECT c.cid AS g, CAST(b.cells[CAST(c.cid AS INT) + 1] AS BIGINT) AS b
+       |            FROM scents0 c, budget b),
+       |offsets AS (SELECT g, b,
+       |              CAST(COALESCE(SUM(b) OVER (ORDER BY g
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |            FROM budgets),
+       |gseeds AS (SELECT x.g, x.rn - 1 AS lcid, x.v AS cv FROM (
+       |    SELECT t.g, t.vec_id, t.v,
+       |           row_number() OVER (PARTITION BY t.g ORDER BY t.vec_id) AS rn
+       |    FROM gtrain t) x
+       |  JOIN budgets bu ON bu.g = x.g AND x.rn <= bu.b),
+       |gown AS (SELECT bu.g, bu.b, LEAST(bu.b, gs.sz) AS own
+       |         FROM budgets bu JOIN gsizes gs ON gs.g = bu.g),
+       |gcents0 AS MATERIALIZED (
+       |  SELECT g, lcid, cv FROM gseeds
+       |  UNION ALL
+       |  SELECT o.g, o.own + unnest(range(0, o.b - o.own)) AS lcid, sc.cv
+       |  FROM gown o JOIN scents$I sc ON sc.cid = o.g),
+       |${groupTrainingCtes.mkString(",\n")},
+       |fsims AS MATERIALIZED (SELECT v.vec_id, c.cid,
+       |           list_dot_product(v.v, c.cv) /
+       |           (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+       |         FROM v, scents$I c),
+       |fsup AS MATERIALIZED (SELECT vec_id, g FROM (
+       |    SELECT vec_id, cid AS g,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+       |    FROM fsims) t
+       |  WHERE rn = 1),
+       |hsims AS MATERIALIZED (SELECT f.vec_id, c.lcid, o.off,
+       |           list_dot_product(vv.v, c.cv) /
+       |           (sqrt(list_dot_product(vv.v, vv.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+       |         FROM fsup f
+       |         JOIN v vv ON vv.vec_id = f.vec_id
+       |         JOIN gcents$I c ON c.g = f.g
+       |         JOIN offsets o ON o.g = f.g),
+       |hassign AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, CAST(off + lcid AS BIGINT) AS cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, lcid) AS rn
+       |    FROM hsims) t
+       |  WHERE rn = 1)""".stripMargin
+  }
+
   /** The banded sign-LSH bucket CTE (band = j div LshBits over the
     * hyperplane family; bucket bit j mod LshBits) — shared by the
     * near-dup and kNN-graph oracles.
@@ -2259,6 +2440,11 @@ object Similarity {
          |       CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
          |FROM av t LEFT JOIN dropped d ON d.cid = t.cid AND d.vec_id = t.vec_id
          |GROUP BY t.cid""".stripMargin,
+    // the forced two-level replay (WITH RECURSIVE for the
+    // largest-deficit allocation loop), reduced to the per-cell census
+    "hier_cluster_balance" ->
+      s"""WITH RECURSIVE $hierAssignCtes
+         |SELECT cid, count(*) AS n_vectors FROM hassign GROUP BY cid""".stripMargin,
     // same training replay, reduced to the final per-cell census
     "embedding_cluster_balance" ->
       s"""WITH $ivfAssignCtes

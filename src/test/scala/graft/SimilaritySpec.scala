@@ -397,6 +397,25 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(got.size == vecs.length, "a vector went unassigned")
   }
 
+  test("hier_cluster_balance: forced two-level census covers the corpus " +
+    "exactly once inside the C-cell id space") {
+    import spark.implicits._
+    val census = Similarity.hierClusterBalance(spark, sfDir)
+      .as[(Long, Long)].collect()
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    val c = Similarity.ivfCellCount(spark, sfDir)
+    assert(census.map(_._2).sum == n, "census total != corpus size")
+    assert(census.forall { case (cid, cnt) => cid >= 0 && cid < c && cnt > 0 })
+    assert(census.map(_._1).distinct.length == census.length)
+    // the census is exactly the per-cell counts of the hierState
+    // assignment the declared query rides
+    val (sup, cells) = Similarity.trainIvfCentroidsHier(spark, sfDir)
+    val direct = Similarity.ivfAssignHierOf(spark, sfDir, sup, cells)
+      .as[(Long, Long)].collect()
+      .groupBy(_._2).map { case (cid, rows) => (cid, rows.length.toLong) }
+    assert(census.toMap == direct, "census diverged from the assignment frame")
+  }
+
   test("knn_graph_lsh_slice equals the full graph's probe rows") {
     import spark.implicits._
     val full = Similarity.knnGraphLsh(spark, sfDir)
