@@ -1466,15 +1466,23 @@ object Dedup {
     // truth = exact probe-restricted Jaccard; candidates = the
     // production banding under the SAME occupancy cap — the oracle
     // derives the probe stride from COUNT(*) exactly like the Spark
-    // side's recallEvery(docCount)
+    // side's recallEvery(docCount). The probe restriction is applied
+    // as an explicit MATERIALIZED probe-side frame BEFORE the shingle
+    // self-join, not as a WHERE the optimizer may or may not push
+    // below it: left as a post-join filter the a-side is the FULL
+    // Σdf² explode — at sf3 (150k docs, cross-copy near-dup families)
+    // that spilled past 70 GB where the probe-side frame is ~64 docs
+    // (the r13 "restrict the verify explodes to candidate docs"
+    // lesson, applied to the truth side).
     "minhash_recall" ->
       s"""WITH $sigBandsCtes,
          |prb AS (SELECT greatest(1, count(*) // $RecallProbes) AS e FROM documents),
          |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
-         |exs AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |exs AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |pexs AS MATERIALIZED (SELECT exs.* FROM exs, prb
+         |        WHERE exs.doc_id % prb.e = 0),
          |tp AS (SELECT a.doc_id AS p, b.doc_id AS d, count(*) AS c
-         |       FROM exs a JOIN exs b ON a.s = b.s AND a.doc_id <> b.doc_id
-         |       WHERE a.doc_id % (SELECT e FROM prb) = 0
+         |       FROM pexs a JOIN exs b ON a.s = b.s AND a.doc_id <> b.doc_id
          |       GROUP BY 1, 2),
          |truep AS (SELECT p, d FROM tp
          |          JOIN sz s1 ON s1.doc_id = p
@@ -1482,12 +1490,13 @@ object Dedup {
          |          WHERE CAST(c AS DOUBLE)/(s1.n + s2.n - c) >= 0.5),
          |ok AS (SELECT band, bsig FROM bands
          |       GROUP BY band, bsig HAVING count(*) <= $MaxBucket),
+         |pbands AS (SELECT bands.* FROM bands, prb
+         |           WHERE bands.doc_id % prb.e = 0),
          |cand AS (SELECT DISTINCT a.doc_id AS p, b.doc_id AS d
-         |         FROM bands a
+         |         FROM pbands a
          |         JOIN bands b ON b.band = a.band AND b.bsig = a.bsig
          |                     AND b.doc_id <> a.doc_id
-         |         JOIN ok ON ok.band = a.band AND ok.bsig = a.bsig
-         |         WHERE a.doc_id % (SELECT e FROM prb) = 0),
+         |         JOIN ok ON ok.band = a.band AND ok.bsig = a.bsig),
          |tru AS (SELECT p, count(*) AS n_true FROM truep GROUP BY p),
          |fnd AS (SELECT p, count(*) AS n_found
          |        FROM truep JOIN cand USING (p, d) GROUP BY p)

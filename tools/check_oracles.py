@@ -18,7 +18,7 @@ Usage: python3 tools/check_oracles.py <sfDir> <verifyOutDir> [query ...]
 Optional trailing query names restrict the check to those queries
 (resume after a crash, or re-verify one oracle after an edit).
 """
-import sys, os, json, glob, math
+import sys, os, json, glob, math, atexit, shutil
 import duckdb
 import numpy as np
 
@@ -53,9 +53,14 @@ def main(sf_dir, out_dir, only=None):
     con.sql(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '40GB')}'")
     # per-process spill dir: two concurrent checkers sharing one
     # temp_directory corrupt each other's spill files (observed as
-    # SIGSEGV / torn-read IO errors during the r9 sf3 parallel run)
+    # SIGSEGV / torn-read IO errors during the r9 sf3 parallel run).
+    # Cleaned up in the finally below — gate scripts must NOT glob-rm
+    # /tmp/duck_spill_* between chunks: during the r14 sf3 run that
+    # glob deleted a CONCURRENT checker's live spill dir mid-query
+    # ("Cannot open duckdb_temp_storage-0.tmp").
     spill = os.environ.get("GRAFT_DUCK_TMP", f"/tmp/duck_spill_{os.getpid()}")
     con.sql(f"SET temp_directory='{spill}'")
+    atexit.register(shutil.rmtree, spill, True)
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):

@@ -73,8 +73,10 @@ for q in "${QUERIES[@]}"; do
   chunk=/tmp/cc_sf10_r14_$q.json
   if [ -s "$chunk" ]; then echo "skip $q (chunk exists)"; continue; fi
   echo "=== oracle: $q ($(date +%H:%M:%S), free: $(df -h / | awk 'NR==2{print $4}'))"
+  # no glob-rm of /tmp/duck_spill_* here: check_oracles.py cleans its
+  # own per-pid spill dir at exit, and the glob deletes a CONCURRENT
+  # checker's live spill mid-query (the r14 sf3 incident)
   GRAFT_DUCK_MEM=${GRAFT_DUCK_MEM:-100GB} GRAFT_JSON_OUT="$chunk" \
     python3 tools/check_oracles.py "$SF" "$OUT" "$q" || true
-  rm -rf /tmp/duck_spill_* 2>/dev/null
 done
 echo "sf10 r14 gate chunks done"
