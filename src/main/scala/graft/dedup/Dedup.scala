@@ -1245,9 +1245,17 @@ object Dedup {
   /** CTE list of the full minhash pipeline (… → verified pairs) — the
     * shared prefix of the `minhash_neardup` oracle and the
     * component-resolution oracles. */
+  // pairs AS MATERIALIZED is load-bearing for the CLUSTER oracles:
+  // componentCtes references pairs four times (nodes twice, edges
+  // twice), and DuckDB's per-reference CTE inlining replays the whole
+  // cand/inter verify pipeline each time — minhash_neardup (one
+  // reference) completed its sf3 chunk while neardup_clusters (same
+  // prefix, four references) ENOSPC'd past 70 GB in the same r14 gate
+  // run. Materialized, inter runs once and the label rounds read a
+  // narrow pair list.
   private val minhashCtes =
     s"""$candInterCtes,
-       |pairs AS (SELECT d1, d2,
+       |pairs AS MATERIALIZED (SELECT d1, d2,
        |       round(CAST(c AS DOUBLE)/(n1.n + n2.n - c), 6) AS jaccard
        |FROM inter
        |JOIN n n1 ON n1.doc_id = d1
