@@ -1231,11 +1231,24 @@ object Dedup {
 
   /** Self-join candidates + exact intersection counts — the shared
     * middle of the Jaccard and containment oracles. */
+  // capb replays the ENGINE's MaxBucket occupancy cap
+  // ([[minhashCandidates]] drops buckets with > MaxBucket members
+  // before pair expansion). Through r14 the oracle self-join was
+  // uncapped — a LATENT divergence: it hash-matched only because no
+  // gated corpus holds an over-cap (band, bsig) bucket (the
+  // lsh_bucket_audit census pins over_cap = 0 at every certified
+  // rung), and the first rung with a hot boilerplate bucket would
+  // have surfaced it as a red row on the whole pair/cluster family.
+  // Capped, the oracle certifies the semantics the engine ships.
   private val candInterCtes =
     s"""$sigBandsCtes,
+       |capb AS (SELECT band, bsig FROM bands
+       |         GROUP BY band, bsig HAVING count(*) <= $MaxBucket),
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |         FROM bands a JOIN bands b
-       |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |         FROM bands a
+       |         JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+       |                     AND a.doc_id < b.doc_id
+       |         JOIN capb ON capb.band = a.band AND capb.bsig = a.bsig),
        |n AS (SELECT doc_id, len(sh) AS n FROM sh),
        |inter AS (SELECT d1, d2, count(*) AS c
        |          FROM cand JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) e1 ON e1.doc_id = d1
