@@ -2129,17 +2129,25 @@ object Similarity {
     * assignment with global cid = window-sum offset + local cell.
     * Callers must open with WITH RECURSIVE.
     *
-    * The corpus-scale elections (gtrain / fsup / hassign) window over
-    * NARROW materialized score frames (vec_id, cid, s) — the flat
-    * oracle's `sims` discipline. Windowing directly over the
-    * vector×centroid join carries the 64-dim DOUBLE[] through the
-    * sort: at the n=6M production rung that frame is 234M wide rows
-    * (~0.1 TB of spill — ENOSPC'd the first replay); narrowed, the
-    * same rows are ~6 GB and the replay completes in-memory. */
+    * The corpus-scale elections (fsup / hassign) are HASH-AGG shaped,
+    * not window-shaped: max(s) per vector, then min cell id among the
+    * exact-equal maxima (ties only arise from duplicate pad centroids,
+    * and min-id-among-max ≡ the kernel's strict-> ascending scan).
+    * Two n=6M replay failures taught the shape: (1) windowing the
+    * row_number election directly over the vector×centroid join
+    * carries the 64-dim DOUBLE[] through the sort — 234M wide rows,
+    * ~0.1 TB of spill, ENOSPC; (2) even over narrow materialized
+    * (vec_id, cid, s) frames, two 225M-row PARTITION BY sorts spilled
+    * past 68 GB. Hash aggregation over the same narrow frames needs
+    * only 6M-group tables. Norms are precomputed once per vector (in
+    * `v`) and per centroid (fsc/gcn) — same doubles, one dot per
+    * scored row instead of three. */
   private def hierAssignCtes: String = {
     val I = IvfIters
     val deficits = "list_transform(range(1, len(a.cells) + 1), j -> q.q[j] - a.cells[j])"
-    s"""v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
+       |     FROM embeddings),
        |$vtrainCtes,
        |nc AS (SELECT GREATEST($IvfCells, COUNT(*) // $TargetCellSize) AS c,
        |              CAST(CEIL(SQRT(CAST(GREATEST($IvfCells, COUNT(*) // $TargetCellSize) AS DOUBLE))) AS BIGINT) AS s
@@ -2194,27 +2202,26 @@ object Similarity {
        |  SELECT o.g, o.own + unnest(range(0, o.b - o.own)) AS lcid, sc.cv
        |  FROM gown o JOIN scents$I sc ON sc.cid = o.g),
        |${groupTrainingCtes.mkString(",\n")},
+       |fsc AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS nc FROM scents$I),
        |fsims AS MATERIALIZED (SELECT v.vec_id, c.cid,
-       |           list_dot_product(v.v, c.cv) /
-       |           (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
-       |         FROM v, scents$I c),
-       |fsup AS MATERIALIZED (SELECT vec_id, g FROM (
-       |    SELECT vec_id, cid AS g,
-       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
-       |    FROM fsims) t
-       |  WHERE rn = 1),
+       |           list_dot_product(v.v, c.cv) / (v.nv * c.nc) AS s
+       |         FROM v, fsc c),
+       |fsmax AS (SELECT vec_id, max(s) AS smax FROM fsims GROUP BY vec_id),
+       |fsup AS MATERIALIZED (SELECT f.vec_id, CAST(min(f.cid) AS BIGINT) AS g
+       |  FROM fsims f JOIN fsmax m ON m.vec_id = f.vec_id AND f.s = m.smax
+       |  GROUP BY f.vec_id),
+       |gcn AS (SELECT g, lcid, cv, sqrt(list_dot_product(cv, cv)) AS nc FROM gcents$I),
        |hsims AS MATERIALIZED (SELECT f.vec_id, c.lcid, o.off,
-       |           list_dot_product(vv.v, c.cv) /
-       |           (sqrt(list_dot_product(vv.v, vv.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+       |           list_dot_product(vv.v, c.cv) / (vv.nv * c.nc) AS s
        |         FROM fsup f
        |         JOIN v vv ON vv.vec_id = f.vec_id
-       |         JOIN gcents$I c ON c.g = f.g
+       |         JOIN gcn c ON c.g = f.g
        |         JOIN offsets o ON o.g = f.g),
-       |hassign AS MATERIALIZED (SELECT vec_id, cid FROM (
-       |    SELECT vec_id, CAST(off + lcid AS BIGINT) AS cid,
-       |           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, lcid) AS rn
-       |    FROM hsims) t
-       |  WHERE rn = 1)""".stripMargin
+       |hsmax AS (SELECT vec_id, max(s) AS smax FROM hsims GROUP BY vec_id),
+       |hassign AS MATERIALIZED (
+       |  SELECT h.vec_id, CAST(min(h.off + h.lcid) AS BIGINT) AS cid
+       |  FROM hsims h JOIN hsmax m ON m.vec_id = h.vec_id AND h.s = m.smax
+       |  GROUP BY h.vec_id)""".stripMargin
   }
 
   /** The banded sign-LSH bucket CTE (band = j div LshBits over the
