@@ -2141,7 +2141,13 @@ object Similarity {
     * past 68 GB. Hash aggregation over the same narrow frames needs
     * only 6M-group tables. Norms are precomputed once per vector (in
     * `v`) and per centroid (fsc/gcn) — same doubles, one dot per
-    * scored row instead of three. */
+    * scored row instead of three. The `hvin` boundary pins the group
+    * assignment's vector join to run BEFORE the cell fan-out: left as
+    * one three-way join, the optimizer is free to join the tiny cell
+    * frame first, and the 225M-row fan-out then carries the 64-dim
+    * centroid list per row (~0.1 TB again — the third n=6M ENOSPC).
+    * Materialized at 6M rows, the fan-out probe streams through the
+    * cell hash table straight into the narrow projection. */
   private def hierAssignCtes: String = {
     val I = IvfIters
     val deficits = "list_transform(range(1, len(a.cells) + 1), j -> q.q[j] - a.cells[j])"
@@ -2211,12 +2217,13 @@ object Similarity {
        |  FROM fsims f JOIN fsmax m ON m.vec_id = f.vec_id AND f.s = m.smax
        |  GROUP BY f.vec_id),
        |gcn AS (SELECT g, lcid, cv, sqrt(list_dot_product(cv, cv)) AS nc FROM gcents$I),
-       |hsims AS MATERIALIZED (SELECT f.vec_id, c.lcid, o.off,
-       |           list_dot_product(vv.v, c.cv) / (vv.nv * c.nc) AS s
-       |         FROM fsup f
-       |         JOIN v vv ON vv.vec_id = f.vec_id
-       |         JOIN gcn c ON c.g = f.g
-       |         JOIN offsets o ON o.g = f.g),
+       |hvin AS MATERIALIZED (SELECT f.vec_id, f.g, vv.v, vv.nv, o.off
+       |        FROM fsup f
+       |        JOIN v vv ON vv.vec_id = f.vec_id
+       |        JOIN offsets o ON o.g = f.g),
+       |hsims AS MATERIALIZED (SELECT h.vec_id, c.lcid, h.off,
+       |           list_dot_product(h.v, c.cv) / (h.nv * c.nc) AS s
+       |         FROM hvin h JOIN gcn c ON c.g = h.g),
        |hsmax AS (SELECT vec_id, max(s) AS smax FROM hsims GROUP BY vec_id),
        |hassign AS MATERIALIZED (
        |  SELECT h.vec_id, CAST(min(h.off + h.lcid) AS BIGINT) AS cid
