@@ -84,8 +84,13 @@ object Verify {
     // oracle_sql.json instead of clobbering the full census with the
     // subset (the r14 sf3 re-dump footgun: "re-dump the 3 ENOSPC'd
     // queries" must not shrink the gate's 192-query oracle file to 3).
-    // Jackson rides Spark's own classpath, so the read-back needs no
-    // new dependency.
+    // The merge keeps only the existing file's KEY SET (which queries
+    // have dumps in this dir); SQL TEXT always comes from the current
+    // code, and keys no longer in SparkEntry.oracleSql are dropped —
+    // a renamed/removed query must not persist forever, and an
+    // oracle-SQL edit to a non-filtered query must not be silently
+    // re-certified from the old file (r14 advice). Jackson rides
+    // Spark's own classpath, so the read-back needs no new dependency.
     val jsonPath = Paths.get(s"$outDir/oracle_sql.json")
     val fresh = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
@@ -93,9 +98,10 @@ object Verify {
       if (only.isDefined && Files.exists(jsonPath)) {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(Files.readString(jsonPath))
-        val existing = scala.collection.mutable.LinkedHashMap.empty[String, String]
-        node.fields().forEachRemaining(e => existing(e.getKey) = e.getValue.asText())
-        (existing ++ fresh).toMap
+        val existingKeys = scala.collection.mutable.LinkedHashSet.empty[String]
+        node.fieldNames().forEachRemaining(k => existingKeys += k)
+        (existingKeys.filter(SparkEntry.oracleSql.contains) ++ fresh.keys)
+          .map(k => k -> SparkEntry.oracleSql(k)).toMap
       } else fresh
     val json = merged
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

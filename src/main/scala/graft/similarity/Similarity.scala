@@ -810,7 +810,10 @@ object Similarity {
     * supercluster Lloyd stage, the largest-deficit cell allocation,
     * the per-group seeding/padding, the keyed group Lloyd loop, and
     * the two-stage assignment all face a DuckDB hash-match at EVERY
-    * oracle-gated SF (S = 4 groups at sf0.01, 13 at sf3, 23 at sf10)
+    * oracle-gated SF (S = 4 groups at sf0.01 through sf3 where C = 16;
+    * multi-group coverage widens only on the bigger fixtures — S = 7
+    * at n=200k, 39 at the n=6M production rung,
+    * `artifacts/correctness_hier_r14.json`)
     * — the certification form the S = 1 bit-equivalence spec and the
     * recall-parity A/Bs could not provide. Above the threshold
     * (C > 512), where [[ivfAssign]] dispatches to the identical

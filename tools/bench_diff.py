@@ -140,6 +140,10 @@ def main():
                     help="per-query min regression (s) to report")
     ap.add_argument("--since", default=None,
                     help="git ref; movers labeled touched/untouched vs it")
+    ap.add_argument("--fail-on-movers", action="store_true",
+                    help="exit 2 when any mover is reported — lets the "
+                         "close protocol enforce 'movers must be "
+                         "triaged or it doesn't ship' (r14 ADVICE)")
     ns = ap.parse_args()
     threshold, since = ns.threshold, ns.since
     old, old_is_min = min_map(ns.old)
@@ -169,6 +173,8 @@ def main():
           f"(ratio {nsum / osum:.3f}) over {len(common)} queries; "
           f"{len(set(new) - set(old))} new, {len(set(old) - set(new))} "
           "removed")
+    if movers and ns.fail_on_movers:
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -58,9 +58,31 @@ def main(sf_dir, out_dir, only=None):
     # /tmp/duck_spill_* between chunks: during the r14 sf3 run that
     # glob deleted a CONCURRENT checker's live spill dir mid-query
     # ("Cannot open duckdb_temp_storage-0.tmp").
-    spill = os.environ.get("GRAFT_DUCK_TMP", f"/tmp/duck_spill_{os.getpid()}")
+    # Only auto-delete a spill dir THIS process created (the per-pid
+    # default). An operator-supplied GRAFT_DUCK_TMP may be a shared or
+    # pre-existing scratch dir — rmtree'ing it at exit would destroy a
+    # concurrent checker's live spill (the exact "Cannot open
+    # duckdb_temp_storage-*.tmp" incident) or unrelated contents; the
+    # operator owns its lifecycle.
+    if "GRAFT_DUCK_TMP" in os.environ:
+        spill = os.environ["GRAFT_DUCK_TMP"]
+    else:
+        spill = f"/tmp/duck_spill_{os.getpid()}"
+        atexit.register(shutil.rmtree, spill, True)
+        # Reclaim spill dirs leaked by SIGKILL/OOM-killed checkers
+        # (atexit never ran): per-pid dirs whose pid is no longer
+        # alive. Feeds-ENOSPC fix — nothing else reclaims these.
+        for stale in glob.glob("/tmp/duck_spill_*"):
+            try:
+                pid = int(stale.rsplit("_", 1)[1])
+                os.kill(pid, 0)  # raises if pid is dead
+            except ValueError:
+                continue
+            except ProcessLookupError:
+                shutil.rmtree(stale, ignore_errors=True)
+            except PermissionError:
+                pass  # pid alive under another uid — leave it
     con.sql(f"SET temp_directory='{spill}'")
-    atexit.register(shutil.rmtree, spill, True)
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
