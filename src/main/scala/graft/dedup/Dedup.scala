@@ -1065,7 +1065,13 @@ object Dedup {
     * unchanged. The rounds cap mirrors the oracle's fixed unroll
     * ([[ComponentOracleRounds]]); near-dup components are dup-family
     * near-cliques (diameter 1–2), and an insufficient cap lands as a
-    * wrong label — a red row — never a silent pass.
+    * wrong label — a red row — never a silent pass. Because the
+    * oracle unrolls the SAME depth, a crafted over-diameter component
+    * could make both sides agree on a truncated answer — DedupSpec's
+    * sliding-window chain specs pin that regime: a component whose
+    * positional extent exceeds the budget visibly diverges from the
+    * cap-free full resolution (the suite's guard), while cap-safe
+    * shapes reach fixpoint early and match it exactly.
     *
     * Plan shape per round: the banding frame streams against a
     * broadcast frontier-bucket list; frontier-hit buckets are kept

@@ -590,4 +590,88 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(prop.nonEmpty && prop.sameElements(star))
   }
+
+  /** Sliding-window near-dup CHAIN: doc i = 52 consecutive words from a
+    * shared vocabulary at stride 1, so doc i and doc i+d share 50−d of
+    * their 50 word-3gram shingles — Jaccard (50−d)/(50+d), which is
+    * ≥ 0.5 exactly for d ≤ 16 and < 0.5 from d = 17. The verify stage
+    * therefore caps edge SPAN at 16 positions structurally, independent
+    * of what the banding surfaces. */
+  private def writeChainCorpus(n: Int, tag: String): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_chain_$tag").toString
+    val words = (0 until n + 51).map(i => s"cw$i")
+    (0 until n).map(i => (i.toLong, words.slice(i, i + 52).mkString(" ")))
+      .toDF("doc_id", "text")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("probe closure: a chain whose diameter exceeds ComponentOracleRounds " +
+    "VISIBLY diverges from the full resolution — the rounds cap cannot " +
+    "silently truncate (r14 verdict What's-wrong #2)") {
+    import spark.implicits._
+    // 600 docs. The banded graph may drop individual chain links (the
+    // affine minhash rows share one base hash per shingle, so a
+    // one-position slide occasionally changes all 8 bands — measured
+    // ~0.4% of links), splitting the chain into a few long interval
+    // components. So the premise is data-driven: take the cap-free
+    // full resolution's components, and find probes whose POSITIONAL
+    // extent inside their component exceeds what the rounds budget
+    // can reach. Max verified edge span is 16 (see writeChainCorpus),
+    // so 16 BFS rounds reach at most 16·16 = 256 positions either way
+    // from a probe — structurally, independent of banding.
+    val n = 600
+    val dir = writeChainCorpus(n, "long")
+    val reach = 16L * Dedup.ComponentOracleRounds // 256 positions
+    val full = Dedup.neardupClusters(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val every = Dedup.recallEvery(n.toLong)
+    // component extents: docs are chain positions, components are
+    // position intervals, so per cluster_id take (lo, hi, size)
+    val comps = full.groupBy(_._2).map { case (cid, rows) =>
+      cid -> ((rows.map(_._1).min, rows.map(_._1).max, rows.head._3))
+    }
+    val expected = full.filter(r => r._1 % every <= 1)
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // probes the budget provably cannot close: distance from probe to
+    // the far end of its interval exceeds the total reachable span
+    val overCap = expected.keys.filter { p =>
+      val cid = expected(p)._1
+      val (lo, hi, _) = comps(cid)
+      math.max(p - lo, hi - p) > reach
+    }.toSeq.sorted
+    assert(overCap.nonEmpty,
+      s"fixture premise broke: no probe is over the rounds budget — " +
+        s"components ${comps.values.toSeq.sortBy(_._1)}; regenerate the " +
+        "chain longer if banding constants changed")
+    val slice = Dedup.neardupClustersSlice(spark, dir)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // every over-budget probe lands as a VISIBLE divergence from the
+    // cap-free full resolution — a strictly smaller component, never a
+    // silent agreement with a truncated answer
+    for (p <- overCap) {
+      assert(slice(p)._2 < expected(p)._2,
+        s"probe $p should hit the rounds cap: slice=${slice(p)} " +
+          s"full=${expected(p)} — if equal, the cap became a silent truncation")
+    }
+    assert(slice != expected, "over-cap chain must not reproduce the full resolution")
+  }
+
+  test("probe closure: fixpoint (empty frontier) lands before the rounds cap " +
+    "on a cap-safe chain, and equals the full resolution exactly") {
+    import spark.implicits._
+    // 40 docs: every = 1, ALL docs are probes; worst eccentricity is
+    // 39 positions / spans up to 16 ≈ 3–13 rounds < ComponentOracleRounds,
+    // so the closure reaches fixpoint early and must equal the global
+    // resolution row-for-row (the equality contract on a REAL shape)
+    val dir = writeChainCorpus(40, "short")
+    val full = Dedup.neardupClusters(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full.size == 40 && full.forall(r => r._2 == 0L && r._3 == 40L),
+      s"short-chain premise broke: ${full.take(3)}")
+    val slice = Dedup.neardupClustersSlice(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(slice == full, "closure at fixpoint must equal the full resolution")
+  }
 }
