@@ -32,8 +32,38 @@ OUT=${2:-/tmp/verify_sf10_full_r15}
 VERDICTS=/tmp/sf10_r15_verdicts.txt
 FLOOR=${GRAFT_DISK_FLOOR_GB:-20}
 
+# Documented exclusion (the r14 verdict's own suggested shape — "like
+# Bench.PairBoundQueries but for oracle feasibility"): the 18
+# pair-bound queries are excluded from the sf10 board END-TO-END. The
+# measured wall is the ENGINE side, not just the oracle —
+# artifacts/bench_sf10_pairbound_r15.json clocks minhash_neardup at
+# ~1022 s for ONE sf10 run, and the board would pay it twice (dump +
+# DuckDB pair-join replay, the latter spill-infeasible at sf10 per the
+# sf3 experience). Their pipelines are certified at sf10 by the
+# probe-bounded slice twins in the 16-query gate
+# (artifacts/correctness_sf10_r13.json and the r14 recall-floor gate).
+# The three pair-bound-ENGINE slices (bigstar/fold/compact) stay ON
+# the board: the r14 sf10 gate already ran their engine+oracle at
+# sf10 green, so they are board-feasible — only the 15 FULL queries
+# are excluded.
+PAIRBOUND="minhash_neardup minhash_incremental minhash_incremental_indexed \
+shingle_containment neardup_clusters neardup_clusters_indexed \
+neardup_clusters_bigstar index_retract ingest_dedup_fold index_compact \
+corpus_pipeline_funnel corpus_rejection_ledger training_set_select_neardup \
+train_eval_split_neardup embedding_neardup_lsh"
+for q in $PAIRBOUND; do
+  grep -q "^$q	" "$VERDICTS" 2>/dev/null || \
+    printf '%s\tpairbound_excluded_slice_certified_sf10\n' "$q" >> "$VERDICTS"
+done
+ONLY=$(python3 -c "
+import json
+pb = set('''$PAIRBOUND'''.split())
+qs = sorted(json.load(open('CORRECTNESS_r14.json')))
+print(','.join(q for q in qs if q not in pb))")
+
 if [ ! -f "$OUT/oracle_sql.json" ]; then
   SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-64g} SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
+  SPARK_GRAFT_ONLY="$ONLY" \
     sbt -batch "runMain graft.Verify $SF $OUT" \
     > /tmp/verify_sf10_full_r15_sbt.log 2>&1 || {
       tail -20 /tmp/verify_sf10_full_r15_sbt.log; exit 1; }
