@@ -15,6 +15,8 @@ for f in sorted(glob.glob("/tmp/bench_sf10_pb_*.json")):
     d = json.load(open(f))
     sf = d.get("sf", sf)
     for q, v in d.get("queries_min", {}).items():
+        if v < 0:  # killed mid-run: Bench's not-yet-measured sentinel
+            continue
         rows[q] = {"sec_min": round(v, 3),
                    "sec_first": round(d.get("queries_first", {}).get(q, v), 3),
                    "records": d.get("records", {}).get(q),
