@@ -24,8 +24,16 @@ for f in sorted(glob.glob("/tmp/bench_sf10_pb_*.json")):
 verdict_file = "/tmp/sf10_pb_verdicts.txt"
 if os.path.exists(verdict_file):
     for line in open(verdict_file):
-        q, v = line.strip().split("\t")
-        rows.setdefault(q, {})["verdict"] = v
+        parts = line.strip().split("\t")
+        if len(parts) != 2 or not parts[0]:
+            continue  # blank / malformed append — not a verdict
+        q, v = parts
+        # The verdict file is append-only across runs and the runner
+        # skips queries with existing rows, so a stale timeout line
+        # must not relabel a later measured run: a row with sec_min
+        # keeps its "ran" verdict.
+        if "sec_min" not in rows.get(q, {}):
+            rows.setdefault(q, {})["verdict"] = v
 json.dump({"sf": sf, "reps": 1, "note": "full pair-bound family at sf10; "
            "timeout/skip verdicts are recorded outcomes, not absences",
            "rows": rows}, open(OUT, "w"), indent=1, sort_keys=True)

@@ -42,10 +42,12 @@ FLOOR=${GRAFT_DISK_FLOOR_GB:-20}
 # sf3 experience). Their pipelines are certified at sf10 by the
 # probe-bounded slice twins in the 16-query gate
 # (artifacts/correctness_sf10_r13.json and the r14 recall-floor gate).
-# The three pair-bound-ENGINE slices (bigstar/fold/compact) stay ON
-# the board: the r14 sf10 gate already ran their engine+oracle at
-# sf10 green, so they are board-feasible — only the 15 FULL queries
-# are excluded.
+# The three pair-bound-ENGINE slice twins — the distinct queries
+# neardup_clusters_bigstar_slice, ingest_dedup_fold_slice, and
+# index_compact_slice (NOT the full bigstar/fold/compact queries,
+# which are in the 15-entry list below) — stay ON the board: the r14
+# sf10 gate already ran their engine+oracle at sf10 green, so they
+# are board-feasible — only the 15 FULL queries are excluded.
 PAIRBOUND="minhash_neardup minhash_incremental minhash_incremental_indexed \
 shingle_containment neardup_clusters neardup_clusters_indexed \
 neardup_clusters_bigstar index_retract ingest_dedup_fold index_compact \
@@ -95,7 +97,7 @@ for q in $QUERIES; do
   if grep -q "^$q	" "$VERDICTS" 2>/dev/null; then
     echo "skip $q (verdict recorded)"; continue; fi
   if [ ! -d "$OUT/$q" ]; then continue; fi   # recorded above
-  free_gb=$(df -BG / | awk 'NR==2{gsub("G","",$4); print $4}')
+  free_gb=$(df -BG "$SF" | awk 'NR==2{gsub("G","",$4); print $4}')
   if [ "$free_gb" -lt "$FLOOR" ]; then
     echo -e "$q\tskipped_disk_floor_${free_gb}GB" >> "$VERDICTS"
     echo "SKIP $q: only ${free_gb} GB free (< ${FLOOR})"; continue

@@ -24,7 +24,7 @@ corpus_pipeline_funnel embedding_neardup_lsh"}
 for q in $QUERIES; do
   out=/tmp/bench_sf10_pb_$q.json
   if [ -s "$out" ]; then echo "skip $q (row exists)"; continue; fi
-  free_gb=$(df -BG / | awk 'NR==2{gsub("G","",$4); print $4}')
+  free_gb=$(df -BG "$SF" | awk 'NR==2{gsub("G","",$4); print $4}')
   if [ "$free_gb" -lt "${GRAFT_DISK_FLOOR_GB:-20}" ]; then
     echo -e "$q\tskipped_disk_floor_${free_gb}GB" >> "$VERDICTS"; continue
   fi
