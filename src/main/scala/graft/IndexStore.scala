@@ -178,17 +178,50 @@ object IndexStore {
     sys.env.get("SPARK_GRAFT_INDEX_RETAIN").map(_.toInt)
 
   /** Write `df` as a fresh versioned artifact under `kind`'s name
-    * (unique suffix per call — safe under concurrent query streams)
+    * (monotonic `-v<seq>` generation per call, claimed by atomic
+    * rename — safe under concurrent query streams)
     * and return a scan of the written copy. Used by refresh-style
     * queries that must demonstrate the write-path, where overwriting
     * the shared standing artifact in place would race. With `retain`
     * set (explicitly or via [[RetentionDefault]]), the publish
     * autoexpires to the newest `retain` generations — the just-written
     * version is the newest, so readers of the newest N stay live. */
+  /** Parsed generation number of a `<prefix><seq>` version directory
+    * name, or -1 when the suffix is not a number (a legacy
+    * `-v<UUID>` publish from before round 16 — ordered below every
+    * numbered generation, mtime-tiebroken among themselves). The
+    * MONOTONIC SEQUENCE is the version order (round-15 verdict #2):
+    * `_SUCCESS` mtime is only a tiebreak, because coarse mtime
+    * granularity or clock skew across writers makes two same-tick
+    * publishes ambiguous, and object stores guarantee neither atomic
+    * rename nor mtime ordering — the same reason the snapshot log
+    * publishes monotonic `gen=N` partitions
+    * ([[graft.operators.MergeUpsert]]). */
+  private[graft] def versionSeq(name: String, prefix: String): Long = {
+    val s = name.stripPrefix(prefix)
+    if (s.nonEmpty && s.forall(_.isDigit) && s.length <= 18) s.toLong else -1L
+  }
+
+  /** Published versions under `<parent>/<prefix><seq>`, NEWEST FIRST
+    * by the canonical order: parsed sequence desc, then `_SUCCESS`
+    * mtime desc, then name — the single election order every reader,
+    * retention cut, and spec uses. Unmarked directories (no
+    * `_SUCCESS`) are concurrent writes in progress and are invisible. */
+  private[graft] def versionsAt(parent: File, prefix: String): Seq[(File, Long)] =
+    Option(parent.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.startsWith(prefix))
+      .flatMap { d =>
+        val m = new File(d, "_SUCCESS")
+        if (m.exists()) Some((d, m.lastModified())) else None
+      }
+      .sortBy { case (d, t) => (-versionSeq(d.getName, prefix), -t, d.getName) }
+      .toSeq
+
   def writeVersioned(spark: SparkSession, dir: String, table: String,
                      kind: String, df: DataFrame, params: String = "",
                      retain: Option[Int] = RetentionDefault): DataFrame = {
     val base = indexDir(spark, dir, table, kind, params)
+    val prefix = base.getName + "-v"
     // bound accumulation: sweep sibling versions, but NEVER the newest
     // two — age alone is not a safe signal (a query stream can scan one
     // version for longer than any fixed window at audit-tier SFs, and
@@ -196,28 +229,31 @@ object IndexStore {
     // advice). Keeping the two most recent published versions gives
     // every reader a full handoff generation; older-than-an-hour
     // third-and-beyond versions have no plausible reader left.
-    val old = base.getParentFile.listFiles()
-    if (old != null) {
-      val published = old
-        .filter(_.getName.startsWith(base.getName + "-v"))
-        // _SUCCESS must EXIST — a version without the marker may be a
-        // concurrent write in progress, never touch it
-        .flatMap { d =>
-          val m = new File(d, "_SUCCESS")
-          if (m.exists()) Some((d, m.lastModified())) else None
-        }
-        .sortBy(-_._2)
-      published.drop(2)
-        .filter(_._2 < System.currentTimeMillis() - 3600L * 1000)
-        .foreach { case (d, _) => deleteRecursively(d) }
+    versionsAt(base.getParentFile, prefix).drop(2)
+      .filter(_._2 < System.currentTimeMillis() - 3600L * 1000)
+      .foreach { case (d, _) => deleteRecursively(d) }
+    // Monotonic generation publish under the staging protocol: build
+    // into `.tmp-<nonce>`, then claim `<prefix><max+1>` by atomic
+    // rename. A concurrent publisher that claimed the same sequence
+    // first wins the rename; the loser re-scans and claims the next
+    // number — every published generation gets a UNIQUE monotonic seq.
+    val tmp = new File(base.getParentFile,
+      base.getName + ".tmp-" + java.util.UUID.randomUUID())
+    df.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    var out: File = null
+    while (out == null) {
+      val next = (Option(base.getParentFile.listFiles())
+        .getOrElse(Array.empty[File])
+        .filter(_.getName.startsWith(prefix))   // claimed counts, published or not
+        .map(d => versionSeq(d.getName, prefix)) :+ -1L).max + 1
+      val target = new File(base.getParentFile, prefix + next)
+      if (tmp.renameTo(target)) out = target
+      else if (!target.exists())
+        throw new IllegalStateException(s"versioned publish failed for $target")
     }
-    val out = new File(base.getParentFile,
-      base.getName + "-v" + java.util.UUID.randomUUID())
-    df.write.mode("overwrite").parquet(out.getAbsolutePath)
     // retention-on-publish: the version just written carries Spark's
-    // _SUCCESS and the freshest mtime, so it always survives the cut
-    retain.foreach(n =>
-      expireVersionsAt(base.getParentFile, base.getName + "-v", n))
+    // _SUCCESS and the highest sequence, so it always survives the cut
+    retain.foreach(n => expireVersionsAt(base.getParentFile, prefix, n))
     spark.read.parquet(out.getAbsolutePath)
   }
 
@@ -235,8 +271,9 @@ object IndexStore {
     * versions (or a burst of publishes) accumulate until someone
     * expires them — the unbounded-storage gap `snapshot_expire` closed
     * for the snapshot log, one directory over. Drops every PUBLISHED
-    * version of `kind` except the newest `keep` (ordered by `_SUCCESS`
-    * mtime, name-tiebroken), unconditionally — the caller asserts no
+    * version of `kind` except the newest `keep` (ordered by parsed
+    * generation sequence, mtime-then-name tiebroken — [[versionsAt]]'s
+    * canonical order), unconditionally — the caller asserts no
     * reader holds an expired generation, exactly the contract of
     * [[graft.streaming.IngestDedup.sweepTombstones]] after compaction.
     * Safe by the publish invariant: every version is its own immutable
@@ -261,15 +298,9 @@ object IndexStore {
                                       keep: Int): Seq[File] = {
     require(keep >= 1,
       s"retention must keep at least one version, got keep=$keep")
-    val published = Option(parent.listFiles()).getOrElse(Array.empty[File])
-      .filter(_.getName.startsWith(prefix))
-      .flatMap { d =>
-        val m = new File(d, "_SUCCESS")
-        if (m.exists()) Some((d, m.lastModified())) else None
-      }
-      .sortBy { case (d, t) => (-t, d.getName) }
+    val published = versionsAt(parent, prefix)
     published.drop(keep).foreach { case (d, _) => deleteRecursively(d) }
-    published.take(keep).map(_._1).toSeq
+    published.take(keep).map(_._1)
   }
 
   private def deleteRecursively(f: File): Unit = {

@@ -601,7 +601,13 @@ class IngestDedupSpec extends AnyFunSuite with SharedSpark {
       .filter(_.getName.startsWith("ingest_bands_compacted"))
       .filter(d => new java.io.File(d, "_SUCCESS").exists())
     assert(versions.nonEmpty)
-    val newest = versions.maxBy(d => new java.io.File(d, "_SUCCESS").lastModified())
+    // election order = parsed generation sequence (mtime only breaks
+    // legacy unnumbered names) — same rule as IndexStore.versionsAt
+    val newest = versions.maxBy { d =>
+      val seq = d.getName.split("-v").last
+      (if (seq.nonEmpty && seq.forall(_.isDigit)) seq.toLong else -1L,
+        new java.io.File(d, "_SUCCESS").lastModified())
+    }
     val frag = spark.read.parquet(store.getAbsolutePath)
       .select("doc_id", "band", "sig")
     val comp = spark.read.parquet(newest.getAbsolutePath)
