@@ -430,10 +430,42 @@ object Dedup {
 
   // ---- exact n-gram Jaccard (quadratic baseline) ----
 
+  /** Hard corpus-size cap for the DECLARED-quadratic audit baselines
+    * (r15 verdict #4): `ngram_jaccard` is kept solely to certify its
+    * scalable twins, and its shared-shingle self-join shuffles
+    * Σf²-many candidate pairs — measured ENOSPC at sf10 (r15, the
+    * engine shuffle, not the oracle). The cap admits every certified
+    * audit rung (sf3 = 150k docs) and REFUSES larger corpora with an
+    * explicit error instead of spilling the box: Bench records the
+    * message as the query's error row and a Verify dump records an
+    * engine-side verdict — a defined outcome at every rung, never an
+    * ENOSPC. Raise deliberately via SPARK_GRAFT_AUDIT_MAX_DOCS. */
+  val AuditMaxDocs: Long =
+    sys.env.get("SPARK_GRAFT_AUDIT_MAX_DOCS").map(_.toLong).getOrElse(200000L)
+
   /** All pairs with word-3gram Jaccard >= 0.5. Shared-shingle self-join:
     * explode distinct shingles, join on shingle, count intersections,
-    * Jaccard = |∩| / (|A|+|B|-|∩|). */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    * Jaccard = |∩| / (|A|+|B|-|∩|). Refuses corpora beyond
+    * [[AuditMaxDocs]] — see the cap's docstring. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardCapped(spark, dir, AuditMaxDocs)
+
+  /** Memoized per-corpus doc count for the audit-cap guard — the
+    * guard must not re-pay a count job on every bench rep. */
+  private val docCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def ngramJaccardCapped(spark: SparkSession, dir: String,
+                                        maxDocs: Long): DataFrame = {
+    // zero-column parquet count (column-pruned scan over footer
+    // row-counts), memoized per corpus dir
+    val nDocs: Long = docCountMemo.computeIfAbsent(dir,
+      _ => spark.read.parquet(s"$dir/documents.parquet").count())
+    require(nDocs <= maxDocs,
+      s"ngram_jaccard is the declared O(n^2) audit-tier baseline: " +
+        s"$nDocs docs exceeds the $maxDocs-doc cap (measured sf10 engine " +
+        s"ENOSPC, r15). Run the scalable twins (minhash_neardup family) " +
+        s"at this scale, or raise SPARK_GRAFT_AUDIT_MAX_DOCS deliberately.")
     val docs = cachedDocShingles(spark, dir)
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))

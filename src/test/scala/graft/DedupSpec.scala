@@ -47,6 +47,22 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(exact.nonEmpty, "fixture should contain injected near-dups")
   }
 
+  test("ngram_jaccard audit cap: corpora beyond AuditMaxDocs are refused " +
+    "with the declared-baseline error, never run (r15 verdict #4)") {
+    // the sf0.001 fixture is far under the default cap: runs normally
+    assert(Dedup.ngramJaccard(spark, sfDir).columns.sameElements(
+      Array("d1", "d2", "jaccard")))
+    // over-cap corpus: the guard fires BEFORE any shingle/join work,
+    // with the message Bench records as the query's error row
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardCapped(spark, sfDir, maxDocs = 1)
+    }
+    assert(e.getMessage.contains("audit-tier baseline")
+      && e.getMessage.contains("SPARK_GRAFT_AUDIT_MAX_DOCS"))
+    // the certified audit rungs stay admitted: sf3 is 150k docs
+    assert(Dedup.AuditMaxDocs >= 150000L)
+  }
+
   test("minhash_recall: probe census consistent with the exact/banded pair sets") {
     import spark.implicits._
     val every = Dedup.recallEvery(
