@@ -80,7 +80,7 @@ print(','.join(q for q in sorted(json.load(open('$CENSUS'))) if q not in ex))")
 fi
 
 if [ ! -f "$OUT/oracle_sql.json" ]; then
-  SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-64g} SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
+  env SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-64g} SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-24} \
   ${ONLY:+SPARK_GRAFT_ONLY="$ONLY"} \
     sbt -batch "runMain graft.Verify $SF $OUT" \
     > /tmp/verify_${TAG}_sbt.log 2>&1 || {
