@@ -112,6 +112,17 @@ object IndexStore {
     * spec observability for "the second session read, not rebuilt". */
   private[graft] val builds = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Artifact writes ride an AQE REBALANCE (guide §6 — sensible output
+    * file sizing for anything you write): without it the artifact
+    * inherits the builder's task count (32 near-empty files for a
+    * 38k-row band index locally; thousands of small files from a wide
+    * shuffle at scale), paying one commit round-trip per file on write
+    * and one open per file on every later scan. The rebalance exchange
+    * lets AQE coalesce to `advisoryPartitionSizeInBytes` chunks — one
+    * file at test SFs, 64 MB-sized files at 100 TB — from the same
+    * knob, no local-only constant. */
+  private def sizedForWrite(df: DataFrame): DataFrame = df.hint("rebalance")
+
   def getOrBuild(spark: SparkSession, dir: String, table: String,
                  kind: String, params: String = "")
                 (build: => DataFrame): DataFrame = {
@@ -121,7 +132,7 @@ object IndexStore {
       builds.incrementAndGet()
       val tmp = new File(target.getParentFile,
         target.getName + ".tmp-" + java.util.UUID.randomUUID())
-      build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      sizedForWrite(build).write.mode("overwrite").parquet(tmp.getAbsolutePath)
       // first writer wins; a loser (concurrent builder or a crashed
       // run's leftover) just discards its copy and reads the winner
       if (!tmp.renameTo(target) || !isComplete(target)) {
@@ -219,7 +230,8 @@ object IndexStore {
 
   def writeVersioned(spark: SparkSession, dir: String, table: String,
                      kind: String, df: DataFrame, params: String = "",
-                     retain: Option[Int] = RetentionDefault): DataFrame = {
+                     retain: Option[Int] = RetentionDefault,
+                     sizeForWrite: Boolean = true): DataFrame = {
     val base = indexDir(spark, dir, table, kind, params)
     val prefix = base.getName + "-v"
     // bound accumulation: sweep sibling versions, but NEVER the newest
@@ -239,7 +251,10 @@ object IndexStore {
     // number — every published generation gets a UNIQUE monotonic seq.
     val tmp = new File(base.getParentFile,
       base.getName + ".tmp-" + java.util.UUID.randomUUID())
-    df.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    // callers that size their own output (index_compact's deliberate
+    // ceil(rows/CompactRowsPerFile) repartition) pass sizeForWrite=false
+    val sized = if (sizeForWrite) sizedForWrite(df) else df
+    sized.write.mode("overwrite").parquet(tmp.getAbsolutePath)
     var out: File = null
     while (out == null) {
       val next = (Option(base.getParentFile.listFiles())

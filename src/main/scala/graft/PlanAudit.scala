@@ -16,7 +16,10 @@ object PlanAudit {
     // surfaced by the round-11 additions landing after the crash)
     val spark = Sessions.builder("local[4]", 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
+    // default sf0.001 keeps the audit instant; the optimization rounds
+    // audit at the bench SF instead (broadcast/AQE decisions are
+    // size-dependent) — override via SPARK_GRAFT_SF_DIR
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "filter_project", "join_orders_customers", "wordcount_total",
       "group_agg_sum", "anti_join_no_big_orders", "minhash_neardup",

@@ -1127,6 +1127,11 @@ object Dedup {
       var frontier = reached
       var round = 0
       while (round < ComponentOracleRounds && !frontier.isEmpty) {
+        // (A fused no-intermediate-checkpoint variant was measured in
+        // round 16 and REJECTED: collapsing the round into one action
+        // duplicated the window/distinct subtrees past what
+        // ReusedExchange recovers — 3.6→4.9 s. The eager per-stage
+        // checkpoints stay; the win below is the probe-bounded verify.)
         // the frontier docs' band rows (≤ frontier·bands — broadcast side)
         val fBands = b.join(
             broadcast(frontier.select(col("d").as("doc_id")).distinct()),
@@ -1152,8 +1157,25 @@ object Dedup {
           .localCheckpoint(true)
         val jac = col("c").cast(DoubleType) /
           (col("n1") + col("n2") - col("c")).cast(DoubleType)
-        val verified = verifiedIntersections(docs,
-            pPairs.select("d1", "d2").distinct(), "d1", "d2")
+        // Probe-bounded verify (round-16 optimization; guide §2.4 —
+        // remove shuffles outright): the round's candidate set is
+        // ≤ frontier·bands·[[MaxBucket]] pairs BY DESIGN (that is the
+        // slice family's contract), so unlike the corpus-bound verifies
+        // this one may cut the docs side down FIRST — a broadcast
+        // semi-join on the candidates' id list (longs; ≤2·|cands| of
+        // them) leaves a docs subset of component size, and the
+        // shared merge-pinned verify then sorts hundreds of rows, not
+        // the corpus. The previous shape re-shuffled the FULL persisted
+        // shingle frame by d1 and d2 EVERY round (plan audit: 2 corpus
+        // Exchanges per round; shuffle reuse never fires across the
+        // loop's separate actions). Results are identical — the semi-
+        // join drops only docs no candidate pair references.
+        val cands = pPairs.select("d1", "d2").distinct()
+        val candIds = cands.select(col("d1").as("doc_id"))
+          .union(cands.select(col("d2").as("doc_id"))).distinct()
+        val vdocs = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+        val verified = verifiedIntersections(vdocs, cands, "d1", "d2")
           .filter(jac >= 0.5).select("d1", "d2")
         val fresh = pPairs.join(verified, Seq("d1", "d2"), "left_semi")
           .select(col("p"), col("d2").as("d")).distinct()

@@ -48,9 +48,35 @@ object PageRank {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val nodeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val nodeCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
 
-  def clearCaches(spark: SparkSession): Unit =
+  def clearCaches(spark: SparkSession): Unit = {
     graft.SessionCaches.clear(spark, Seq(edgeCache, nodeCache))
+    nodeCountCache.keySet.removeIf(_._1 eq spark)
+    ()
+  }
+
+  /** Node-count ceiling for broadcasting the per-round rank/inflow
+    * frames (round-16 optimization; guide §3.1 — pick the join
+    * strategy deliberately). Ranks are one (node, long) row per graph
+    * node: ≤10⁶ nodes is tens of MB of build state, safely inside
+    * executor budgets, and broadcasting them makes each round ONE scan
+    * of the cached edge frame (no per-round shuffle+sort of the edges —
+    * the plan audit showed SortMergeJoin re-exchanging the 2·|pairs|
+    * edge frame every round). Past the ceiling the joins fall back to
+    * the planner's shuffle strategy, the only shape that survives a
+    * billion-node graph — same gate pattern as
+    * [[graft.dedup.BandIndex.ClusterBroadcastMaxRows]]. */
+  val RankBroadcastMaxRows = 1000000L
+
+  /** Broadcast the per-round small side iff the node census (memoized,
+    * one count job per session+corpus) fits the ceiling. */
+  private def rankSideHint(spark: SparkSession, dir: String): DataFrame => DataFrame = {
+    val n = nodeCountCache.computeIfAbsent((spark, dir),
+      { _ => Long.box(cachedNodes(spark, dir).count()) }).longValue()
+    if (n <= RankBroadcastMaxRows) df => broadcast(df) else identity
+  }
 
   private def cachedEdgeDeg(spark: SparkSession, dir: String): DataFrame =
     edgeCache.computeIfAbsent((spark, dir), { _ =>
@@ -80,13 +106,16 @@ object PageRank {
   def pagerankTradeGraph(spark: SparkSession, dir: String): DataFrame = {
     val edgeDeg = cachedEdgeDeg(spark, dir)
     val nodes = cachedNodes(spark, dir)
+    val hint = rankSideHint(spark, dir)
 
     var ranks = nodes.withColumn("rank_u", lit(RankInit))
     for (_ <- 1 to Rounds) {
-      val inflow = edgeDeg.join(ranks, col("src") === col("node"))
+      // rank flows to edges: the rank frame (|nodes| rows) is the
+      // gated-broadcast side so the cached edge frame streams un-shuffled
+      val inflow = edgeDeg.join(hint(ranks), col("src") === col("node"))
         .select(col("dst"), expr("rank_u div outdeg").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("inflow"))
-      ranks = nodes.join(inflow, col("node") === col("dst"), "left")
+      ranks = nodes.join(hint(inflow), col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(Teleport) + expr("85 * coalesce(inflow, 0L) div 100")).as("rank_u"))
     }
@@ -116,19 +145,20 @@ object PageRank {
                         maxRounds: Int = 50): DataFrame = {
     val edgeDeg = cachedEdgeDeg(spark, dir)
     val nodes = cachedNodes(spark, dir)
+    val hint = rankSideHint(spark, dir)
 
     var ranks = nodes.withColumn("rank_u", lit(RankInit))
     var lastCp: DataFrame = null
     var delta = Long.MaxValue
     var round = 0
     while (round < maxRounds && delta > tol) {
-      val inflow = edgeDeg.join(ranks, col("src") === col("node"))
+      val inflow = edgeDeg.join(hint(ranks), col("src") === col("node"))
         .select(col("dst"), expr("rank_u div outdeg").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("inflow"))
       // ranks carries the full node set every round (it starts as
       // nodes and each step is a left join), so joining it directly
       // keeps prev and new rank in one frame for the Δ check
-      val stepped = ranks.join(inflow, col("node") === col("dst"), "left")
+      val stepped = ranks.join(hint(inflow), col("node") === col("dst"), "left")
         .select(col("node"), col("rank_u").as("rank_prev"),
           (lit(Teleport) + expr("85 * coalesce(inflow, 0L) div 100")).as("rank_u"))
         .localCheckpoint(true)

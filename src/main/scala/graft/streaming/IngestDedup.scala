@@ -229,7 +229,11 @@ object IngestDedup {
     val nFiles = math.max(1L, (nRows + CompactRowsPerFile - 1) / CompactRowsPerFile).toInt
     val compacted = frag.select("doc_id", "band", "sig").repartition(nFiles)
     graft.IndexStore.writeVersioned(spark, dir, "documents",
-        "ingest_bands_compacted", compacted, Dedup.MinhashIndexParams)
+        "ingest_bands_compacted", compacted, Dedup.MinhashIndexParams,
+        // file count is THIS query's declared contract
+        // (ceil(rows/CompactRowsPerFile) via the repartition above) —
+        // opt out of the store's rebalance-on-write sizing
+        sizeForWrite = false)
       .groupBy("band")
       .agg(
         count(lit(1)).as("n_entries"),

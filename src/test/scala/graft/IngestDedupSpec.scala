@@ -596,9 +596,16 @@ class IngestDedupSpec extends AnyFunSuite with SharedSpark {
       "compaction stats must read the stored artifact, not recompute bands")
     assert(stats.count() == graft.dedup.Dedup.NumHashes / graft.dedup.Dedup.BandRows)
 
-    // the newest compacted version: bounded files, identical rows
+    // the newest compacted version: bounded files, identical rows.
+    // Scope the scan to THIS fixture's content-fingerprinted prefix —
+    // a bare "ingest_bands_compacted" prefix also matches versions
+    // published for other corpora sharing the store root (e.g. an
+    // sf0.1 bench run in the same /tmp), whose generation numbers can
+    // out-rank this test's publish (round-16 flake).
+    val fixturePrefix = graft.IndexStore.indexDir(spark, sfDir, "documents",
+      "ingest_bands_compacted", graft.dedup.Dedup.MinhashIndexParams).getName + "-v"
     val versions = graft.IndexStore.root.listFiles()
-      .filter(_.getName.startsWith("ingest_bands_compacted"))
+      .filter(_.getName.startsWith(fixturePrefix))
       .filter(d => new java.io.File(d, "_SUCCESS").exists())
     assert(versions.nonEmpty)
     // election order = parsed generation sequence (mtime only breaks
