@@ -71,10 +71,21 @@ object BandIndex {
     }
 
   /** Bands of the incoming batch — the ONLY signature-kernel pass in
-    * the indexed queries' plans. */
+    * the indexed queries' plans. Session-memoized per corpus (round-16
+    * optimization, the [[Dedup.cachedCorpusBands]] discipline): five
+    * indexed queries consume this frame and each re-ran the batch-half
+    * kernel per invocation. The memo's lineage hashes ONLY the batch
+    * half, so the indexed plans' "no corpus-side signature pass"
+    * contract (BandIndexSpec's one-kernel pin) is untouched. */
+  private val batchBandsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private[graft] def batchBands(spark: SparkSession, dir: String): DataFrame =
-    Dedup.bandsOf(Dedup.minhashSignaturesOf(spark,
-      Dedup.cachedDocShingles(spark, dir).filter(batchFilter)))
+    batchBandsCache.computeIfAbsent((spark, dir), { _ =>
+      Dedup.bandsOf(Dedup.minhashSignaturesOf(spark,
+          Dedup.cachedDocShingles(spark, dir).filter(batchFilter)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** The indexed acceptance decision, parameterized by WHICH corpus
     * band frame plays the index — [[minhashIncrementalIndexed]] passes
@@ -275,7 +286,7 @@ object BandIndex {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   def clearCaches(spark: SparkSession): Unit = {
-    graft.SessionCaches.clear(spark, Seq(retractedCcCache))
+    graft.SessionCaches.clear(spark, Seq(retractedCcCache, batchBandsCache))
     clusterCountCache.keySet.removeIf(_._1 eq spark)
     ()
   }

@@ -109,7 +109,7 @@ object Dedup {
     * session calls it when a corpus is retired. */
   def clearCaches(spark: SparkSession): Unit = {
     graft.SessionCaches.clear(spark,
-      Seq(shingleCache, pairsCache, clusterCache, clusterCacheAlt))
+      Seq(shingleCache, bandsCache, pairsCache, clusterCache, clusterCacheAlt))
     clusterGateCache.keySet.removeIf(_._1 eq spark)
     docCountCache.keySet.removeIf(_._1 eq spark)
     ()
@@ -329,6 +329,11 @@ object Dedup {
           .map(i => (id, i + 1, ws.slice(i, i + WinTokens).mkString(" ")))
       }
       .toDF("doc_id", "pos", "w")
+    // (A round-16 collect_list + analytic-count restructure was
+    // measured and REJECTED here: WindowExec's per-partition sort of
+    // the grouped stream cost more than the join it replaced —
+    // 1.5→2.5 s. The positioned stream needs its positions carried
+    // through, which is exactly what makes the window form heavy.)
     val dup = wins.select("doc_id", "w").distinct()
       .groupBy("w").agg(count(lit(1)).as("nd"))
       .filter(col("nd") > 1).select("w")
@@ -346,13 +351,24 @@ object Dedup {
             / col("n_tokens").cast("double"), 6)).as("kept_frac"))
   }
 
-  /** Shared tail of both substring-dup forms: docs-per-window count,
-    * flag join back (1:n on COUNTS, never doc pairs), per-doc rollup.
+  /** Shared tail of both substring-dup forms: docs-per-window count
+    * attached by an analytic count over the window key, per-doc rollup.
     * `w` may be the raw window string or its 60-bit hash — the plan is
-    * identical either way; only the shuffle-key width differs. */
+    * identical either way; only the shuffle-key width differs.
+    *
+    * Round-16 shape (guide §2.4 — remove shuffles outright): through
+    * r15 this was a groupBy(w) count + join-back, which exchanged the
+    * FULL window stream by `w` twice (the distinct/agg side and the
+    * join probe side) and ran the window kernel once per side — the
+    * optimizer shares neither (different exchange keys above the same
+    * scan). `count(*) OVER (PARTITION BY w)` is the identical number
+    * with ONE exchange of the stream and ONE kernel pass. Hot-key
+    * profile is unchanged: both shapes hash the full stream by `w`, so
+    * a boilerplate window lands on one reducer either way (the
+    * [[MaxBucket]]-class risk the audit queries exist to surface). */
   private def dupStatsOverWindows(wins: DataFrame): DataFrame = {
-    val counts = wins.groupBy("w").agg(count(lit(1)).as("nd"))
-    wins.join(counts, "w")
+    val perW = Window.partitionBy("w")
+    wins.withColumn("nd", count(lit(1)).over(perW))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_windows"),
@@ -598,15 +614,38 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
+  /** Session-memoized full-corpus banding frame — the (doc_id, band,
+    * sig) output of the 32-hash signature kernel + banding over
+    * [[cachedDocShingles]], persisted per (session, corpus) exactly
+    * like the shingle frame it derives from (round-16 optimization).
+    * Through r15 every consumer — the self-dedup candidates,
+    * containment, the recall certification, the bucket audit, the
+    * probe slices — re-ran the signature kernel per INVOCATION; the
+    * memo runs it once per session and the ~6 consumers share the
+    * materialized rows. Bounded at one entry per corpus,
+    * MEMORY_AND_DISK-evictable; the first-vs-median split in the bench
+    * keeps the materialization cost visible. (The incremental twin
+    * `minhash_incremental` deliberately keeps its own two per-parity
+    * kernel passes — its spec-pinned contract is "recomputes both
+    * sides", contrasted against the indexed form.) */
+  private val bandsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def cachedCorpusBands(spark: SparkSession, dir: String): DataFrame =
+    bandsCache.computeIfAbsent((spark, dir), { _ =>
+      bandsOf(minhashSignaturesOf(spark, cachedDocShingles(spark, dir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Self-join candidate pairs (d1 < d2) from shared band buckets —
     * built via group-by-bucket + local pair expansion rather than a
     * bands self-join: the self-join would recompute the whole
     * signature pipeline for each side, and a hot bucket (a large
     * near-identical cluster) explodes in the join just the same —
     * here the quadratic expansion is explicit, local to its bucket,
-    * and bounded by [[MaxBucket]]. */
-  private def minhashCandidates(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val bands = bandsOf(minhashSignaturesOf(spark, docs))
+    * and bounded by [[MaxBucket]]. Takes the banding frame directly
+    * (corpus callers pass [[cachedCorpusBands]]). */
+  private def minhashCandidates(bands: DataFrame): DataFrame = {
     val pairsUdf = udf { ids: Seq[Long] =>
       val s = ids.sorted
       for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j))
@@ -639,7 +678,7 @@ object Dedup {
 
   def minhashNeardup(spark: SparkSession, dir: String): DataFrame = {
     val docs = cachedDocShingles(spark, dir)
-    val cand = minhashCandidates(spark, docs)
+    val cand = minhashCandidates(cachedCorpusBands(spark, dir))
     val jac = col("c").cast(DoubleType) /
       (col("n1") + col("n2") - col("c")).cast(DoubleType)
     verifiedIntersections(docs, cand, "d1", "d2")
@@ -665,7 +704,7 @@ object Dedup {
     * side's signature only, an index-build variant of this same plan. */
   def shingleContainment(spark: SparkSession, dir: String): DataFrame = {
     val docs = cachedDocShingles(spark, dir)
-    val cand = minhashCandidates(spark, docs)
+    val cand = minhashCandidates(cachedCorpusBands(spark, dir))
     val cont = col("c").cast(DoubleType) /
       least(col("n1"), col("n2")).cast(DoubleType)
     verifiedIntersections(docs, cand, "d1", "d2")
@@ -968,9 +1007,9 @@ object Dedup {
     // share any under-cap (band, sig) bucket. The occupancy census
     // runs over ONLY the probe-hit buckets (a semi-join against the
     // broadcast probe bucket list keeps whole buckets, so each kept
-    // bucket's count equals the global census) — the corpus banding
-    // pass streams, nothing corpus-sized shuffles.
-    val bands = bandsOf(minhashSignaturesOf(spark, docs))
+    // bucket's count equals the global census) — the memoized corpus
+    // banding frame streams, nothing corpus-sized shuffles.
+    val bands = cachedCorpusBands(spark, dir)
     val bandsP = bands.filter(isProbe(col("doc_id")))
       .select(col("doc_id").as("p"), col("band"), col("sig"))
     val bucketRows = bands.join(
@@ -1032,9 +1071,8 @@ object Dedup {
     * list, nothing corpus-sized shuffles, output bounded by
     * probes · bands · cap. */
   private def slicedCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val docs = cachedDocShingles(spark, dir)
     val every = recallEvery(docCount(spark, dir))
-    val bands = bandsOf(minhashSignaturesOf(spark, docs))
+    val bands = cachedCorpusBands(spark, dir)
     val bandsP = bands.filter(col("doc_id") % every <= 1)
     val bucketRows = bands.join(
       broadcast(bandsP.select("band", "sig").distinct()),
@@ -1117,8 +1155,14 @@ object Dedup {
     val docs = cachedDocShingles(spark, dir)
     val every = recallEvery(docCount(spark, dir))
     // one banding pass feeds every closure round — persist for the
-    // loop, released before the (checkpoint-rooted) result returns
-    val b = bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // loop, released before the (checkpoint-rooted) result returns.
+    // An ALREADY-persisted frame (the session-memoized corpus bands)
+    // is used as-is and left alone: unpersisting it here would evict
+    // every sibling query's memo.
+    val prePersisted =
+      bands.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val b = if (prePersisted) bands
+      else bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var reached = Tables.load(spark, dir, "documents")
         .filter(col("doc_id") % every <= 1)
@@ -1189,7 +1233,7 @@ object Dedup {
           countDistinct(col("d")).as("cluster_size"))
         .filter(col("cluster_size") > 1)
         .select(col("p").as("doc_id"), col("cluster_id"), col("cluster_size"))
-    } finally { b.unpersist(); () }
+    } finally { if (!prePersisted) b.unpersist(); () }
   }
 
   /** [[neardupClusters]]' probe slice: the probe docs' component rows
@@ -1197,8 +1241,7 @@ object Dedup {
     * end-to-end probe-bounded since round 14 (the oracle was always
     * the frontier unroll; now the engine is too). */
   def neardupClustersSlice(spark: SparkSession, dir: String): DataFrame =
-    probeComponentClosure(spark, dir,
-      bandsOf(minhashSignaturesOf(spark, cachedDocShingles(spark, dir))))
+    probeComponentClosure(spark, dir, cachedCorpusBands(spark, dir))
 
   /** [[neardupClustersBigstar]]'s probe slice — the alternating-star
     * resolution under the same slice oracle. Deliberately STILL the
@@ -1226,7 +1269,7 @@ object Dedup {
     * distinct occupancies per band (tens of rows), never corpus-sized;
     * integer DIV keeps the pair counts exact int64 in both engines. */
   def lshBucketAudit(spark: SparkSession, dir: String): DataFrame =
-    bandsOf(minhashSignaturesOf(spark, cachedDocShingles(spark, dir)))
+    cachedCorpusBands(spark, dir)
       .groupBy("band", "sig")
       .agg(count(lit(1)).as("occupancy"))
       .groupBy("band", "occupancy")
