@@ -88,7 +88,8 @@ object Similarity {
   /** Lifecycle hook mirroring [[graft.dedup.Dedup.clearCaches]]: drop
     * this session's memoized IVF assignment frame and trained centroids. */
   def clearCaches(spark: SparkSession): Unit = {
-    graft.SessionCaches.clear(spark, Seq(ivfAssignCache, exactTopkCache))
+    graft.SessionCaches.clear(spark,
+      Seq(ivfAssignCache, exactTopkCache, vectorsCache))
     centroidCache.keySet.removeIf(_._1 eq spark)
     pqCache.keySet.removeIf(_._1 eq spark)
     vecCountCache.keySet.removeIf(_._1 eq spark)
@@ -99,10 +100,23 @@ object Similarity {
   val neighborBetter: (Neighbor, Neighbor) => Boolean =
     (a, b) => a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
 
+  /** Session-memoized (vec_id, v, nrm) frame — the parquet scan, the
+    * double-cast, and the norm computed once per (session, corpus)
+    * instead of once per invocation (round-16 optimization; the
+    * [[graft.dedup.Dedup.cachedDocShingles]] discipline): 14 call
+    * sites across the ANN/kNN/quantization family each re-paid the
+    * load-balance probe and the norm pass. MEMORY_AND_DISK-evictable,
+    * bounded at one entry per corpus. */
+  private val vectorsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def vectors(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", norm(col("v")))
+    vectorsCache.computeIfAbsent((spark, dir), { _ =>
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", norm(col("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Exact top-k: broadcast the probes, one pass over candidates, heap
     * aggregate per probe. */
