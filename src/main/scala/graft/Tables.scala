@@ -19,11 +19,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    val norm = if (name == "events") normalizeEventTs(df) else df
-    if (KernelTables(name)) balance(spark, norm) else norm
-  }
+  /** Session-memoized load PLAN (round-17 optimization; guide §1 —
+    * measured: `spark.read.parquet` costs 150–300 ms per call in
+    * datasource resolution (file listing, footer/schema read, and for
+    * kernel tables the [[balance]] stats pass), all driver-side, and
+    * the query surface calls [[load]] 2–7 times per query build. The
+    * memo returns the SAME lazy DataFrame — nothing is persisted or
+    * precomputed; every action still scans the parquet — it only stops
+    * re-resolving immutable file metadata per invocation (the §6
+    * file-listing-cache move, applied at the API boundary). Safe
+    * because a (dir, name) pair is immutable for a session's lifetime
+    * everywhere this engine reads: the driver's testdata is read-only
+    * and test fixtures use fresh temp dirs per suite. Writers that DO
+    * regenerate a path in-session (none today) must call
+    * [[clearCache]]. */
+  private val loadCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  /** Drop this session's memoized load plans (lifecycle hook, same
+    * contract as the module clearCaches hooks — needed only if a
+    * session rewrites a table path it already loaded). */
+  def clearCache(spark: SparkSession): Unit =
+    loadCache.keySet.removeIf(_._1 eq spark)
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loadCache.computeIfAbsent((spark, dir, name), { _ =>
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      val norm = if (name == "events") normalizeEventTs(df) else df
+      if (KernelTables(name)) balance(spark, norm) else norm
+    })
 
   /** Tables whose consumers are CPU-bound per-row kernels (shingling,
     * minhash, BPE, PII scrub, dot products) rather than

@@ -1163,6 +1163,26 @@ object Dedup {
       bands.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val b = if (prePersisted) bands
       else bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bucket occupancy is a property of the BANDS FRAME ALONE — the
+    // old per-round shape (semi-join the corpus bands down to
+    // frontier-hit buckets, then window-count within) recomputed the
+    // identical occupancy for every round's frontier, because the
+    // semi-join kept buckets whole, making the windowed count equal
+    // the corpus-wide count by construction. Round-17 (guide §1.2 —
+    // don't compute things twice, §2.3 shuffle fewer bytes): compute
+    // the OVER-CAP bucket list once per closure call — a map-side-
+    // aggregated groupBy whose shuffle carries bucket counts, never
+    // band rows, and whose result is tiny by construction (a bucket
+    // lands here only past [[MaxBucket]] members, so the list is
+    // ≤ |bands|/MaxBucket rows) — and each round replaces the
+    // {semi-join + window sort} pair with one broadcast anti join
+    // against it. One checkpointed row-count job per invocation
+    // instead of a window shuffle per round.
+    val hotBuckets = b.groupBy("band", "sig")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > MaxBucket)
+      .select("band", "sig")
+      .localCheckpoint(true)
     try {
       var reached = Tables.load(spark, dir, "documents")
         .filter(col("doc_id") % every <= 1)
@@ -1176,20 +1196,17 @@ object Dedup {
         // duplicated the window/distinct subtrees past what
         // ReusedExchange recovers — 3.6→4.9 s. The eager per-stage
         // checkpoints stay; the win below is the probe-bounded verify.)
-        // the frontier docs' band rows (≤ frontier·bands — broadcast side)
+        // the frontier docs' band rows (≤ frontier·bands — broadcast
+        // side; referenced once per round since the occupancy hoist,
+        // so no checkpoint — the one consumer builds it directly)
         val fBands = b.join(
             broadcast(frontier.select(col("d").as("doc_id")).distinct()),
             Seq("doc_id"))
           .select(col("doc_id").as("d1"), col("band"), col("sig"))
-          .localCheckpoint(true)
-        val wOcc = Window.partitionBy("band", "sig")
-        val partners = b.join(
-            broadcast(fBands.select("band", "sig").distinct()),
-            Seq("band", "sig"), "left_semi")
-          .withColumn("occ", count(lit(1)).over(wOcc))
-          .filter(col("occ") <= MaxBucket)
+        val partners = b
           .join(broadcast(fBands), Seq("band", "sig"))
           .filter(col("doc_id") =!= col("d1"))
+          .join(broadcast(hotBuckets), Seq("band", "sig"), "left_anti")
           .select(col("d1"), col("doc_id").as("d2"))
           .distinct()
         // attach probes; prune (p, d2) already closed BEFORE the
@@ -1224,7 +1241,13 @@ object Dedup {
         val fresh = pPairs.join(verified, Seq("d1", "d2"), "left_semi")
           .select(col("p"), col("d2").as("d")).distinct()
           .localCheckpoint(true)
-        reached = reached.unionByName(fresh).localCheckpoint(true)
+        // reached stays a LAZY union of the per-round checkpointed
+        // frames (round-17; guide §1.2 job-count trim): every member
+        // is already materialized, so checkpointing the union spent
+        // one more blocking job per round only to re-copy cached
+        // blocks. The union's readers (the per-round anti join, the
+        // final agg) scan the same cached partitions either way.
+        reached = reached.unionByName(fresh)
         frontier = fresh
         round += 1
       }

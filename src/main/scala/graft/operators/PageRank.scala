@@ -89,8 +89,19 @@ object PageRank {
         .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       // one materialization feeds all rounds (the unrolled plan would
-      // otherwise recompute the orders ⋈ lineitem distinct per round)
-      edges.join(deg, "src")
+      // otherwise recompute the orders ⋈ lineitem distinct per round).
+      // Cached PRE-PARTITIONED BY dst (round-17, guide §2.4): under the
+      // broadcast gate each round streams this frame into a broadcast
+      // join (partitioning preserved) and then aggregates inflow BY
+      // dst — with the cache laid out on dst the per-round groupBy
+      // plans with NO Exchange, so the 2·|pairs| edge rows shuffle
+      // exactly once at build time instead of once per round (6 rounds
+      // static, up to 50 converged). Integer sums are aggregation-
+      // order-free, so the layout change cannot move the result. In
+      // shuffle-fallback mode (past the broadcast ceiling) the layout
+      // is simply unused — one extra build-time exchange, nothing per
+      // round.
+      edges.join(deg, "src").repartition(col("dst"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
