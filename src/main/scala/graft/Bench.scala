@@ -253,8 +253,18 @@ object Bench {
     val auditTotal = results.collect {
       case (k, v) if v >= 0 && AuditQueries(k) => v }.sum
     val shippingTotal = total - auditTotal
+    // per-family median subtotals (round-17 addition, r16 verdict #9):
+    // session memos make per-query medians inside a memo-sharing
+    // family "warm" numbers, so cross-round comparisons should read
+    // these family sums — the only per-family attributable quantity
+    val familyOf = SparkEntry.families
+    val famTotals = results.toSeq
+      .collect { case (k, v) if v >= 0 => (familyOf.getOrElse(k, "other"), v) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val fams = famTotals.map { case (f, v) => jstr(f) + ":" + v }
+      .mkString("{", ",", "}")
     val ex = excluded.map(jstr).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first":$fs,"queries_min":$ms,"records":$rs,"errors":$es,"baseline_subset_sec":$baselineSubset,"total_first_sec":$totalFirst,"tier":${jstr(tier)},"excluded_queries":$ex,"audit_total_sec":$auditTotal,"shipping_total_sec":$shippingTotal,"reps":$reps,"n_queries":${results.size},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first":$fs,"queries_min":$ms,"records":$rs,"errors":$es,"baseline_subset_sec":$baselineSubset,"total_first_sec":$totalFirst,"tier":${jstr(tier)},"excluded_queries":$ex,"audit_total_sec":$auditTotal,"shipping_total_sec":$shippingTotal,"families":$fams,"reps":$reps,"n_queries":${results.size},"sf":"$sfDir"}"""
     println(line)
     // stdout tail gets truncated in transit EVERY round (BENCH_r03
     // through r14 all carried parsed:null — the driver keeps only the

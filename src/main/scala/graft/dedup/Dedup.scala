@@ -334,9 +334,15 @@ object Dedup {
     // the grouped stream cost more than the join it replaced —
     // 1.5→2.5 s. The positioned stream needs its positions carried
     // through, which is exactly what makes the window form heavy.)
-    val dup = wins.select("doc_id", "w").distinct()
-      .groupBy("w").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") > 1).select("w")
+    // "appears in ≥ 2 docs" ⟺ min(doc_id) ≠ max(doc_id) per window —
+    // round-17 (guide §2.3/§2.4): the r16 shape was distinct on
+    // (doc_id, w) THEN groupBy(w), i.e. two full exchanges of the
+    // window stream; min/max aggregate map-side (same-doc repeats
+    // collapse before the shuffle) and need ONE exchange for the
+    // identical dup-window set.
+    val dup = wins.groupBy("w")
+      .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
+      .filter(col("dmin") =!= col("dmax")).select("w")
     val covered = wins.join(dup, "w")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(WinTokens - 1))).as("p"))
