@@ -1218,6 +1218,13 @@ object Dedup {
         // attach probes; prune (p, d2) already closed BEFORE the
         // verify join (the oracle prunes AFTER via EXCEPT — same sets,
         // pruning early only drops verify work)
+        // (A fully-fused round — pPairs and vdocs NOT checkpointed,
+        // leaning on ReusedExchange inside the one action — was
+        // re-measured in round 17 after the occupancy hoist and is
+        // STILL slower: 45 → 59 AQE stage-jobs, 4.7 → 5.2 s warm. The
+        // three references to pPairs re-derive the partners pipeline
+        // past what exchange reuse recovers. The per-stage eager
+        // checkpoints stay.)
         val pPairs = partners
           .join(broadcast(frontier.withColumnRenamed("d", "d1")), Seq("d1"))
           .join(reached.withColumnRenamed("d", "d2"), Seq("p", "d2"), "left_anti")
