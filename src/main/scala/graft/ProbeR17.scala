@@ -44,6 +44,10 @@ object ProbeR17 {
       Tables.load(spark, sfDir, "region").groupBy("r_name").count().collect()
     } catch { case _: Throwable => () }
 
+    sys.env.get("SPARK_GRAFT_PROBE_SHUFFLE_PARTS").foreach { p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      println(s"PROBE shuffle.partitions=$p")
+    }
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "neardup_clusters_slice", "neardup_clusters_indexed_slice", "ann_recall")
     for (n <- names; rep <- 1 to 3) {

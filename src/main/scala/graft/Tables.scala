@@ -61,7 +61,13 @@ object Tables {
 
   /** Floor below which rebalancing is skipped: a corpus this small
     * finishes faster on one core than it takes to round-trip a shuffle
-    * (the sf0.001/sf0.01 oracle boards stay shuffle-free). */
+    * (the sf0.001/sf0.01 oracle boards stay shuffle-free). Round-17
+    * measured a 256 KB floor (which rebalances the sf0.1 kernel
+    * tables) and REJECTED it: minhash_neardup warm moved ≤ 0.3 s, the
+    * fold build not at all, and the embeddings rebalance added an
+    * exchange plus ~2.5× the task count to every ANN query for zero
+    * gain — at sf0.1 the kernels are orchestration-bound, not
+    * scan-parallelism-bound. */
   private val BalanceMinBytes = 4L << 20
 
   /** Guarded parallelism rescue for kernel tables: if the parquet scan

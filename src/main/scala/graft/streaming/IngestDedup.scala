@@ -47,15 +47,29 @@ object IngestDedup {
     * `minhash_incremental`. Only corpus docs that COLLIDE get
     * shingled for verify. */
   def dedupStep(spark: SparkSession, batchDocs: DataFrame,
-                indexBands: DataFrame, knownDocs: DataFrame): DataFrame = {
-    val batchSh = shinglesOf(spark, batchDocs)
+                indexBands: DataFrame, knownDocs: DataFrame): DataFrame =
+    dedupStepWith(spark, batchDocs, indexBands, knownDocs,
+      shinglesOf(spark, _))
+
+  /** [[dedupStep]] with an injectable shingle source. The streaming
+    * path shingles its incoming frames directly (the default above);
+    * the batch FOLD's frames are all subsets of the corpus, so it
+    * passes a semi-join against the session-memoized corpus shingle
+    * frame instead (round-17, guide §1.2): the r16 fold re-ran the
+    * single-task shingle kernel ~4× per step (batch bands, the verify
+    * union, the candidate-corpus side, the index update) — identical
+    * rows either way, the kernel is the same `Dedup.shingleSet`. */
+  private[graft] def dedupStepWith(spark: SparkSession, batchDocs: DataFrame,
+                indexBands: DataFrame, knownDocs: DataFrame,
+                shingler: DataFrame => DataFrame): DataFrame = {
+    val batchSh = shingler(batchDocs)
     val batchBands = Dedup.bandsOf(Dedup.minhashSignaturesOf(spark, batchSh))
       .select(col("doc_id").as("dn"), col("band"), col("sig"))
     val cand = batchBands
       .join(indexBands.select(col("doc_id").as("dc"), col("band"), col("sig")),
         Seq("band", "sig"))
       .select("dn", "dc").distinct()
-    val candCorpusSh = shinglesOf(spark,
+    val candCorpusSh = shingler(
       knownDocs.join(cand.select(col("dc").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi"))
     val allSh = batchSh.unionByName(candCorpusSh)
@@ -132,6 +146,16 @@ object IngestDedup {
   def ingestDedupFold(spark: SparkSession, dir: String): DataFrame =
     foldCache.computeIfAbsent((spark, dir), { _ =>
       val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      // Every frame the fold shingles is a SUBSET OF THE CORPUS, so
+      // ride the session-memoized corpus shingle frame instead of
+      // re-running the single-task shingle kernel per consumer
+      // (round-17; the r16 fold paid it ~4× per step — ~12 kernel
+      // passes dominating the 21 s first invocation). Identical rows:
+      // the memo is the same `Dedup.shingleSet` kernel over the same
+      // docs.
+      val memoShingles: DataFrame => DataFrame = d =>
+        Dedup.cachedDocShingles(spark, dir)
+          .join(d.select("doc_id"), Seq("doc_id"), "left_semi")
       var index = BandIndex.standingBands(spark, dir)
         .select("doc_id", "band", "sig")
       var known = docs.filter(col("doc_id") % 2 === 0)
@@ -139,15 +163,21 @@ object IngestDedup {
       val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       for (k <- Seq(1, 3, 5)) {
         val batch = docs.filter(col("doc_id") % 6 === k)
-        // persist each step's accepted ids: step k+1's index and the
-        // final union both consume them — without the persist the whole
-        // prefix of the fold would re-run per consumer
-        val acc = dedupStep(spark, batch, index, known).persist()
+        // eagerly checkpoint each step's accepted ids (tiny: doc_ids
+        // only): step k+1's index and the final union both consume
+        // them, and the round-17 plan audit showed the r16 persist-only
+        // form still CARRIED the whole fold prefix in each step's
+        // LOGICAL plan — step 3's lineage re-embedded steps 1-2's
+        // index/known subtrees multiplicatively (11,991 scan nodes in
+        // the slice's printed plan). localCheckpoint truncates to the
+        // materialized rows, so plan growth across the fold is linear.
+        val acc = dedupStepWith(spark, batch, index, known, memoShingles)
+          .localCheckpoint(true)
         steps += acc
         val accDocs = docs.join(acc, Seq("doc_id"), "left_semi")
         index = index.unionByName(
           Dedup.bandsOf(Dedup.minhashSignaturesOf(spark,
-            shinglesOf(spark, accDocs))))
+            memoShingles(accDocs))))
         known = known.unionByName(accDocs)
         accepted = Some(accepted.fold(acc)(_.unionByName(acc)))
       }

@@ -180,10 +180,19 @@ object CorpusOps {
                                 batchFeats: DataFrame): DataFrame = {
     val feats = refFeats.withColumn("is_ref", lit(true))
       .unionByName(batchFeats.withColumn("is_ref", lit(false)))
+    // `cuts` (one row per feature) is referenced by the binning join
+    // AND the bin census, and `perBin` (features × 10 rows) by the
+    // totals AND the final join — and Catalyst re-derives a
+    // referenced subtree per reference, so the r16 plan re-ran the
+    // corpus scan + tokenization 28 TIMES (plan audit). Round-17
+    // (guide §1.2): eagerly truncate both tiny frames; every
+    // downstream reference reads the materialized rows. The corpus is
+    // now scanned once per side.
     val cuts = refFeats
       .groupBy("feature")
       .agg(percentile(col("v"),
         array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cuts"))
+      .localCheckpoint(true)
     val binned = feats.join(broadcast(cuts), "feature")
       .select(col("feature"), col("is_ref"),
         (size(filter(col("cuts"), c => col("v") > c)) + 1)
@@ -192,6 +201,7 @@ object CorpusOps {
       .agg(
         sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
         sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_batch"))
+      .localCheckpoint(true)
     // every (feature, bin 1..10) must appear — an EMPTY batch bin is
     // exactly the drift signal the monitor exists to surface
     val allBins = cuts.select("feature")
